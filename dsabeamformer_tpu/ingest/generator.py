@@ -1,0 +1,96 @@
+"""Synthetic 4R4I voltage-block generators (host-side, NumPy).
+
+Reference behavior (SURVEY.md §4, C11): the CUDA pipeline was tested
+with synthetic inputs of known structure — a point source at a known
+angle (beam peak analytically checkable) and noise.  These generators
+produce wire blocks in either layout for tests, the simulator CLI, and
+the streaming benchmarks.
+
+Sign convention matches models/weights.py: a source at angle ``theta``
+induces antenna phase ``+2*pi*f*x_a*sin(theta)/c``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dsabeamformer_tpu.config import SPEED_OF_LIGHT_M_S, ObsConfig
+from dsabeamformer_tpu.models.arrays import ArrayLayout, array_for
+from dsabeamformer_tpu.ops.packing import pack_4r4i
+
+
+def _emit(cfg: ObsConfig, re: np.ndarray, im: np.ndarray) -> np.ndarray:
+    """[F, T, P, A] float re/im -> wire uint8 block in cfg.input_layout."""
+    wire = pack_4r4i(np.round(re), np.round(im))
+    if cfg.input_layout == "tfpa":
+        wire = np.ascontiguousarray(wire.transpose(1, 0, 2, 3))
+    return wire
+
+
+def make_noise_block(cfg: ObsConfig, rms: float = 2.0, seed: int = 0) -> np.ndarray:
+    """Gaussian noise on active antennas, zeros on padding."""
+    rng = np.random.default_rng(seed)
+    shape = (cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+    re = np.zeros(shape, np.float64)
+    im = np.zeros(shape, np.float64)
+    a = cfg.n_ant_active
+    re[..., :a] = rng.normal(0.0, rms, shape[:-1] + (a,))
+    im[..., :a] = rng.normal(0.0, rms, shape[:-1] + (a,))
+    return _emit(cfg, re, im)
+
+
+def make_point_source_block(
+    cfg: ObsConfig,
+    angle_rad: float,
+    layout: ArrayLayout | None = None,
+    amplitude: float = 5.0,
+    noise_rms: float = 0.5,
+    seed: int = 0,
+) -> np.ndarray:
+    """A single point source at ``angle_rad`` plus receiver noise.
+
+    The per-channel source signal is complex Gaussian (bandwidth-limited
+    noise-like emission, the realistic case), identical across antennas
+    up to the geometric phase, and identical across pols up to an
+    independent realization.
+    """
+    rng = np.random.default_rng(seed)
+    layout = layout if layout is not None else array_for(cfg)
+    f = cfg.freqs_hz()[:, None, None]                      # [F,1,1]
+    x = layout.positions_m[None, None, : cfg.n_ant_active]  # [1,1,a]
+    steer = np.exp(
+        2j * np.pi * f * x * np.sin(angle_rad) / SPEED_OF_LIGHT_M_S
+    )  # [F,1,a]
+
+    shape = (cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+    sig = amplitude / np.sqrt(2) * (
+        rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))
+        + 1j * rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))
+    )  # [F,T,P]
+    v = sig[..., None] * steer[:, :, None, :]  # [F,T,P,a]
+
+    re = np.zeros(shape, np.float64)
+    im = np.zeros(shape, np.float64)
+    a = cfg.n_ant_active
+    re[..., :a] = v.real + rng.normal(0.0, noise_rms, v.shape)
+    im[..., :a] = v.imag + rng.normal(0.0, noise_rms, v.shape)
+    return _emit(cfg, re, im)
+
+
+def make_tone_block(
+    cfg: ObsConfig,
+    chan: int,
+    amplitude: float = 7.0,
+    phase_step: float = 0.1,
+) -> np.ndarray:
+    """Deterministic complex tone in one channel on all active antennas
+    (bit-exact regression inputs — no randomness)."""
+    shape = (cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+    re = np.zeros(shape, np.float64)
+    im = np.zeros(shape, np.float64)
+    t = np.arange(cfg.t_block)[:, None, None]
+    ph = phase_step * t
+    a = cfg.n_ant_active
+    re[chan, ..., :a] = amplitude * np.cos(ph)
+    im[chan, ..., :a] = amplitude * np.sin(ph)
+    return _emit(cfg, re, im)

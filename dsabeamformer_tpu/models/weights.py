@@ -1,0 +1,115 @@
+"""Steering / fringe / calibration weight generation — jitted, device-side.
+
+Reference behavior (SURVEY.md L6/C8, call stack §3.3): on a pointing or
+calibration change the host recomputes
+
+    A[f, b, a] = g_a(f) * exp(-2*pi*i * f * tau(b, a))      (tau = geometric delay)
+
+in C++ loops and re-uploads ~tens of MB to the GPU.  BASELINE.json's
+north star requires the rebuild to run this *device-side and jitted*;
+here it is a pure jnp function of (positions, gains, pointing, fringe
+delay) that XLA fuses into a handful of elementwise kernels — no host
+loop, no host->device weight copy beyond the inputs.
+
+Device arrays are planar complex (``CVec`` re/im float32 pairs — see
+ops/cplx.py: no complex dtypes on device).
+
+Sign conventions (the single source of truth, matched by
+``ingest/generator.py``):
+
+- A plane wave from angle ``theta`` (east of boresight) reaches antenna
+  ``x_a`` with phase ``+2*pi*f*x_a*sin(theta)/c`` relative to the array
+  center (larger x => phase lead).
+- The steering weight for beam ``theta_b`` conjugates that:
+  ``exp(-2*pi*i*f*x_a*sin(theta_b)/c)``, so the beamformed sum is
+  coherent when ``theta == theta_b``.
+- Beams are offsets *relative to the pointing direction*; fringe
+  stopping for the pointing center is the ``theta_point`` term plus an
+  optional scalar delay ``fringe_delay_s`` applied per channel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsabeamformer_tpu.config import SPEED_OF_LIGHT_M_S, ObsConfig
+from dsabeamformer_tpu.models.arrays import ArrayLayout, array_for
+from dsabeamformer_tpu.models.calibration import CalTable
+from dsabeamformer_tpu.ops.cplx import CVec
+
+
+def _phase_dtype():
+    # float64 where the backend has it (CPU tests: oracle precision);
+    # float32 on TPU.  f32 is sufficient for DSA-scale baselines: the
+    # phase is reduced to its fractional turn while still <= ~100 turns,
+    # so the f32 ulp is ~1e-5 turn.
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@jax.jit
+def steering_weights(
+    positions_m: jax.Array,      # [A]
+    beam_angles_rad: jax.Array,  # [B] absolute angles incl. pointing
+    freqs_hz: jax.Array,         # [F]
+    gains: CVec,                 # [A, F] planar complex calibration gains
+    fringe_delay_s: jax.Array | float = 0.0,
+) -> CVec:
+    """Return planar-complex weights ``A[f, b, a]`` as ``CVec`` float32."""
+    dt = _phase_dtype()
+    f = freqs_hz.astype(dt)[:, None, None]                    # [F,1,1]
+    s = jnp.sin(beam_angles_rad.astype(dt))[None, :, None]    # [1,B,1]
+    x = positions_m.astype(dt)[None, None, :]                 # [1,1,A]
+    tau = x * s / SPEED_OF_LIGHT_M_S + jnp.asarray(fringe_delay_s, dt)
+    turns = f * tau
+    # Keep only the fractional turn before any float32 narrowing.
+    phase = (-2.0 * jnp.pi) * (turns - jnp.round(turns))
+    c = jnp.cos(phase).astype(jnp.float32)
+    si = jnp.sin(phase).astype(jnp.float32)
+    gr = gains.re.astype(jnp.float32).T[:, None, :]           # [F,1,A]
+    gi = gains.im.astype(jnp.float32).T[:, None, :]
+    # (c + i*si) * (gr + i*gi)
+    return CVec(re=c * gr - si * gi, im=si * gr + c * gi)
+
+
+def make_weights(
+    cfg: ObsConfig,
+    layout: ArrayLayout | None = None,
+    cal: CalTable | None = None,
+    pointing_rad: float = 0.0,
+    fringe_delay_s: float = 0.0,
+) -> CVec:
+    """Convenience wrapper: weights for a config preset -> ``CVec`` with
+    re/im float32 ``[F, B, A]`` on the default device."""
+    layout = layout if layout is not None else array_for(cfg)
+    cal = cal if cal is not None else CalTable.unity(cfg)
+    angles = pointing_rad + cfg.beam_angles_rad()
+    return steering_weights(
+        jnp.asarray(layout.positions_m),
+        jnp.asarray(angles),
+        jnp.asarray(cfg.freqs_hz()),
+        CVec(re=jnp.asarray(cal.gains.real.astype(np.float32)),
+             im=jnp.asarray(cal.gains.imag.astype(np.float32))),
+        fringe_delay_s,
+    )
+
+
+def weights_numpy_golden(
+    cfg: ObsConfig,
+    layout: ArrayLayout | None = None,
+    cal: CalTable | None = None,
+    pointing_rad: float = 0.0,
+    fringe_delay_s: float = 0.0,
+) -> np.ndarray:
+    """complex128 NumPy oracle for ``make_weights`` (SURVEY.md §4:
+    golden-model testing philosophy — every stage has a float64 host
+    oracle)."""
+    layout = layout if layout is not None else array_for(cfg)
+    cal = cal if cal is not None else CalTable.unity(cfg)
+    f = cfg.freqs_hz()[:, None, None]
+    s = np.sin(pointing_rad + cfg.beam_angles_rad())[None, :, None]
+    x = layout.positions_m[None, None, :]
+    tau = x * s / SPEED_OF_LIGHT_M_S + fringe_delay_s
+    w = np.exp(-2j * np.pi * f * tau)
+    return w * cal.gains.astype(np.complex128).T[:, None, :]

@@ -1,0 +1,286 @@
+"""The fused Pallas TPU beamforming kernel — the hot loop.
+
+This single kernel replaces three reference CUDA stages (SURVEY.md
+L3-L5 / C5-C7):
+
+- ``expand_input``       -> in-kernel 4-bit unpack prologue,
+- ``cublasCgemmBatched`` -> K-concatenated int8/bf16 GEMM on the MXU,
+- ``detect_sum``         -> |B|^2 + pol-sum + time-average epilogue,
+
+so the unpacked voltages and beamformed voltages NEVER touch HBM: per
+grid cell the kernel reads a packed uint8 tile and writes only the tiny
+averaged-power tile.  That HBM-traffic shape (1 byte in, ~B*4/(P*A*navg)
+bytes out per sample) is what makes the pipeline ingest-bound instead of
+memory-bound — the TPU-native analog of the reference's motivation for
+fusing detection into the GEMM epilogue.
+
+Design notes
+------------
+- Grid = (F, T/time_tile), time innermost: the per-channel weight tile is
+  fetched once per channel and reused across all time tiles (Pallas skips
+  re-fetch when the index map is constant along a grid dim).
+- Complex arithmetic via the K-concatenation trick (see ops/quantize.py):
+  one real matmul per (pol, term) with K = 2*n_ant = 128 for DSA-10 —
+  full MXU occupancy.
+- Polarizations are two lane-slices of the wire row; each gets its own
+  matmul and the epilogue sums their powers.  This avoids sublane<->lane
+  reshapes that Mosaic lowers slowly.
+- int8 accumulation in int32 is exact (|x|<=8, |w|<=127, K=256 max =>
+  |acc| < 2^19), then scaled to f32 in the epilogue.
+
+Public API
+----------
+``beamform_power``    — fused path: wire block -> averaged powers
+                        (BASELINE configs 2+3).
+``beamform_voltages`` — unfused tail: wire block -> beamformed voltages
+                        (validation / parity with BASELINE config 2; the
+                        float-path cross-check for the fused epilogue).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.ops.quantize import QuantWeights
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _unpack_tile(x_u8):
+    """uint8 (rows, P*A) -> int8 (re, im), the 4R4I prologue.
+
+    Mosaic has no 8-bit vector shifts, so widen to int32, extract the
+    nibbles with shift/mask, sign-extend with a select, and narrow back
+    to int8 for the MXU.  Pure VPU work, negligible next to the matmul.
+    """
+    x32 = x_u8.astype(jnp.int32)
+    hi = jnp.right_shift(x32, 4)
+    lo = jnp.bitwise_and(x32, 15)
+    hi = hi - jnp.where(hi >= 8, 16, 0)
+    lo = lo - jnp.where(lo >= 8, 16, 0)
+    return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
+
+def _pol_accumulate(xr, xi, w_refs, s_ref, *, n_ant, n_pol, acc_dtype):
+    """For each pol p: acc_p = sum_k s_k * (Xc_p @ W_k)  -> list of [rows, 2B] f32.
+
+    Each quantization term is a separate kernel input (Mosaic rejects
+    blocks with two leading singleton-able dims, so terms are unstacked
+    at the call site).
+    """
+    accs = []
+    for p in range(n_pol):
+        sl = slice(p * n_ant, (p + 1) * n_ant)
+        xc = jnp.concatenate([xr[:, sl], xi[:, sl]], axis=1)  # [rows, 2A] int8
+        acc = None
+        for k, w_ref in enumerate(w_refs):
+            w = w_ref[0]
+            if w.dtype == jnp.int8:
+                part = jnp.dot(xc, w, preferred_element_type=jnp.int32)
+                part = part.astype(jnp.float32) * s_ref[0, 0, k]
+            else:
+                part = jnp.dot(
+                    xc.astype(w.dtype), w, preferred_element_type=jnp.float32
+                )
+                part = part * s_ref[0, 0, k]
+            acc = part if acc is None else acc + part
+        accs.append(acc.astype(acc_dtype))
+    return accs
+
+
+def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time):
+    w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
+    rows = x_ref.shape[1]  # time_tile
+    x = x_ref[0]  # (Tt, P*A) uint8
+    xr, xi = _unpack_tile(x)
+    accs = _pol_accumulate(
+        xr, xi, w_refs, s_ref, n_ant=n_ant, n_pol=n_pol, acc_dtype=jnp.float32,
+    )
+    power = None
+    for acc in accs:
+        br = acc[:, :n_beams]
+        bi = acc[:, n_beams:]
+        p = br * br + bi * bi
+        power = p if power is None else power + p
+    # Time averaging: sum groups of navg_time consecutive samples.
+    power = power.reshape(rows // navg_time, navg_time, n_beams).sum(axis=1)
+    o_ref[0] = power
+
+
+def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms):
+    w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
+    x = x_ref[0]
+    xr, xi = _unpack_tile(x)
+    accs = _pol_accumulate(
+        xr, xi, w_refs, s_ref, n_ant=n_ant, n_pol=n_pol, acc_dtype=jnp.float32,
+    )
+    for p, acc in enumerate(accs):
+        o_ref[0, :, p, :] = acc
+
+
+def _wire_to_ftpa(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
+    """Wire block -> [F, T, P*A] uint8 (channel-major GEMM layout).
+
+    For 'tfpa' wire order this is the corner-turn (SURVEY.md L3), done as
+    an XLA transpose ahead of the kernel — XLA's transpose is
+    memory-bandwidth-optimal and overlaps with the previous block's
+    compute under async dispatch.
+    """
+    if wire.shape != cfg.wire_block_shape:
+        raise ValueError(
+            f"wire shape {wire.shape} != expected {cfg.wire_block_shape} "
+            f"for layout {cfg.input_layout!r}"
+        )
+    if cfg.input_layout == "tfpa":
+        wire = jnp.transpose(wire, (1, 0, 2, 3))
+    return wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol * cfg.n_ant)
+
+
+def _common_specs(cfg: ObsConfig, n_terms: int):
+    a2 = 2 * cfg.n_ant
+    b2 = 2 * cfg.n_beams
+    in_specs = [
+        pl.BlockSpec(
+            (1, cfg.time_tile, cfg.n_pol * cfg.n_ant),
+            lambda f, t: (f, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [
+        # One spec per quantization term: [F, 2A, 2B], whole channel tile,
+        # constant along the (innermost) time grid dim so it is fetched
+        # once per channel.
+        pl.BlockSpec(
+            (1, a2, b2), lambda f, t: (f, 0, 0), memory_space=pltpu.VMEM
+        )
+        for _ in range(n_terms)
+    ] + [
+        # Scales as [F, 1, n_terms] so the constrained last-two block dims
+        # (1, n_terms) exactly match the array dims (Mosaic block rule).
+        pl.BlockSpec(
+            (1, 1, n_terms), lambda f, t: (f, 0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    return in_specs
+
+
+def _cost(cfg: ObsConfig, n_terms: int, weight_bytes: int, out_bytes: int):
+    macs = cfg.macs_per_block * n_terms
+    return pl.CostEstimate(
+        flops=2 * macs,
+        bytes_accessed=cfg.wire_block_bytes + weight_bytes + out_bytes,
+        transcendentals=0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def beamform_power(
+    wire: jax.Array,
+    qw: QuantWeights,
+    cfg: ObsConfig,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused pipeline: 4R4I wire block -> averaged beam powers.
+
+    Returns float32 ``[F/navg_freq, T/navg_time, B]`` (sum over
+    navg_time samples, both pols, and navg_freq adjacent channels —
+    matching ``ops.reference.beamform_block_ref``).
+    """
+    interpret = _default_interpret() if interpret is None else interpret
+    x = _wire_to_ftpa(wire, cfg)
+    n_terms = int(qw.terms.shape[0])
+    grid = (cfg.n_chan, cfg.t_block // cfg.time_tile)
+    out_shape = jax.ShapeDtypeStruct(
+        (cfg.n_chan, cfg.t_block // cfg.navg_time, cfg.n_beams), jnp.float32
+    )
+    out_spec = pl.BlockSpec(
+        (1, cfg.time_tile // cfg.navg_time, cfg.n_beams),
+        lambda f, t: (f, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _power_kernel,
+        n_ant=cfg.n_ant,
+        n_beams=cfg.n_beams,
+        n_pol=cfg.n_pol,
+        n_terms=n_terms,
+        navg_time=cfg.navg_time,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_common_specs(cfg, n_terms),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=_cost(
+            cfg, n_terms,
+            weight_bytes=qw.terms.size * qw.terms.dtype.itemsize,
+            out_bytes=out_shape.size * 4,
+        ),
+        interpret=interpret,
+    )(x, *(qw.terms[k] for k in range(n_terms)), qw.scales[:, None, :])
+    if cfg.navg_freq > 1:
+        f, t, b = out.shape
+        out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def beamform_voltages(
+    wire: jax.Array,
+    qw: QuantWeights,
+    cfg: ObsConfig,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Unfused tail: wire block -> beamformed voltages.
+
+    Returns float32 ``[F, T, P, 2B]`` where ``[..., :B]`` is Re and
+    ``[..., B:]`` is Im.  HBM-heavy by design — this is the validation
+    path the fused epilogue is tolerance-checked against (BASELINE
+    config 3) and the parity point for config 2.
+    """
+    interpret = _default_interpret() if interpret is None else interpret
+    x = _wire_to_ftpa(wire, cfg)
+    n_terms = int(qw.terms.shape[0])
+    grid = (cfg.n_chan, cfg.t_block // cfg.time_tile)
+    out_shape = jax.ShapeDtypeStruct(
+        (cfg.n_chan, cfg.t_block, cfg.n_pol, 2 * cfg.n_beams), jnp.float32
+    )
+    out_spec = pl.BlockSpec(
+        (1, cfg.time_tile, cfg.n_pol, 2 * cfg.n_beams),
+        lambda f, t: (f, t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _voltage_kernel,
+        n_ant=cfg.n_ant,
+        n_beams=cfg.n_beams,
+        n_pol=cfg.n_pol,
+        n_terms=n_terms,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_common_specs(cfg, n_terms),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=_cost(
+            cfg, n_terms,
+            weight_bytes=qw.terms.size * qw.terms.dtype.itemsize,
+            out_bytes=out_shape.size * 4,
+        ),
+        interpret=interpret,
+    )(x, *(qw.terms[k] for k in range(n_terms)), qw.scales[:, None, :])
+
+
+def voltages_to_complex(bv: jax.Array) -> jax.Array:
+    """[F, T, P, 2B] float32 -> [F, T, P, B] complex64 (test helper)."""
+    b = bv.shape[-1] // 2
+    return jax.lax.complex(bv[..., :b], bv[..., b:])

@@ -1,0 +1,143 @@
+"""Weight preparation for the MXU: K-concatenated real form + quantization.
+
+TPU-first design (no analog in the reference, which fed complex64
+weights straight to cuBLAS — SURVEY.md C6): a complex GEMM
+``B = V @ W^T`` is rewritten as ONE real GEMM by concatenating real and
+imaginary parts along the contraction axis:
+
+    Xc = [Xr | Xi]                      # [T, 2A]
+    Wc = [[Wr^T,  Wi^T],
+          [-Wi^T, Wr^T]]               # [2A, 2B]
+    Xc @ Wc = [Br | Bi]                # [T, 2B]
+
+For DSA-10 (A=64) this makes K = 128 — exactly the MXU systolic dim — so
+the complex GEMM runs at full MXU occupancy instead of the 50% ceiling a
+K=64 formulation would have.  Same trick doubles as the int8 enabler:
+
+- ``int8``   : one int8 term, per-channel scale (fastest, ~1e-3 risk).
+- ``int8x2`` : hi + lo int8 terms (residual quantization, ~15-bit
+               effective weight precision) — int8 MXU rate with error
+               ~1e-5, far inside the <=1e-3 power-error bar.  Default.
+- ``bf16`` / ``bf16x2`` : bfloat16 single / hi+lo split.
+- ``f32``    : exact float32 (validation path).
+
+Voltages are 4-bit integers — exactly representable in every input
+dtype — so *all* quantization error lives in the weights, which is why
+per-channel weight scaling alone controls end-to-end accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.ops.cplx import CVec
+
+
+class QuantWeights(NamedTuple):
+    """MXU-ready weights.
+
+    terms:  ``[n_terms, F, 2A, 2B]`` — int8, bfloat16, or float32.
+    scales: ``[F, n_terms]`` float32 — per-channel per-term scale such that
+            ``Wc[f] ~= sum_k scales[f, k] * terms[k, f]``.
+    """
+
+    terms: jax.Array
+    scales: jax.Array
+
+    @property
+    def n_terms(self) -> int:
+        return self.terms.shape[0]
+
+    @property
+    def n_chan(self) -> int:
+        return self.terms.shape[1]
+
+    def dequantize(self) -> jax.Array:
+        """Reconstruct ``Wc`` in float32 (test oracle)."""
+        return jnp.einsum(
+            "kfab,fk->fab", self.terms.astype(jnp.float32), self.scales
+        )
+
+
+def cat_weights(weights: CVec) -> jax.Array:
+    """Planar ``CVec`` ``[F, B, A]`` -> K-concatenated real ``Wc [F, 2A, 2B]``."""
+    wr = weights.re.astype(jnp.float32)  # [F, B, A]
+    wi = weights.im.astype(jnp.float32)
+    wrT = jnp.swapaxes(wr, 1, 2)  # [F, A, B]
+    wiT = jnp.swapaxes(wi, 1, 2)
+    top = jnp.concatenate([wrT, wiT], axis=2)     # [F, A, 2B]
+    bot = jnp.concatenate([-wiT, wrT], axis=2)    # [F, A, 2B]
+    return jnp.concatenate([top, bot], axis=1)    # [F, 2A, 2B]
+
+
+def _per_chan_scale(wc: jax.Array) -> jax.Array:
+    s = jnp.max(jnp.abs(wc), axis=(1, 2)) / 127.0
+    return jnp.maximum(s, jnp.float32(1e-30))
+
+
+@jax.jit
+def _quant_int8(wc):
+    s = _per_chan_scale(wc)
+    q = jnp.clip(jnp.round(wc / s[:, None, None]), -127, 127).astype(jnp.int8)
+    return q[None], s[:, None]
+
+
+@jax.jit
+def _quant_int8x2(wc):
+    s_hi = _per_chan_scale(wc)
+    q_hi = jnp.clip(jnp.round(wc / s_hi[:, None, None]), -127, 127).astype(jnp.int8)
+    resid = wc - s_hi[:, None, None] * q_hi.astype(jnp.float32)
+    s_lo = s_hi / 254.0  # max |resid| = s_hi/2  =>  round(resid/s_lo) in [-127, 127]
+    q_lo = jnp.clip(jnp.round(resid / s_lo[:, None, None]), -127, 127).astype(jnp.int8)
+    return jnp.stack([q_hi, q_lo]), jnp.stack([s_hi, s_lo], axis=1)
+
+
+@jax.jit
+def _quant_bf16(wc):
+    ones = jnp.ones((wc.shape[0], 1), jnp.float32)
+    return wc.astype(jnp.bfloat16)[None], ones
+
+
+@jax.jit
+def _quant_bf16x2(wc):
+    hi = wc.astype(jnp.bfloat16)
+    lo = (wc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ones = jnp.ones((wc.shape[0], 2), jnp.float32)
+    return jnp.stack([hi, lo]), ones
+
+
+@jax.jit
+def _quant_f32(wc):
+    return wc[None], jnp.ones((wc.shape[0], 1), jnp.float32)
+
+
+_QUANTIZERS = {
+    "int8": _quant_int8,
+    "int8x2": _quant_int8x2,
+    "bf16": _quant_bf16,
+    "bf16x2": _quant_bf16x2,
+    "f32": _quant_f32,
+}
+
+
+def quantize_weights(weights: CVec, mode: str = "int8x2") -> QuantWeights:
+    """Planar-complex weights ``[F, B, A]`` -> MXU-ready ``QuantWeights``.
+
+    Pure jitted device-side transform: calibration/pointing updates flow
+    ``make_weights -> quantize_weights`` with no host round-trip
+    (BASELINE north star: device-side weight updates).
+    """
+    try:
+        fn = _QUANTIZERS[mode]
+    except KeyError:
+        raise ValueError(f"unknown weight mode {mode!r}") from None
+    terms, scales = fn(cat_weights(weights))
+    return QuantWeights(terms=terms, scales=scales)
+
+
+def prepare_weights(cfg: ObsConfig, weights: jax.Array) -> QuantWeights:
+    return quantize_weights(weights, cfg.weight_mode)

@@ -1,0 +1,47 @@
+"""Test harness: force the CPU backend with 8 virtual devices so the
+full suite — including multi-chip shard_map tests — runs without TPU
+hardware (SURVEY.md §4: "test multi-node without a real cluster").
+
+The axon sitecustomize imports jax and registers a TPU plugin before
+pytest starts, so plain env vars are too late in-process; but backend
+*initialization* is still lazy, and ``jax.config.update`` below wins as
+long as it runs before the first ``jax.devices()`` call.  Pallas kernels
+auto-select interpret mode on non-TPU backends (ops/gemm.py).
+"""
+
+import os
+
+# Belt and braces for subprocesses spawned by tests.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Full float64 for the device-side weight-phase math (on TPU the same code
+# runs in f32, which the accuracy tests show is sufficient; CPU tests get
+# oracle precision).
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from dsabeamformer_tpu.config import TINY  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _check_backend():
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the CPU backend; got " + jax.default_backend()
+    )
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    return TINY
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)

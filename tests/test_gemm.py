@@ -1,0 +1,105 @@
+"""Fused Pallas kernel vs the float64 golden model — the core accuracy
+gates (BASELINE configs 2 & 3): <=1e-3 relative power error, fused
+epilogue vs unfused float path, both wire layouts."""
+
+import numpy as np
+import pytest
+
+from dsabeamformer_tpu.ingest.generator import make_noise_block, make_point_source_block
+from dsabeamformer_tpu.models.calibration import CalTable
+from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+from dsabeamformer_tpu.ops.gemm import (
+    beamform_power,
+    beamform_voltages,
+    voltages_to_complex,
+)
+from dsabeamformer_tpu.ops.packing import unpack_wire_to_complex
+from dsabeamformer_tpu.ops.quantize import quantize_weights
+from dsabeamformer_tpu.ops.reference import beamform_block_ref, beamform_voltages_ref
+from dsabeamformer_tpu.utils.testing import assert_power_close
+
+
+def _golden_power(cfg, wire, cal=None):
+    w = weights_numpy_golden(cfg, cal=cal)
+    return beamform_block_ref(w, wire, cfg.input_layout, cfg.navg_time, cfg.navg_freq)
+
+
+# Accuracy budget per weight mode (measured; the BASELINE <=1e-3 bar is
+# met by the hi+lo residual-quantized modes — which is why int8x2 is the
+# default — while single-term int8/bf16 are fast modes that trade ~5e-3
+# error on noise-dominated bins for 2x fewer MACs).
+@pytest.mark.parametrize(
+    "mode,rtol",
+    [
+        ("int8x2", 2e-4),
+        ("bf16x2", 2e-4),
+        ("f32", 1e-5),
+        ("int8", 2e-2),
+        ("bf16", 1e-2),
+    ],
+)
+def test_fused_power_vs_golden(tiny_cfg, mode, rtol):
+    cfg = tiny_cfg.replace(weight_mode=mode)
+    cal = CalTable.random(cfg, seed=11)
+    wire = make_noise_block(cfg, rms=2.5, seed=21)
+    qw = quantize_weights(make_weights(cfg, cal=cal), mode)
+    p = np.asarray(beamform_power(wire, qw, cfg))
+    p_ref = _golden_power(cfg, wire, cal=cal)
+    assert p.shape == cfg.out_block_shape
+    assert_power_close(p, p_ref, rtol=rtol, what=mode)
+
+
+def test_fused_power_point_source_peak(tiny_cfg):
+    angles = tiny_cfg.beam_angles_rad()
+    target = len(angles) // 4
+    wire = make_point_source_block(tiny_cfg, angles[target], noise_rms=0.3, seed=5)
+    qw = quantize_weights(make_weights(tiny_cfg), tiny_cfg.weight_mode)
+    p = np.asarray(beamform_power(wire, qw, tiny_cfg))
+    assert int(np.argmax(p.sum(axis=(0, 1)))) == target
+
+
+def test_unfused_voltages_vs_golden(tiny_cfg):
+    wire = make_noise_block(tiny_cfg, rms=2.0, seed=31)
+    w = make_weights(tiny_cfg)
+    qw = quantize_weights(w, "int8x2")
+    bv = voltages_to_complex(np.asarray(beamform_voltages(wire, qw, tiny_cfg)))
+    w_ref = weights_numpy_golden(tiny_cfg)
+    volt = unpack_wire_to_complex(wire, tiny_cfg.input_layout)
+    bv_ref = beamform_voltages_ref(w_ref, volt)
+    assert bv.shape == bv_ref.shape
+    scale = np.max(np.abs(bv_ref))
+    np.testing.assert_allclose(np.asarray(bv), bv_ref, atol=2e-4 * scale)
+
+
+def test_fused_equals_unfused_detection(tiny_cfg):
+    """BASELINE config 3: the fused epilogue must match detect+average
+    applied to the unfused voltage path, same quantized weights."""
+    wire = make_noise_block(tiny_cfg, rms=2.0, seed=41)
+    qw = quantize_weights(make_weights(tiny_cfg), "int8x2")
+    p_fused = np.asarray(beamform_power(wire, qw, tiny_cfg))
+    bv = voltages_to_complex(np.asarray(beamform_voltages(wire, qw, tiny_cfg)))
+    from dsabeamformer_tpu.ops.reference import average_ref, detect_ref
+
+    p_unfused = average_ref(detect_ref(bv), tiny_cfg.navg_time, tiny_cfg.navg_freq)
+    assert_power_close(p_fused, p_unfused, rtol=1e-5, what="fused vs unfused")
+
+
+def test_layouts_agree(tiny_cfg):
+    cfg_t = tiny_cfg.replace(input_layout="tfpa")
+    cfg_f = tiny_cfg.replace(input_layout="ftpa")
+    wire_f = make_noise_block(cfg_f, rms=2.0, seed=51)
+    wire_t = np.ascontiguousarray(wire_f.transpose(1, 0, 2, 3))
+    qw = quantize_weights(make_weights(cfg_f), "int8x2")
+    p_f = np.asarray(beamform_power(wire_f, qw, cfg_f))
+    p_t = np.asarray(beamform_power(wire_t, qw, cfg_t))
+    np.testing.assert_allclose(p_f, p_t, rtol=1e-6)
+
+
+def test_freq_averaging(tiny_cfg):
+    cfg = tiny_cfg.replace(navg_freq=2)
+    wire = make_noise_block(cfg, rms=2.0, seed=61)
+    qw = quantize_weights(make_weights(cfg), "int8x2")
+    p = np.asarray(beamform_power(wire, qw, cfg))
+    assert p.shape == cfg.out_block_shape
+    p_ref = _golden_power(cfg, wire)
+    assert_power_close(p, p_ref, rtol=2e-4, what="navg_freq=2")

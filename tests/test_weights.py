@@ -1,0 +1,51 @@
+"""Weight-generation tests: jitted device path vs float64 NumPy oracle,
+calibration folding, pointing (SURVEY.md C8, §3.3)."""
+
+import numpy as np
+
+from dsabeamformer_tpu.models.arrays import array_for
+from dsabeamformer_tpu.models.calibration import CalTable
+from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+
+
+def test_weights_match_numpy_golden(tiny_cfg):
+    w = make_weights(tiny_cfg).to_numpy()
+    w_ref = weights_numpy_golden(tiny_cfg)
+    assert w.shape == (tiny_cfg.n_chan, tiny_cfg.n_beams, tiny_cfg.n_ant)
+    np.testing.assert_allclose(w, w_ref, atol=5e-6)
+
+
+def test_weights_unit_modulus_on_active(tiny_cfg):
+    w = make_weights(tiny_cfg).to_numpy()
+    act = np.abs(w[:, :, : tiny_cfg.n_ant_active])
+    np.testing.assert_allclose(act, 1.0, atol=1e-5)
+    # Padded antennas have zero gain -> zero weight.
+    np.testing.assert_array_equal(w[:, :, tiny_cfg.n_ant_active:], 0.0)
+
+
+def test_calibration_gains_folded(tiny_cfg):
+    cal = CalTable.random(tiny_cfg, seed=7)
+    w = make_weights(tiny_cfg, cal=cal).to_numpy()
+    w_ref = weights_numpy_golden(tiny_cfg, cal=cal)
+    np.testing.assert_allclose(w, w_ref, atol=5e-6)
+
+
+def test_pointing_shifts_weights(tiny_cfg):
+    w0 = make_weights(tiny_cfg, pointing_rad=0.0).to_numpy()
+    w1 = make_weights(tiny_cfg, pointing_rad=0.01).to_numpy()
+    w1_ref = weights_numpy_golden(tiny_cfg, pointing_rad=0.01)
+    assert not np.allclose(w0, w1)
+    np.testing.assert_allclose(w1, w1_ref, atol=5e-6)
+
+
+def test_fringe_delay_is_common_phase(tiny_cfg):
+    # A pure delay multiplies each channel by a common phase: power
+    # patterns are unchanged.
+    layout = array_for(tiny_cfg)
+    w0 = weights_numpy_golden(tiny_cfg, layout=layout)
+    w1 = weights_numpy_golden(tiny_cfg, layout=layout, fringe_delay_s=1e-9)
+    ratio = w1[:, :, : tiny_cfg.n_ant_active] / w0[:, :, : tiny_cfg.n_ant_active]
+    # Ratio constant across beams/antennas per channel.
+    r0 = ratio[:, :1, :1]
+    np.testing.assert_allclose(ratio, np.broadcast_to(r0, ratio.shape), atol=1e-9)
+    np.testing.assert_allclose(np.abs(r0), 1.0, atol=1e-12)
