@@ -1,0 +1,235 @@
+"""Command-line interface.
+
+The reference exposed getopt flags on one binary (DADA key, GPU id,
+verbosity — SURVEY.md L0/C1); the rebuild splits the same surface into
+subcommands:
+
+  dsabf run       — attach to a voltage ring (or file) and beamform
+                    (the main real-time binary)
+  dsabf simulate  — synthetic capture process: write blocks into a ring
+                    (the packet-capture stand-in for tests/demos)
+  dsabf selftest  — tiny end-to-end correctness check on this backend
+  dsabf bench     — single-chip benchmark, one JSON line (see bench.py)
+
+Run ``dsabf <cmd> --help`` for flags.  Config presets come from
+``dsabeamformer_tpu.config``; any geometry field can be overridden with
+``--set key=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_cfg(args):
+    from dsabeamformer_tpu.config import presets
+
+    cfg = presets()[args.config]
+    for kv in args.set or []:
+        key, _, val = kv.partition("=")
+        field = getattr(cfg, key)  # raises AttributeError for bad key
+        typ = type(field)
+        cfg = cfg.replace(**{key: typ(val)})
+    return cfg
+
+
+def _add_common(p):
+    p.add_argument("--config", default="dsa10",
+                   help="config preset: dsa10 | dsa110 | tiny")
+    p.add_argument("--set", action="append", metavar="KEY=VAL",
+                   help="override any ObsConfig field, e.g. --set t_block=512")
+
+
+def _make_weights(cfg, args):
+    from dsabeamformer_tpu.models.calibration import CalTable
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+    cal = CalTable.load(args.cal) if getattr(args, "cal", None) else None
+    w = make_weights(cfg, cal=cal, pointing_rad=getattr(args, "pointing", 0.0))
+    return quantize_weights(w, cfg.weight_mode)
+
+
+def cmd_run(args) -> int:
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+    from dsabeamformer_tpu.pipeline import (
+        FileSink, FileSource, RingSink, RingSource, StreamingBeamformer,
+    )
+
+    cfg = _load_cfg(args)
+    qw = _make_weights(cfg, args)
+
+    # Compile the hot path before attaching to the stream.
+    warm = StreamingBeamformer(cfg, qw, source=None)
+    warm.warmup()
+
+    if args.input_file:
+        source = FileSource(cfg, args.input_file)
+    else:
+        ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
+        source = RingSource(cfg, ring, latest=args.latest,
+                            timeout_s=args.timeout)
+    sink = None
+    if args.output_file:
+        sink = FileSink(args.output_file)
+    elif args.output_key:
+        out_bytes = int(np.prod(cfg.out_block_shape)) * 4
+        out_ring = RingBuffer(args.output_key, create=True,
+                              nbufs=args.nbufs, bufsz=out_bytes)
+        sink = RingSink(out_ring)
+
+    def on_block(bs):
+        if args.verbose:
+            print(bs.line(cfg), file=sys.stderr)
+
+    warm.source = source
+    warm.sink = sink
+    warm.depth = args.depth
+    warm.on_block = on_block
+    stats = warm.run(max_blocks=args.blocks)
+    print(stats.json_line(cfg))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.generator import (
+        make_noise_block, make_point_source_block,
+    )
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    cfg = _load_cfg(args)
+    blocks = []
+    for s in range(args.distinct):
+        if args.source_angle is not None:
+            blocks.append(make_point_source_block(
+                cfg, np.deg2rad(args.source_angle), seed=s))
+        else:
+            blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
+    with RingBuffer(args.key, create=True, nbufs=args.nbufs,
+                    bufsz=cfg.wire_block_bytes) as ring:
+        ring.write_header(dada.encode_header(cfg))
+        t0 = time.perf_counter()
+        i = 0
+        while args.blocks is None or i < args.blocks:
+            if args.rate:
+                due = i * cfg.block_duration_s / args.rate
+                now = time.perf_counter() - t0
+                if now < due:
+                    time.sleep(due - now)
+            ring.write_block(blocks[i % len(blocks)])
+            i += 1
+        ring.set_eod()
+        # Give the consumer a window to drain before the segment vanishes.
+        deadline = time.perf_counter() + args.linger
+        while time.perf_counter() < deadline and not ring.eod():
+            time.sleep(0.05)
+        print(json.dumps({"written": i, "dropped": ring.dropped}))
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    import jax
+
+    from dsabeamformer_tpu.config import TINY
+    from dsabeamformer_tpu.ingest.generator import make_point_source_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
+
+    cfg = TINY if args.config == "tiny" else _load_cfg(args)
+    angles = cfg.beam_angles_rad()
+    target = cfg.n_beams // 3
+    wire = make_point_source_block(cfg, angles[target], noise_rms=0.3, seed=1)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    p = np.asarray(beamform_power(jax.device_put(wire), qw, cfg))
+    peak = int(np.argmax(p.sum(axis=(0, 1))))
+    p_ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
+        cfg.navg_freq,
+    )
+    err = relative_power_error(p, p_ref)
+    ok = peak == target and err <= POWER_RTOL
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "beam_expected": target,
+        "beam_peak": peak,
+        "rel_power_error": err,
+        "bar": POWER_RTOL,
+        "ok": ok,
+    }))
+    return 0 if ok else 1
+
+
+def cmd_bench(args) -> int:
+    from dsabeamformer_tpu.utils.bench import run_benchmark
+
+    cfg = _load_cfg(args)
+    result = run_benchmark(cfg, n_blocks=args.blocks, mode=args.bench_mode)
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dsabf", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="beamform a voltage stream")
+    _add_common(p)
+    p.add_argument("--key", default="dsa", help="input ring name (DADA-key analog)")
+    p.add_argument("--input-file", help="read blocks from a raw file instead")
+    p.add_argument("--output-key", help="write powers to an output ring")
+    p.add_argument("--output-file", help="append powers to a raw float32 file")
+    p.add_argument("--cal", help="calibration .npz (CalTable)")
+    p.add_argument("--pointing", type=float, default=0.0,
+                   help="pointing angle (rad)")
+    p.add_argument("--depth", type=int, default=2, help="blocks in flight")
+    p.add_argument("--blocks", type=int, help="stop after N blocks")
+    p.add_argument("--latest", action="store_true",
+                   help="skip-ahead overrun policy")
+    p.add_argument("--timeout", type=float, default=5.0)
+    p.add_argument("--nbufs", type=int, default=8)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("simulate", help="synthetic capture producer")
+    _add_common(p)
+    p.add_argument("--key", default="dsa")
+    p.add_argument("--blocks", type=int, default=32)
+    p.add_argument("--rate", type=float,
+                   help="pace to this real-time factor (default: unthrottled)")
+    p.add_argument("--rms", type=float, default=2.0)
+    p.add_argument("--source-angle", type=float,
+                   help="inject a point source at this angle (deg)")
+    p.add_argument("--distinct", type=int, default=4,
+                   help="number of distinct pre-generated blocks")
+    p.add_argument("--nbufs", type=int, default=8)
+    p.add_argument("--linger", type=float, default=10.0,
+                   help="seconds to wait for the consumer to drain after EOD")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("selftest", help="end-to-end correctness check")
+    _add_common(p)
+    p.set_defaults(fn=cmd_selftest, config="tiny")
+
+    p = sub.add_parser("bench", help="single-chip benchmark (JSON line)")
+    _add_common(p)
+    p.add_argument("--blocks", type=int, default=16)
+    p.add_argument("--bench-mode", default="stream",
+                   choices=["stream", "kernel"],
+                   help="stream = end-to-end host->HBM ingest; kernel = device-resident")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

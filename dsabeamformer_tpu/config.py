@@ -61,6 +61,9 @@ class ObsConfig:
     beam_span_deg: float = 2.6   # full fan width, beams uniform in sin(theta)
     # --- kernel tiling / numerics ---
     time_tile: int = 256         # Pallas grid tile along T
+    chan_tile: int = 8           # channels per Pallas grid cell (amortizes
+                                 # per-cell grid/DMA overhead; the batched-GEMM
+                                 # analog of cublasCgemmBatched's batching)
     weight_mode: str = "int8x2"  # one of: int8x2 | int8 | bf16 | bf16x2 | f32
     input_layout: str = "tfpa"   # wire layout delivered by the capture stage
 
@@ -75,6 +78,8 @@ class ObsConfig:
             raise ValueError("time_tile must be a multiple of navg_time")
         if self.n_chan % self.navg_freq:
             raise ValueError("n_chan must be a multiple of navg_freq")
+        if self.n_chan % self.chan_tile:
+            raise ValueError("n_chan must be a multiple of chan_tile")
         if self.weight_mode not in ("int8x2", "int8", "bf16", "bf16x2", "f32"):
             raise ValueError(f"unknown weight_mode: {self.weight_mode}")
         if self.input_layout not in ("tfpa", "ftpa"):
@@ -186,6 +191,7 @@ TINY = ObsConfig(
     n_chan_total=8,
     t_block=64,
     time_tile=32,
+    chan_tile=2,
     navg_time=16,
     f_start_hz=1.4e9,
     bandwidth_hz=250e6,

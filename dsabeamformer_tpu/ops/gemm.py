@@ -69,61 +69,86 @@ def _unpack_tile(x_u8):
     return hi.astype(jnp.int8), lo.astype(jnp.int8)
 
 
-def _pol_accumulate(xr, xi, w_refs, s_ref, *, n_ant, n_pol, acc_dtype):
-    """For each pol p: acc_p = sum_k s_k * (Xc_p @ W_k)  -> list of [rows, 2B] f32.
+def _accumulate(xr, xi, w_refs, *, chan, n_ant, n_pol):
+    """Pol-stacked K-cat GEMM in *quantized units*.
+
+    Both polarizations share the weight matrix, so their row blocks are
+    stacked along M (sublanes) into a single ``[n_pol*Tt, 2A]`` operand —
+    one MXU dispatch per term instead of one per (pol, term), with twice
+    the M to amortize systolic-array fill.  Row order: all pol-0 rows,
+    then all pol-1 rows.
+
+    Scaling is DEFERRED: the result is in units of the last term's scale
+    (``s_lo`` for int8x2, whose terms are spaced by exactly 2^8, so the
+    int32 partials combine as ``(M_hi << 8) + M_lo`` — an all-integer
+    epilogue with a single f32 convert; bf16x2 terms carry scale 1 and
+    add directly in f32).  The caller multiplies the final *averaged*
+    output by ``scale**power`` — 16x fewer elements than scaling here.
+    Keeping the VPU epilogue this thin matters: the per-element float
+    work would otherwise rival the MXU time (K=128 means only 128 MACs
+    amortize each output element).
 
     Each quantization term is a separate kernel input (Mosaic rejects
-    blocks with two leading singleton-able dims, so terms are unstacked
-    at the call site).
+    stacked 4-D blocks, so terms are unstacked at the call site).
+    Returns ``[n_pol*Tt, 2B]`` float32, in quantized units.
     """
-    accs = []
+    rows = []
     for p in range(n_pol):
         sl = slice(p * n_ant, (p + 1) * n_ant)
-        xc = jnp.concatenate([xr[:, sl], xi[:, sl]], axis=1)  # [rows, 2A] int8
-        acc = None
-        for k, w_ref in enumerate(w_refs):
-            w = w_ref[0]
-            if w.dtype == jnp.int8:
-                part = jnp.dot(xc, w, preferred_element_type=jnp.int32)
-                part = part.astype(jnp.float32) * s_ref[0, 0, k]
-            else:
-                part = jnp.dot(
-                    xc.astype(w.dtype), w, preferred_element_type=jnp.float32
-                )
-                part = part * s_ref[0, 0, k]
-            acc = part if acc is None else acc + part
-        accs.append(acc.astype(acc_dtype))
-    return accs
+        rows.append(jnp.concatenate([xr[:, sl], xi[:, sl]], axis=1))  # [Tt, 2A]
+    x_all = jnp.concatenate(rows, axis=0)  # [P*Tt, 2A] int8
+    if w_refs[0].dtype == jnp.int8:
+        m = jnp.dot(x_all, w_refs[0][chan], preferred_element_type=jnp.int32)
+        if len(w_refs) == 2:
+            m_lo = jnp.dot(
+                x_all, w_refs[1][chan], preferred_element_type=jnp.int32
+            )
+            # Exact: s_hi == 256 * s_lo by construction (ops/quantize.py).
+            m = jnp.left_shift(m, 8) + m_lo
+        return m.astype(jnp.float32)
+    acc = None
+    for w_ref in w_refs:
+        w = w_ref[chan]
+        part = jnp.dot(
+            x_all.astype(w.dtype), w, preferred_element_type=jnp.float32
+        )
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    rows = x_ref.shape[1]  # time_tile
-    x = x_ref[0]  # (Tt, P*A) uint8
-    xr, xi = _unpack_tile(x)
-    accs = _pol_accumulate(
-        xr, xi, w_refs, s_ref, n_ant=n_ant, n_pol=n_pol, acc_dtype=jnp.float32,
-    )
-    power = None
-    for acc in accs:
+    fc = x_ref.shape[0]  # chan_tile: channels per grid cell (static unroll)
+    tt = x_ref.shape[1]  # time_tile
+    for c in range(fc):
+        xr, xi = _unpack_tile(x_ref[c])  # (Tt, P*A)
+        acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
         br = acc[:, :n_beams]
         bi = acc[:, n_beams:]
-        p = br * br + bi * bi
-        power = p if power is None else power + p
-    # Time averaging: sum groups of navg_time consecutive samples.
-    power = power.reshape(rows // navg_time, navg_time, n_beams).sum(axis=1)
-    o_ref[0] = power
+        p = br * br + bi * bi  # (P*Tt, B), quantized-units^2
+        # Pol sum: row blocks are stacked per pol.
+        power = p[:tt]
+        for q in range(1, n_pol):
+            power = power + p[q * tt : (q + 1) * tt]
+        # Time averaging: sum groups of navg_time consecutive samples.
+        power = power.reshape(tt // navg_time, navg_time, n_beams).sum(axis=1)
+        # Deferred dequantization: one scalar multiply on the averaged
+        # (16x smaller) output.  s is the last term's scale (1.0 for
+        # float modes).
+        s = s_ref[c, 0, n_terms - 1]
+        o_ref[c] = power * (s * s)
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    x = x_ref[0]
-    xr, xi = _unpack_tile(x)
-    accs = _pol_accumulate(
-        xr, xi, w_refs, s_ref, n_ant=n_ant, n_pol=n_pol, acc_dtype=jnp.float32,
-    )
-    for p, acc in enumerate(accs):
-        o_ref[0, :, p, :] = acc
+    fc = x_ref.shape[0]
+    tt = x_ref.shape[1]
+    for c in range(fc):
+        xr, xi = _unpack_tile(x_ref[c])
+        acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
+        acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
+        for p in range(n_pol):
+            o_ref[c, :, p, :] = acc[p * tt : (p + 1) * tt]
 
 
 def _wire_to_ftpa(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
@@ -147,25 +172,26 @@ def _wire_to_ftpa(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
 def _common_specs(cfg: ObsConfig, n_terms: int):
     a2 = 2 * cfg.n_ant
     b2 = 2 * cfg.n_beams
+    fc = cfg.chan_tile
     in_specs = [
         pl.BlockSpec(
-            (1, cfg.time_tile, cfg.n_pol * cfg.n_ant),
+            (fc, cfg.time_tile, cfg.n_pol * cfg.n_ant),
             lambda f, t: (f, t, 0),
             memory_space=pltpu.VMEM,
         ),
     ] + [
-        # One spec per quantization term: [F, 2A, 2B], whole channel tile,
-        # constant along the (innermost) time grid dim so it is fetched
-        # once per channel.
+        # One spec per quantization term: [chan_tile, 2A, 2B], constant
+        # along the (innermost) time grid dim so each weight tile is
+        # fetched once per channel group.
         pl.BlockSpec(
-            (1, a2, b2), lambda f, t: (f, 0, 0), memory_space=pltpu.VMEM
+            (fc, a2, b2), lambda f, t: (f, 0, 0), memory_space=pltpu.VMEM
         )
         for _ in range(n_terms)
     ] + [
         # Scales as [F, 1, n_terms] so the constrained last-two block dims
         # (1, n_terms) exactly match the array dims (Mosaic block rule).
         pl.BlockSpec(
-            (1, 1, n_terms), lambda f, t: (f, 0, 0), memory_space=pltpu.SMEM
+            (fc, 1, n_terms), lambda f, t: (f, 0, 0), memory_space=pltpu.SMEM
         ),
     ]
     return in_specs
@@ -196,12 +222,12 @@ def beamform_power(
     interpret = _default_interpret() if interpret is None else interpret
     x = _wire_to_ftpa(wire, cfg)
     n_terms = int(qw.terms.shape[0])
-    grid = (cfg.n_chan, cfg.t_block // cfg.time_tile)
+    grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
         (cfg.n_chan, cfg.t_block // cfg.navg_time, cfg.n_beams), jnp.float32
     )
     out_spec = pl.BlockSpec(
-        (1, cfg.time_tile // cfg.navg_time, cfg.n_beams),
+        (cfg.chan_tile, cfg.time_tile // cfg.navg_time, cfg.n_beams),
         lambda f, t: (f, t, 0),
         memory_space=pltpu.VMEM,
     )
@@ -219,6 +245,9 @@ def beamform_power(
         in_specs=_common_specs(cfg, n_terms),
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=_cost(
             cfg, n_terms,
             weight_bytes=qw.terms.size * qw.terms.dtype.itemsize,
@@ -249,12 +278,12 @@ def beamform_voltages(
     interpret = _default_interpret() if interpret is None else interpret
     x = _wire_to_ftpa(wire, cfg)
     n_terms = int(qw.terms.shape[0])
-    grid = (cfg.n_chan, cfg.t_block // cfg.time_tile)
+    grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
         (cfg.n_chan, cfg.t_block, cfg.n_pol, 2 * cfg.n_beams), jnp.float32
     )
     out_spec = pl.BlockSpec(
-        (1, cfg.time_tile, cfg.n_pol, 2 * cfg.n_beams),
+        (cfg.chan_tile, cfg.time_tile, cfg.n_pol, 2 * cfg.n_beams),
         lambda f, t: (f, t, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -271,6 +300,9 @@ def beamform_voltages(
         in_specs=_common_specs(cfg, n_terms),
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=_cost(
             cfg, n_terms,
             weight_bytes=qw.terms.size * qw.terms.dtype.itemsize,

@@ -91,7 +91,12 @@ def _quant_int8x2(wc):
     s_hi = _per_chan_scale(wc)
     q_hi = jnp.clip(jnp.round(wc / s_hi[:, None, None]), -127, 127).astype(jnp.int8)
     resid = wc - s_hi[:, None, None] * q_hi.astype(jnp.float32)
-    s_lo = s_hi / 254.0  # max |resid| = s_hi/2  =>  round(resid/s_lo) in [-127, 127]
+    # Exactly s_hi / 256 (a power of two): the kernel can then combine the
+    # int32 partials as (M_hi << 8) + M_lo and apply ONE scale, keeping the
+    # whole epilogue integer until a single f32 convert.  |resid| <= s_hi/2
+    # => round(resid/s_lo) in [-128, 128]; the rare +-128 clips to +-127,
+    # adding at most 1.5*s_lo error on those elements (~4e-5 relative).
+    s_lo = s_hi * jnp.float32(1.0 / 256.0)
     q_lo = jnp.clip(jnp.round(resid / s_lo[:, None, None]), -127, 127).astype(jnp.int8)
     return jnp.stack([q_hi, q_lo]), jnp.stack([s_hi, s_lo], axis=1)
 

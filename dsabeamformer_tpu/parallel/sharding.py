@@ -1,0 +1,137 @@
+"""Channel-sharded beamforming over a device mesh (BASELINE config 5).
+
+Reference scale-out (SURVEY.md §2): shared-nothing frequency sharding —
+one process per GPU per subband, arranged by launch scripts and the
+upstream packetizer; "multi-GPU correctness reduces to single-GPU
+correctness".  Here the same property is expressed in the sharding
+system: `shard_map` over a 1-D ``("chan",)`` mesh runs the *identical*
+single-chip Pallas kernel on each chip's subband.  The per-channel math
+needs no collectives; an optional band-total-power monitor demonstrates
+the one legitimate ICI reduction (psum over the channel axis).
+
+The DSA-110 preset (110 ant -> 128, 512 beams) on a v5e-8 mesh is the
+acceptance configuration; tests exercise it on 8 virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.models.arrays import ArrayLayout, array_for
+from dsabeamformer_tpu.models.calibration import CalTable
+from dsabeamformer_tpu.models.weights import make_weights
+from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.quantize import QuantWeights, quantize_weights
+
+AXIS = "chan"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D channel mesh over the first ``n_devices`` devices.
+
+    On a real v5e slice the devices are ICI-connected; each mesh slot
+    owns a contiguous subband (the analog of the reference's per-GPU
+    subband assignment)."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n_devices]), (AXIS,))
+
+
+def _check_divisible(cfg: ObsConfig, n: int) -> None:
+    if cfg.n_chan % n:
+        raise ValueError(f"n_chan={cfg.n_chan} not divisible by mesh size {n}")
+    if (cfg.n_chan // n) % cfg.chan_tile:
+        raise ValueError("per-shard channels must be a multiple of chan_tile")
+    if (cfg.n_chan // n) % cfg.navg_freq:
+        raise ValueError("per-shard channels must be a multiple of navg_freq")
+
+
+def sharded_wire_sharding(cfg: ObsConfig, mesh: Mesh) -> NamedSharding:
+    """Sharding for wire blocks: the channel axis is split across chips;
+    each host/NIC DMAs its own subband directly to its chip (the
+    capture-side split the reference relied on upstream)."""
+    if cfg.input_layout == "ftpa":
+        return NamedSharding(mesh, P(AXIS, None, None, None))
+    return NamedSharding(mesh, P(None, AXIS, None, None))
+
+
+def shard_weights(
+    cfg: ObsConfig,
+    mesh: Mesh,
+    layout: Optional[ArrayLayout] = None,
+    cal: Optional[CalTable] = None,
+    pointing_rad: float = 0.0,
+) -> QuantWeights:
+    """Generate + quantize weights with channel-sharded placement.
+
+    Weight generation is elementwise over channels, so jitting it with
+    sharded output lets XLA partition the computation — each chip
+    generates exactly its own subband's weights (device-side calibration
+    updates stay local, SURVEY.md §3.3)."""
+    layout = layout if layout is not None else array_for(cfg)
+    cal = cal if cal is not None else CalTable.unity(cfg)
+    qw = quantize_weights(
+        make_weights(cfg, layout=layout, cal=cal, pointing_rad=pointing_rad),
+        cfg.weight_mode,
+    )
+    sharded = QuantWeights(
+        terms=jax.device_put(
+            qw.terms, NamedSharding(mesh, P(None, AXIS, None, None))
+        ),
+        scales=jax.device_put(qw.scales, NamedSharding(mesh, P(AXIS, None))),
+    )
+    return sharded
+
+
+def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
+                       with_band_power: bool = False):
+    """Build the jitted multi-chip block step.
+
+    Returns ``step(wire, qw) -> powers`` (channel-sharded
+    ``[F/navg_f, T/navg_t, B]``), or with ``with_band_power=True``
+    ``step(wire, qw) -> (powers, band_power)`` where ``band_power``
+    ``[T/navg_t]`` is the all-band total power (a psum over the channel
+    axis — the single deliberate ICI collective, used for total-power /
+    RFI monitoring)."""
+    n = mesh.shape[AXIS]
+    _check_divisible(cfg, n)
+    local_cfg = cfg.replace(n_chan=cfg.n_chan // n)
+
+    wire_spec = (
+        P(AXIS, None, None, None)
+        if cfg.input_layout == "ftpa"
+        else P(None, AXIS, None, None)
+    )
+    qw_spec = QuantWeights(
+        terms=P(None, AXIS, None, None), scales=P(AXIS, None)
+    )
+    out_spec = P(AXIS, None, None)
+
+    def local_step(wire, qw):
+        powers = beamform_power(wire, qw, local_cfg)
+        if not with_band_power:
+            return powers
+        band = jax.lax.psum(powers.sum(axis=(0, 2)), AXIS)
+        return powers, band
+
+    shard_fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(wire_spec, qw_spec),
+        out_specs=(out_spec, P(None)) if with_band_power else out_spec,
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # sharding here is the trivially-parallel channel split, so the
+        # vma check adds nothing.
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)

@@ -1,0 +1,297 @@
+"""Streaming driver: the per-block hot loop (SURVEY.md §3.2, C1/C4/C9).
+
+Reference behavior: ``main()`` reads fixed-size blocks from the PSRDADA
+ring, uploads async on rotating CUDA streams so block *n+1* transfers
+while block *n* computes, runs unpack -> GEMM -> detect, and copies the
+averaged powers out to the downstream consumer.
+
+TPU-native equivalent: JAX dispatch is already asynchronous — the
+driver keeps a bounded queue of in-flight blocks (`depth` plays the
+role of the CUDA stream count), so ``device_put`` (H2D DMA) and the
+fused Pallas kernel for block *n+1* overlap with block *n*'s compute,
+and the only synchronization is draining the oldest in-flight block
+(the reference's event-wait).  Weight/calibration updates swap in a new
+``QuantWeights`` between blocks without stalling the stream (the
+executable is already compiled; SURVEY.md §3.3).
+
+Sources and sinks mirror the reference's I/O surfaces: a dsaring
+shared-memory ring (PSRDADA analog), a raw block file (the DEBUG
+file-input build), or a synthetic generator (test mode).
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from pathlib import Path
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.ingest import dada
+from dsabeamformer_tpu.ingest.ring import RingBuffer
+from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.quantize import QuantWeights
+from dsabeamformer_tpu.utils.metrics import BlockStats, StreamStats
+
+Block = Tuple[int, np.ndarray]
+
+
+@jax.jit
+def _digest(x):
+    return x.sum()
+
+
+# --------------------------------------------------------------------- #
+# Sources
+# --------------------------------------------------------------------- #
+
+class RingSource:
+    """Blocks from a dsaring shared-memory ring (the PSRDADA client).
+
+    ``latest=True`` applies the skip-ahead overrun policy (SURVEY.md §5).
+    Validates the stream header against the config on attach.
+    """
+
+    def __init__(self, cfg: ObsConfig, ring: RingBuffer, *,
+                 latest: bool = False, timeout_s: float = 5.0,
+                 validate: bool = True, n_host_buffers: int = 8):
+        self.cfg = cfg
+        self.ring = ring
+        self.latest = latest
+        self.timeout_s = timeout_s
+        if validate:
+            dada.validate_header(cfg, ring.read_header(timeout_s=timeout_s))
+        # Round-robin host staging pool (the pinned-buffer rotation of the
+        # reference's multi-stream pipeline): ``device_put`` is async and
+        # on some backends aliases host memory, so a block's staging
+        # buffer must not be overwritten while it may still be in flight.
+        # Pool size must exceed the driver's in-flight depth + 1.
+        self._pool = [
+            np.empty(cfg.wire_block_bytes, dtype=np.uint8)
+            for _ in range(n_host_buffers)
+        ]
+        self._pool_i = 0
+
+    def read_block(self) -> Optional[Block]:
+        buf = self._pool[self._pool_i]
+        self._pool_i = (self._pool_i + 1) % len(self._pool)
+        got = self.ring.read_block(buf, timeout_s=self.timeout_s,
+                                   latest=self.latest)
+        if got is None:
+            return None
+        seq, flat = got
+        return seq, flat.reshape(self.cfg.wire_block_shape)
+
+    @property
+    def dropped(self) -> int:
+        return self.ring.dropped
+
+    @property
+    def skipped(self) -> int:
+        return self.ring.skipped
+
+
+class SyntheticSource:
+    """Cycles pre-generated wire blocks, optionally paced to a target
+    real-time factor (test/benchmark mode; the reference's generated-
+    input DEBUG build)."""
+
+    def __init__(self, cfg: ObsConfig, blocks: List[np.ndarray],
+                 n_blocks: int, rate_factor: Optional[float] = None):
+        self.cfg = cfg
+        self.blocks = blocks
+        self.n_blocks = n_blocks
+        self.rate_factor = rate_factor
+        self._i = 0
+        self._t0 = None
+        self.dropped = 0
+        self.skipped = 0
+
+    def read_block(self) -> Optional[Block]:
+        if self._i >= self.n_blocks:
+            return None
+        if self.rate_factor:
+            if self._t0 is None:
+                self._t0 = time.perf_counter()
+            due = self._i * self.cfg.block_duration_s / self.rate_factor
+            now = time.perf_counter() - self._t0
+            if now < due:
+                time.sleep(due - now)
+        blk = self.blocks[self._i % len(self.blocks)]
+        seq = self._i
+        self._i += 1
+        return seq, blk
+
+
+class FileSource:
+    """Raw concatenated wire blocks from a file (the reference's DEBUG
+    file-input mode, SURVEY.md §4)."""
+
+    def __init__(self, cfg: ObsConfig, path: str | Path):
+        self.cfg = cfg
+        self._f = open(path, "rb")
+        self._seq = 0
+        self.dropped = 0
+        self.skipped = 0
+
+    def read_block(self) -> Optional[Block]:
+        data = self._f.read(self.cfg.wire_block_bytes)
+        if len(data) < self.cfg.wire_block_bytes:
+            self._f.close()
+            return None
+        blk = np.frombuffer(data, dtype=np.uint8).reshape(
+            self.cfg.wire_block_shape
+        )
+        seq = self._seq
+        self._seq += 1
+        return seq, blk
+
+
+# --------------------------------------------------------------------- #
+# Sinks (downstream hand-off, SURVEY.md C9/L7)
+# --------------------------------------------------------------------- #
+
+class CollectSink:
+    """Keeps fetched power blocks in memory (tests / small runs)."""
+
+    def __init__(self):
+        self.outputs: List[Tuple[int, np.ndarray]] = []
+
+    def write(self, seq: int, powers: np.ndarray) -> None:
+        self.outputs.append((seq, powers))
+
+
+class FileSink:
+    """Appends float32 power blocks to a raw file."""
+
+    def __init__(self, path: str | Path):
+        self._f = open(path, "wb")
+
+    def write(self, seq: int, powers: np.ndarray) -> None:
+        self._f.write(np.ascontiguousarray(powers, dtype=np.float32).tobytes())
+
+    def close(self):
+        self._f.close()
+
+
+class RingSink:
+    """Writes power blocks into an output dsaring for the downstream
+    consumer (the FRB-search hand-off)."""
+
+    def __init__(self, ring: RingBuffer):
+        self.ring = ring
+
+    def write(self, seq: int, powers: np.ndarray) -> None:
+        self.ring.write_block(np.ascontiguousarray(powers, dtype=np.float32))
+
+
+# --------------------------------------------------------------------- #
+# Driver
+# --------------------------------------------------------------------- #
+
+class StreamingBeamformer:
+    """The per-block streaming loop.
+
+    depth = number of blocks allowed in flight (H2D + kernel + D2H
+    overlap), the analog of the reference's CUDA stream count.
+    """
+
+    def __init__(
+        self,
+        cfg: ObsConfig,
+        weights: QuantWeights,
+        source,
+        sink=None,
+        *,
+        depth: int = 2,
+        on_block: Optional[Callable[[BlockStats], None]] = None,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.source = source
+        self.sink = sink
+        self.depth = depth
+        self.on_block = on_block
+        self._inflight: collections.deque = collections.deque()
+        self._block_idx = 0
+
+    def warmup(self) -> None:
+        """Compile the block step before attaching to a live stream (a
+        cold compile would otherwise stall the first blocks and overrun
+        the ring)."""
+        zero = np.zeros(self.cfg.wire_block_shape, dtype=np.uint8)
+        out = beamform_power(jax.device_put(zero), self.weights, self.cfg)
+        np.asarray(out)  # full round trip
+
+    def update_weights(self, weights: QuantWeights) -> None:
+        """Swap in new (already-quantized) weights for subsequent blocks
+        — the asynchronous calibration/pointing update path (SURVEY.md
+        §3.3) with no stream stall."""
+        self.weights = weights
+
+    def _drain_one(self, stats: StreamStats) -> None:
+        seq, out, t_enq = self._inflight.popleft()
+        if self.sink is not None:
+            arr = np.asarray(out)  # D2H of the averaged powers
+            self.sink.write(seq, arr)
+        else:
+            # Scalar digest instead of block_until_ready: some remote
+            # runtimes (the CI TPU relay) do not reliably fence on
+            # block_until_ready, which would make the per-block timing
+            # fictional.  A jitted sum + scalar fetch is a true fence
+            # and costs ~one pass over the (small) averaged output.
+            float(_digest(out))
+        wall = time.perf_counter() - t_enq
+        bs = BlockStats(
+            block_idx=self._block_idx,
+            seq=seq,
+            wall_s=wall,
+            bytes_in=self.cfg.wire_block_bytes,
+            dropped=getattr(self.source, "dropped", 0),
+            skipped=getattr(self.source, "skipped", 0),
+        )
+        self._block_idx += 1
+        if self.on_block is not None:
+            self.on_block(bs)
+
+    def run(self, max_blocks: Optional[int] = None) -> StreamStats:
+        cfg = self.cfg
+        stats = StreamStats(cfg_name=cfg.name)
+        n = 0
+        while max_blocks is None or n < max_blocks:
+            item = self.source.read_block()
+            if item is None:
+                break
+            seq, wire_np = item
+            wire_dev = jax.device_put(wire_np)          # H2D (async)
+            out = beamform_power(wire_dev, self.weights, cfg)  # async dispatch
+            self._inflight.append((seq, out, time.perf_counter()))
+            stats.n_blocks += 1
+            stats.bytes_in += cfg.wire_block_bytes
+            stats.macs += cfg.macs_per_block * cfg.n_weight_terms
+            n += 1
+            while len(self._inflight) > self.depth:
+                self._drain_one(stats)
+        while self._inflight:
+            self._drain_one(stats)
+        stats.dropped = getattr(self.source, "dropped", 0)
+        stats.skipped = getattr(self.source, "skipped", 0)
+        return stats.finish()
+
+
+def run_stream(
+    cfg: ObsConfig,
+    weights: QuantWeights,
+    source,
+    sink=None,
+    *,
+    depth: int = 2,
+    max_blocks: Optional[int] = None,
+    on_block: Optional[Callable[[BlockStats], None]] = None,
+) -> StreamStats:
+    return StreamingBeamformer(
+        cfg, weights, source, sink, depth=depth, on_block=on_block
+    ).run(max_blocks)

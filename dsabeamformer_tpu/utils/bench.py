@@ -1,0 +1,89 @@
+"""Single-chip benchmarks: the north-star measurement
+(BASELINE.json `metric`: voltage GB/s per chip; real-time factor vs the
+DSA-10 stream rate).
+
+Two modes:
+
+- ``stream``: end-to-end host->HBM ingest through the streaming driver
+  (BASELINE config 4) — what the observatory would actually sustain.
+- ``kernel``: device-resident hot loop (blocks pre-staged in HBM, timed
+  with a `lax.scan` chain so relay/dispatch latency is excluded) — the
+  speed-of-light number for the fused Pallas kernel.
+
+NOTE on timing over the axon relay: ``block_until_ready`` does not
+reliably fence remote execution, so both modes force a scalar digest
+fetch to close the timing interval.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.ingest.generator import make_noise_block
+from dsabeamformer_tpu.models.weights import make_weights
+from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.quantize import quantize_weights
+from dsabeamformer_tpu.pipeline import SyntheticSource, run_stream
+from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _scan_blocks(stack, qw, cfg):
+    def body(carry, wire):
+        return carry + beamform_power(wire, qw, cfg).sum(), None
+
+    s, _ = jax.lax.scan(body, jnp.float32(0), stack)
+    return s
+
+
+def bench_kernel(cfg: ObsConfig, n_blocks: int = 8, n_distinct: int = 4,
+                 repeats: int = 3) -> dict:
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(n_distinct)]
+    stack = jax.device_put(
+        np.stack([blocks[i % n_distinct] for i in range(n_blocks)])
+    )
+    float(_scan_blocks(stack, qw, cfg))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(_scan_blocks(stack, qw, cfg))
+        best = min(best, (time.perf_counter() - t0) / n_blocks)
+    macs_per_s = cfg.macs_per_block * cfg.n_weight_terms / best
+    peak = peak_macs_per_s(int8="int8" in cfg.weight_mode)
+    return {
+        "mode": "kernel",
+        "config": cfg.name,
+        "ms_per_block": best * 1e3,
+        "gb_per_s": cfg.wire_block_bytes / best / 1e9,
+        "realtime_factor": cfg.block_duration_s / best,
+        "mxu_utilization": None if peak is None else macs_per_s / peak,
+    }
+
+
+def bench_stream(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 4,
+                 depth: int = 4) -> dict:
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(n_distinct)]
+    # Warm-up run compiles and primes transfers.
+    run_stream(cfg, qw, SyntheticSource(cfg, blocks, n_blocks=2), depth=depth)
+    src = SyntheticSource(cfg, blocks, n_blocks=n_blocks)
+    stats = run_stream(cfg, qw, src, depth=depth)
+    rec = stats.record(cfg)
+    rec["mode"] = "stream"
+    rec["ms_per_block"] = stats.wall_s / max(stats.n_blocks, 1) * 1e3
+    return rec
+
+
+def run_benchmark(cfg: ObsConfig, n_blocks: int = 16,
+                  mode: str = "stream") -> dict:
+    if mode == "kernel":
+        return bench_kernel(cfg, n_blocks=min(n_blocks, 8))
+    return bench_stream(cfg, n_blocks=n_blocks)
