@@ -31,8 +31,19 @@ import time
 
 def main() -> int:
     import functools
+    import os
 
     import jax
+
+    # Persistent compilation cache: repeated driver/bench runs skip the
+    # multi-minute remote Mosaic compile.
+    cache_dir = os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,7 +55,7 @@ def main() -> int:
     from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
 
     cfg = DSA10.replace(
-        t_block=2048, time_tile=512, chan_tile=8, input_layout="ftpa"
+        t_block=2048, time_tile=1024, chan_tile=8, input_layout="ftpa"
     )
     n_blocks = 8
 

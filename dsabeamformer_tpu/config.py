@@ -60,7 +60,8 @@ class ObsConfig:
     bandwidth_hz: float = 250e6
     beam_span_deg: float = 2.6   # full fan width, beams uniform in sin(theta)
     # --- kernel tiling / numerics ---
-    time_tile: int = 256         # Pallas grid tile along T
+    time_tile: int = 1024        # Pallas grid tile along T (swept on v5e:
+                                 # 1024 best; VMEM-bound above)
     chan_tile: int = 8           # channels per Pallas grid cell (amortizes
                                  # per-cell grid/DMA overhead; the batched-GEMM
                                  # analog of cublasCgemmBatched's batching)

@@ -118,9 +118,13 @@ def _accumulate(xr, xi, w_refs, *, chan, n_ant, n_pol):
 
 def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    fc = x_ref.shape[0]  # chan_tile: channels per grid cell (static unroll)
+    fc = x_ref.shape[0]  # chan_tile: channels per grid cell
     tt = x_ref.shape[1]  # time_tile
-    for c in range(fc):
+
+    # fori_loop (not Python unroll) over the channel tile: the kernel
+    # body compiles once regardless of chan_tile — Mosaic compile time
+    # of the unrolled form was minutes at chan_tile=8.
+    def chan_body(c, _):
         xr, xi = _unpack_tile(x_ref[c])  # (Tt, P*A)
         acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
         br = acc[:, :n_beams]
@@ -137,18 +141,25 @@ def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time):
         # float modes).
         s = s_ref[c, 0, n_terms - 1]
         o_ref[c] = power * (s * s)
+        return 0
+
+    jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     fc = x_ref.shape[0]
     tt = x_ref.shape[1]
-    for c in range(fc):
+
+    def chan_body(c, _):
         xr, xi = _unpack_tile(x_ref[c])
         acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
         acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
         for p in range(n_pol):
             o_ref[c, :, p, :] = acc[p * tt : (p + 1) * tt]
+        return 0
+
+    jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
 def _wire_to_ftpa(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
