@@ -48,8 +48,10 @@ def _add_common(p):
 def _make_weights(cfg, args):
     from dsabeamformer_tpu.models.calibration import CalTable
     from dsabeamformer_tpu.models.weights import make_weights
-    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.quantize import load_quant_weights, quantize_weights
 
+    if getattr(args, "weights", None):
+        return load_quant_weights(args.weights)
     cal = CalTable.load(args.cal) if getattr(args, "cal", None) else None
     w = make_weights(cfg, cal=cal, pointing_rad=getattr(args, "pointing", 0.0))
     return quantize_weights(w, cfg.weight_mode)
@@ -83,9 +85,16 @@ def cmd_run(args) -> int:
                               nbufs=args.nbufs, bufsz=out_bytes)
         sink = RingSink(out_ring)
 
+    stats_f = open(args.stats_file, "a") if args.stats_file else None
+
     def on_block(bs):
         if args.verbose:
             print(bs.line(cfg), file=sys.stderr)
+        if stats_f is not None:
+            rec = dict(block=bs.block_idx, seq=bs.seq, wall_s=bs.wall_s,
+                       bytes=bs.bytes_in, dropped=bs.dropped,
+                       skipped=bs.skipped)
+            stats_f.write(json.dumps(rec) + "\n")
 
     warm.source = source
     warm.sink = sink
@@ -130,6 +139,30 @@ def cmd_simulate(args) -> int:
         while time.perf_counter() < deadline and not ring.eod():
             time.sleep(0.05)
         print(json.dumps({"written": i, "dropped": ring.dropped}))
+    return 0
+
+
+def cmd_weights(args) -> int:
+    from dsabeamformer_tpu.ops.quantize import save_quant_weights
+
+    cfg = _load_cfg(args)
+    qw = _make_weights(cfg, args)
+    save_quant_weights(args.out, qw)
+    print(json.dumps({
+        "out": args.out,
+        "mode": cfg.weight_mode,
+        "terms": int(qw.terms.shape[0]),
+        "shape": list(qw.terms.shape),
+    }))
+    return 0
+
+
+def cmd_beampattern(args) -> int:
+    from dsabeamformer_tpu.models.beampattern import plot_beam_pattern
+
+    cfg = _load_cfg(args)
+    path = plot_beam_pattern(cfg, args.out, n_sweep=args.sweep)
+    print(json.dumps({"out": path, "beams": cfg.n_beams}))
     return 0
 
 
@@ -188,8 +221,10 @@ def main(argv=None) -> int:
     p.add_argument("--output-key", help="write powers to an output ring")
     p.add_argument("--output-file", help="append powers to a raw float32 file")
     p.add_argument("--cal", help="calibration .npz (CalTable)")
+    p.add_argument("--weights", help="pre-quantized weights .npz (dsabf weights)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
+    p.add_argument("--stats-file", help="append per-block JSONL stats here")
     p.add_argument("--depth", type=int, default=2, help="blocks in flight")
     p.add_argument("--blocks", type=int, help="stop after N blocks")
     p.add_argument("--latest", action="store_true",
@@ -214,6 +249,19 @@ def main(argv=None) -> int:
     p.add_argument("--linger", type=float, default=10.0,
                    help="seconds to wait for the consumer to drain after EOD")
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("weights", help="generate + quantize + save weights")
+    _add_common(p)
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--cal", help="calibration .npz (CalTable)")
+    p.add_argument("--pointing", type=float, default=0.0)
+    p.set_defaults(fn=cmd_weights)
+
+    p = sub.add_parser("beampattern", help="render the formed-beam response")
+    _add_common(p)
+    p.add_argument("--out", required=True, help="output image path (.png)")
+    p.add_argument("--sweep", type=int, default=512, help="sweep points")
+    p.set_defaults(fn=cmd_beampattern)
 
     p = sub.add_parser("selftest", help="end-to-end correctness check")
     _add_common(p)

@@ -144,5 +144,26 @@ def quantize_weights(weights: CVec, mode: str = "int8x2") -> QuantWeights:
     return QuantWeights(terms=terms, scales=scales)
 
 
-def prepare_weights(cfg: ObsConfig, weights: jax.Array) -> QuantWeights:
+def prepare_weights(cfg: ObsConfig, weights: CVec) -> QuantWeights:
     return quantize_weights(weights, cfg.weight_mode)
+
+
+def save_quant_weights(path: str, qw: QuantWeights) -> None:
+    """Persist MXU-ready weights (the analog of the reference's
+    pre-generated weight files, SURVEY.md C8)."""
+    import numpy as np
+
+    np.savez(
+        path,
+        terms=np.asarray(qw.terms),
+        scales=np.asarray(qw.scales),
+    )
+
+
+def load_quant_weights(path: str) -> QuantWeights:
+    import numpy as np
+
+    d = np.load(path)
+    return QuantWeights(
+        terms=jnp.asarray(d["terms"]), scales=jnp.asarray(d["scales"])
+    )

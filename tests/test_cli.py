@@ -1,0 +1,68 @@
+"""CLI surface tests (in-process main() calls on the CPU backend)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dsabeamformer_tpu import cli
+from dsabeamformer_tpu.ingest.generator import make_noise_block
+
+
+def test_selftest(capsys):
+    assert cli.main(["selftest"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ok"] and out["beam_peak"] == out["beam_expected"]
+    assert out["rel_power_error"] <= out["bar"]
+
+
+def test_weights_roundtrip(tmp_path, capsys, tiny_cfg):
+    path = str(tmp_path / "w.npz")
+    assert cli.main(["weights", "--config", "tiny", "--out", path]) == 0
+    meta = json.loads(capsys.readouterr().out.strip())
+    assert meta["terms"] == 2
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import load_quant_weights, quantize_weights
+
+    qw = load_quant_weights(path)
+    ref = quantize_weights(make_weights(tiny_cfg), tiny_cfg.weight_mode)
+    np.testing.assert_array_equal(np.asarray(qw.terms), np.asarray(ref.terms))
+
+
+def test_run_from_file_with_saved_weights(tmp_path, capsys, tiny_cfg):
+    wpath = str(tmp_path / "w.npz")
+    assert cli.main(["weights", "--config", "tiny", "--out", wpath]) == 0
+    capsys.readouterr()
+    blocks = [make_noise_block(tiny_cfg, rms=2.0, seed=s) for s in range(2)]
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        for b in blocks:
+            f.write(b.tobytes())
+    outpath = tmp_path / "out.raw"
+    statspath = tmp_path / "stats.jsonl"
+    rc = cli.main([
+        "run", "--config", "tiny", "--input-file", str(inpath),
+        "--weights", wpath, "--output-file", str(outpath),
+        "--stats-file", str(statspath),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["blocks"] == 2 and summary["dropped"] == 0
+    powers = np.fromfile(outpath, dtype=np.float32)
+    assert powers.size == 2 * int(np.prod(tiny_cfg.out_block_shape))
+    lines = [json.loads(line) for line in open(statspath)]
+    assert len(lines) == 2 and lines[1]["block"] == 1
+
+
+def test_config_override(capsys):
+    rc = cli.main(["weights", "--config", "tiny", "--set", "n_beams=64",
+                   "--out", "/tmp/w-override.npz"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip())
+    assert meta["shape"][-1] == 128  # 2*n_beams
+
+
+def test_bad_config_key_fails():
+    with pytest.raises(AttributeError):
+        cli.main(["weights", "--config", "tiny", "--set", "nope=1",
+                  "--out", "/tmp/x.npz"])

@@ -1,0 +1,38 @@
+"""Multi-host fan-out plan tests (SURVEY.md §5 distributed backend —
+the subband arithmetic is plain host logic, testable without a pod)."""
+
+import pytest
+
+from dsabeamformer_tpu.config import DSA10
+from dsabeamformer_tpu.parallel.multihost import HostSubband, host_subbands
+
+
+def test_subbands_partition_band():
+    subs = host_subbands(DSA10, 4)
+    assert len(subs) == 4
+    covered = []
+    for s in subs:
+        covered.extend(range(s.chan_start, s.chan_start + s.n_chan))
+    assert covered == list(range(DSA10.n_chan))
+
+
+def test_subband_config_frequencies():
+    subs = host_subbands(DSA10, 8)
+    cfg2 = subs[2].config(DSA10)
+    assert cfg2.n_chan == DSA10.n_chan // 8
+    df = DSA10.bandwidth_hz / DSA10.n_chan_total
+    expected_start = DSA10.f_start_hz + subs[2].chan_start * df
+    assert abs(cfg2.f_start_hz - expected_start) < 1e-3
+    # Subband channel freqs are the matching slice of the full band's.
+    full = DSA10.freqs_hz()
+    sub = cfg2.freqs_hz()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        sub, full[subs[2].chan_start : subs[2].chan_start + cfg2.n_chan]
+    )
+
+
+def test_indivisible_hosts_rejected():
+    with pytest.raises(ValueError):
+        host_subbands(DSA10, 7)
