@@ -208,6 +208,7 @@ class StreamingBeamformer:
         *,
         depth: int = 2,
         on_block: Optional[Callable[[BlockStats], None]] = None,
+        tracker=None,
     ):
         self.cfg = cfg
         self.weights = weights
@@ -215,8 +216,13 @@ class StreamingBeamformer:
         self.sink = sink
         self.depth = depth
         self.on_block = on_block
+        # Optional fringe/cal tracker (models/tracking.py): polled once
+        # per block with the stream time; a non-None return swaps in new
+        # weights for subsequent blocks without stalling.
+        self.tracker = tracker
         self._inflight: collections.deque = collections.deque()
         self._block_idx = 0
+        self._stream_t = 0.0
 
     def warmup(self) -> None:
         """Compile the block step before attaching to a live stream (a
@@ -266,6 +272,10 @@ class StreamingBeamformer:
             if item is None:
                 break
             seq, wire_np = item
+            if self.tracker is not None:
+                new_qw = self.tracker.maybe_update(seq * cfg.block_duration_s)
+                if new_qw is not None:
+                    self.weights = new_qw
             wire_dev = jax.device_put(wire_np)          # H2D (async)
             out = beamform_power(wire_dev, self.weights, cfg)  # async dispatch
             self._inflight.append((seq, out, time.perf_counter()))
