@@ -83,7 +83,7 @@ def cmd_run(args) -> int:
         out_bytes = int(np.prod(cfg.out_block_shape)) * 4
         out_ring = RingBuffer(args.output_key, create=True,
                               nbufs=args.nbufs, bufsz=out_bytes)
-        sink = RingSink(out_ring)
+        sink = RingSink(out_ring, cfg)
 
     stats_f = open(args.stats_file, "a") if args.stats_file else None
 

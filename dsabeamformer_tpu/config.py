@@ -67,6 +67,8 @@ class ObsConfig:
                                  # analog of cublasCgemmBatched's batching)
     weight_mode: str = "int8x2"  # one of: int8x2 | int8 | bf16 | bf16x2 | f32
     input_layout: str = "tfpa"   # wire layout delivered by the capture stage
+    fold_corner_turn: bool = True  # tfpa: corner-turn inside the kernel's
+                                   # strided DMA (vs an XLA pre-transpose)
 
     def __post_init__(self):
         if self.n_pol != 2:

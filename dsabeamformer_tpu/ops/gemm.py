@@ -16,17 +16,23 @@ fusing detection into the GEMM epilogue.
 
 Design notes
 ------------
-- Grid = (F, T/time_tile), time innermost: the per-channel weight tile is
-  fetched once per channel and reused across all time tiles (Pallas skips
-  re-fetch when the index map is constant along a grid dim).
-- Complex arithmetic via the K-concatenation trick (see ops/quantize.py):
-  one real matmul per (pol, term) with K = 2*n_ant = 128 for DSA-10 —
-  full MXU occupancy.
-- Polarizations are two lane-slices of the wire row; each gets its own
-  matmul and the epilogue sums their powers.  This avoids sublane<->lane
-  reshapes that Mosaic lowers slowly.
-- int8 accumulation in int32 is exact (|x|<=8, |w|<=127, K=256 max =>
-  |acc| < 2^19), then scaled to f32 in the epilogue.
+- Grid = (F/chan_tile, T/time_tile), time innermost: each weight tile is
+  fetched once per channel group and reused across all time tiles
+  (Pallas skips re-fetch when the index map is constant along a grid
+  dim); chan_tile channels per cell amortize grid/DMA overhead (the
+  ``cgemmBatched`` batching analog), looped with ``fori_loop`` to keep
+  Mosaic compile time flat.
+- Complex arithmetic via the K-concatenation trick (see ops/quantize.py)
+  with K = 2*n_ant = 128 for DSA-10 — full MXU occupancy.
+- Both polarizations stack along M into ONE matmul per quantization term
+  (they share weights); the epilogue splits the row blocks back apart.
+  No sublane<->lane reshapes anywhere (Mosaic lowers those slowly).
+- int8 path stays integer until one f32 convert: int32 accumulation is
+  exact (|x|<=8, |w|<=127, K<=256, hi<<8 combine => |acc| < 2^27), and
+  dequantization is a single per-channel scalar on the 16x-averaged
+  output.
+- 'tfpa' wire blocks are corner-turned by the DMA stride pattern
+  (``fold_corner_turn``), not a separate transpose pass.
 
 Public API
 ----------
@@ -116,16 +122,18 @@ def _accumulate(xr, xi, w_refs, *, chan, n_ant, n_pol):
     return acc
 
 
-def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time):
+def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time,
+                  tfpa):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    fc = x_ref.shape[0]  # chan_tile: channels per grid cell
-    tt = x_ref.shape[1]  # time_tile
+    fc = x_ref.shape[1] if tfpa else x_ref.shape[0]  # chan_tile
+    tt = x_ref.shape[0] if tfpa else x_ref.shape[1]  # time_tile
 
     # fori_loop (not Python unroll) over the channel tile: the kernel
     # body compiles once regardless of chan_tile — Mosaic compile time
     # of the unrolled form was minutes at chan_tile=8.
     def chan_body(c, _):
-        xr, xi = _unpack_tile(x_ref[c])  # (Tt, P*A)
+        x = x_ref[:, c, :] if tfpa else x_ref[c]
+        xr, xi = _unpack_tile(x)  # (Tt, P*A)
         acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
         br = acc[:, :n_beams]
         bi = acc[:, n_beams:]
@@ -146,13 +154,13 @@ def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time):
     jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
-def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms):
+def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    fc = x_ref.shape[0]
-    tt = x_ref.shape[1]
+    fc = x_ref.shape[1] if tfpa else x_ref.shape[0]
+    tt = x_ref.shape[0] if tfpa else x_ref.shape[1]
 
     def chan_body(c, _):
-        xr, xi = _unpack_tile(x_ref[c])
+        xr, xi = _unpack_tile(x_ref[:, c, :] if tfpa else x_ref[c])
         acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
         acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
         for p in range(n_pol):
@@ -162,34 +170,57 @@ def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms):
     jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
-def _wire_to_ftpa(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
-    """Wire block -> [F, T, P*A] uint8 (channel-major GEMM layout).
+def _kernel_reads_tfpa(cfg: ObsConfig) -> bool:
+    """True when the kernel itself performs the corner-turn by reading
+    the time-major wire with a strided BlockSpec (saves a full
+    HBM round trip vs an XLA pre-transpose)."""
+    return cfg.input_layout == "tfpa" and cfg.fold_corner_turn
 
-    For 'tfpa' wire order this is the corner-turn (SURVEY.md L3), done as
-    an XLA transpose ahead of the kernel — XLA's transpose is
-    memory-bandwidth-optimal and overlaps with the previous block's
-    compute under async dispatch.
+
+def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
+    """Wire block -> the kernel's input array.
+
+    'ftpa' (channel-major) is already GEMM order: reshape to
+    ``[F, T, P*A]``.  'tfpa' (time-major, the reference's wire order,
+    SURVEY.md L3) either stays ``[T, F, P*A]`` for the kernel's strided
+    corner-turn read (default) or is pre-transposed by XLA
+    (``fold_corner_turn=False`` — costs one extra HBM round trip but
+    gives the kernel fully-contiguous DMAs).
     """
     if wire.shape != cfg.wire_block_shape:
         raise ValueError(
             f"wire shape {wire.shape} != expected {cfg.wire_block_shape} "
             f"for layout {cfg.input_layout!r}"
         )
+    pa = cfg.n_pol * cfg.n_ant
     if cfg.input_layout == "tfpa":
+        if cfg.fold_corner_turn:
+            return wire.reshape(cfg.t_block, cfg.n_chan, pa)
         wire = jnp.transpose(wire, (1, 0, 2, 3))
-    return wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol * cfg.n_ant)
+    return wire.reshape(cfg.n_chan, cfg.t_block, pa)
 
 
 def _common_specs(cfg: ObsConfig, n_terms: int):
     a2 = 2 * cfg.n_ant
     b2 = 2 * cfg.n_beams
     fc = cfg.chan_tile
-    in_specs = [
-        pl.BlockSpec(
+    if _kernel_reads_tfpa(cfg):
+        # Time-major wire [T, F, P*A]: the block gathers time_tile rows
+        # of chan_tile*128 contiguous bytes — the corner-turn happens in
+        # the DMA's stride pattern, not as a separate pass.
+        wire_spec = pl.BlockSpec(
+            (cfg.time_tile, fc, cfg.n_pol * cfg.n_ant),
+            lambda f, t: (t, f, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        wire_spec = pl.BlockSpec(
             (fc, cfg.time_tile, cfg.n_pol * cfg.n_ant),
             lambda f, t: (f, t, 0),
             memory_space=pltpu.VMEM,
-        ),
+        )
+    in_specs = [
+        wire_spec,
     ] + [
         # One spec per quantization term: [chan_tile, 2A, 2B], constant
         # along the (innermost) time grid dim so each weight tile is
@@ -231,7 +262,7 @@ def beamform_power(
     matching ``ops.reference.beamform_block_ref``).
     """
     interpret = _default_interpret() if interpret is None else interpret
-    x = _wire_to_ftpa(wire, cfg)
+    x = _prepare_wire(wire, cfg)
     n_terms = int(qw.terms.shape[0])
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
@@ -249,6 +280,7 @@ def beamform_power(
         n_pol=cfg.n_pol,
         n_terms=n_terms,
         navg_time=cfg.navg_time,
+        tfpa=_kernel_reads_tfpa(cfg),
     )
     out = pl.pallas_call(
         kernel,
@@ -287,7 +319,7 @@ def beamform_voltages(
     config 3) and the parity point for config 2.
     """
     interpret = _default_interpret() if interpret is None else interpret
-    x = _wire_to_ftpa(wire, cfg)
+    x = _prepare_wire(wire, cfg)
     n_terms = int(qw.terms.shape[0])
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
@@ -304,6 +336,7 @@ def beamform_voltages(
         n_beams=cfg.n_beams,
         n_pol=cfg.n_pol,
         n_terms=n_terms,
+        tfpa=_kernel_reads_tfpa(cfg),
     )
     return pl.pallas_call(
         kernel,

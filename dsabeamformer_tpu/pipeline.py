@@ -179,10 +179,23 @@ class FileSink:
 
 class RingSink:
     """Writes power blocks into an output dsaring for the downstream
-    consumer (the FRB-search hand-off)."""
+    consumer (the FRB-search hand-off, SURVEY.md L7).
 
-    def __init__(self, ring: RingBuffer):
+    Commits a stream header describing the power format (the output
+    DADA header analog) when given the config."""
+
+    def __init__(self, ring: RingBuffer, cfg: Optional[ObsConfig] = None):
         self.ring = ring
+        if cfg is not None:
+            f, t, b = cfg.out_block_shape
+            self.ring.write_header(dada.encode_header(
+                cfg,
+                PAYLOAD="BEAM_POWERS",
+                OUT_DTYPE="float32",
+                OUT_NCHAN=f,
+                OUT_NTIME=t,
+                OUT_NBEAM=b,
+            ))
 
     def write(self, seq: int, powers: np.ndarray) -> None:
         self.ring.write_block(np.ascontiguousarray(powers, dtype=np.float32))
