@@ -170,6 +170,22 @@ def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):
     jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
+def _check_weights(qw: QuantWeights, cfg: ObsConfig) -> None:
+    want = (cfg.n_chan, 2 * cfg.n_ant, 2 * cfg.n_beams)
+    got = tuple(qw.terms.shape[1:])
+    if got != want:
+        raise ValueError(
+            f"quantized weights shaped {got} do not match config "
+            f"{cfg.name!r} (expected [F,2A,2B] = {want}); regenerate with "
+            f"quantize_weights(make_weights(cfg), cfg.weight_mode)"
+        )
+    if qw.scales.shape != (cfg.n_chan, qw.terms.shape[0]):
+        raise ValueError(
+            f"weight scales shaped {tuple(qw.scales.shape)} do not match "
+            f"[F, n_terms] = {(cfg.n_chan, qw.terms.shape[0])}"
+        )
+
+
 def _kernel_reads_tfpa(cfg: ObsConfig) -> bool:
     """True when the kernel itself performs the corner-turn by reading
     the time-major wire with a strided BlockSpec (saves a full
@@ -262,6 +278,7 @@ def beamform_power(
     matching ``ops.reference.beamform_block_ref``).
     """
     interpret = _default_interpret() if interpret is None else interpret
+    _check_weights(qw, cfg)
     x = _prepare_wire(wire, cfg)
     n_terms = int(qw.terms.shape[0])
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
@@ -319,6 +336,7 @@ def beamform_voltages(
     config 3) and the parity point for config 2.
     """
     interpret = _default_interpret() if interpret is None else interpret
+    _check_weights(qw, cfg)
     x = _prepare_wire(wire, cfg)
     n_terms = int(qw.terms.shape[0])
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
