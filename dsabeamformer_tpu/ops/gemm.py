@@ -8,10 +8,10 @@ L3-L5 / C5-C7):
 - ``detect_sum``         -> |B|^2 + pol-sum + time-average epilogue,
 
 so the unpacked voltages and beamformed voltages NEVER touch HBM: per
-grid cell the kernel reads a packed uint8 tile and writes only the tiny
-averaged-power tile.  That HBM-traffic shape (1 byte in, ~B*4/(P*A*navg)
-bytes out per sample) is what makes the pipeline ingest-bound instead of
-memory-bound — the TPU-native analog of the reference's motivation for
+grid cell the kernel reads a packed uint8 tile and writes only the
+averaged-power tile (4*B/(P*A*navg) = 0.5 bytes out per wire byte for
+DSA-10, vs 16 bytes of complex64 beam voltages had the GEMM been
+unfused) — the TPU-native realization of the reference's motivation for
 fusing detection into the GEMM epilogue.
 
 Design notes
@@ -151,7 +151,9 @@ def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time,
         o_ref[c] = power * (s * s)
         return 0
 
-    jax.lax.fori_loop(0, fc, chan_body, 0)
+    # unroll=2: lets Mosaic overlap channel c+1's VPU unpack/epilogue
+    # with channel c's MXU matmuls (the iterations are independent).
+    jax.lax.fori_loop(0, fc, chan_body, 0, unroll=2 if fc % 2 == 0 else 1)
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):

@@ -15,7 +15,6 @@ acceptance configuration; tests exercise it on 8 virtual CPU devices.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

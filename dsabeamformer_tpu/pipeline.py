@@ -24,7 +24,7 @@ from __future__ import annotations
 import collections
 import time
 from pathlib import Path
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import numpy as np

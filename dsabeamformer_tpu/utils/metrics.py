@@ -31,14 +31,14 @@ _PEAK_MACS = {
 }
 
 
-def peak_macs_per_s(weight_dtype_is_int8: bool = True) -> Optional[float]:
+def peak_macs_per_s(int8: bool = True) -> Optional[float]:
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
         return None
     for key, (i8, bf16) in _PEAK_MACS.items():
         if key in kind:
-            return i8 if weight_dtype_is_int8 else bf16
+            return i8 if int8 else bf16
     return None
 
 
