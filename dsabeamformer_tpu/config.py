@@ -67,8 +67,14 @@ class ObsConfig:
                                  # analog of cublasCgemmBatched's batching)
     weight_mode: str = "int8x2"  # one of: int8x2 | int8 | bf16 | bf16x2 | f32
     input_layout: str = "tfpa"   # wire layout delivered by the capture stage
-    fold_corner_turn: bool = True  # tfpa: corner-turn inside the kernel's
-                                   # strided DMA (vs an XLA pre-transpose)
+    fold_corner_turn: bool = False  # tfpa: corner-turn inside the kernel's
+                                    # strided DMA instead of an XLA
+                                    # pre-transpose.  Experimental: correct
+                                    # in tests, but the current Mosaic
+                                    # release crashes compiling the strided
+                                    # read at full size, and the measured
+                                    # XLA-transpose cost is <5% — so the
+                                    # transpose is the default.
 
     def __post_init__(self):
         if self.n_pol != 2:
