@@ -96,6 +96,15 @@ def cmd_run(args) -> int:
                        skipped=bs.skipped)
             stats_f.write(json.dumps(rec) + "\n")
 
+    if args.track:
+        from dsabeamformer_tpu.models.calibration import CalTable
+        from dsabeamformer_tpu.models.tracking import FringeTracker
+
+        cal = CalTable.load(args.cal) if args.cal else None
+        warm.tracker = FringeTracker(
+            cfg, cal=cal, pointing0_rad=args.pointing,
+            declination_rad=args.declination,
+        )
     warm.source = source
     warm.sink = sink
     warm.depth = args.depth
@@ -225,6 +234,10 @@ def main(argv=None) -> int:
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
+    p.add_argument("--track", action="store_true",
+                   help="regenerate weights as the pointing drifts (fringe tracking)")
+    p.add_argument("--declination", type=float, default=0.0,
+                   help="source declination (rad), sets the drift rate")
     p.add_argument("--depth", type=int, default=2, help="blocks in flight")
     p.add_argument("--blocks", type=int, help="stop after N blocks")
     p.add_argument("--latest", action="store_true",

@@ -151,9 +151,11 @@ def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time,
         o_ref[c] = power * (s * s)
         return 0
 
-    # unroll=2: lets Mosaic overlap channel c+1's VPU unpack/epilogue
-    # with channel c's MXU matmuls (the iterations are independent).
-    jax.lax.fori_loop(0, fc, chan_body, 0, unroll=2 if fc % 2 == 0 else 1)
+    # Mosaic supports only full unroll or none.  Small channel tiles
+    # unroll fully so one channel's VPU unpack/epilogue overlaps the
+    # other's MXU matmuls; larger tiles keep the single-copy body
+    # (full unroll at chan_tile=8 costs minutes of compile).
+    jax.lax.fori_loop(0, fc, chan_body, 0, unroll=fc if fc <= 2 else 1)
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):
