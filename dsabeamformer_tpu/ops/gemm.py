@@ -167,8 +167,11 @@ def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):
         xr, xi = _unpack_tile(x_ref[:, c, :] if tfpa else x_ref[c])
         acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
         acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
+        # Output is [F, T, P*2B] (pol folded into the lane axis: Mosaic
+        # rejects 4-D output blocks); caller reshapes to [F, T, P, 2B].
+        n2b = acc.shape[1]
         for p in range(n_pol):
-            o_ref[c, :, p, :] = acc[p * tt : (p + 1) * tt]
+            o_ref[c, :, p * n2b : (p + 1) * n2b] = acc[p * tt : (p + 1) * tt]
         return 0
 
     jax.lax.fori_loop(0, fc, chan_body, 0)
@@ -345,11 +348,11 @@ def beamform_voltages(
     n_terms = int(qw.terms.shape[0])
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
-        (cfg.n_chan, cfg.t_block, cfg.n_pol, 2 * cfg.n_beams), jnp.float32
+        (cfg.n_chan, cfg.t_block, cfg.n_pol * 2 * cfg.n_beams), jnp.float32
     )
     out_spec = pl.BlockSpec(
-        (cfg.chan_tile, cfg.time_tile, cfg.n_pol, 2 * cfg.n_beams),
-        lambda f, t: (f, t, 0, 0),
+        (cfg.chan_tile, cfg.time_tile, cfg.n_pol * 2 * cfg.n_beams),
+        lambda f, t: (f, t, 0),
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
@@ -360,7 +363,7 @@ def beamform_voltages(
         n_terms=n_terms,
         tfpa=_kernel_reads_tfpa(cfg),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=_common_specs(cfg, n_terms),
@@ -376,9 +379,19 @@ def beamform_voltages(
         ),
         interpret=interpret,
     )(x, *(qw.terms[k] for k in range(n_terms)), qw.scales[:, None, :])
+    return out.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, 2 * cfg.n_beams)
 
 
-def voltages_to_complex(bv: jax.Array) -> jax.Array:
-    """[F, T, P, 2B] float32 -> [F, T, P, B] complex64 (test helper)."""
+def voltages_to_complex(bv) -> "jax.Array | object":
+    """[F, T, P, 2B] float32 -> [F, T, P, B] complex (test helper).
+
+    NumPy in, NumPy out: complex dtypes must never touch the device
+    (some TPU runtimes reject them outright — see ops/cplx.py), so pass
+    a host array here (``np.asarray(device_out)`` first).
+    """
+    import numpy as np
+
     b = bv.shape[-1] // 2
+    if isinstance(bv, np.ndarray):
+        return bv[..., :b] + 1j * bv[..., b:]
     return jax.lax.complex(bv[..., :b], bv[..., b:])

@@ -109,8 +109,13 @@ def _quant_bf16(wc):
 
 @jax.jit
 def _quant_bf16x2(wc):
-    hi = wc.astype(jnp.bfloat16)
-    lo = (wc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # lax.reduce_precision, not astype(bf16).astype(f32): under XLA's
+    # allow-excess-precision the astype round-trip is elided and the
+    # residual becomes zero (observed on TPU).  reduce_precision is an
+    # explicit rounding the compiler must honor.
+    hi_f32 = jax.lax.reduce_precision(wc, exponent_bits=8, mantissa_bits=7)
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (wc - hi_f32).astype(jnp.bfloat16)
     ones = jnp.ones((wc.shape[0], 2), jnp.float32)
     return jnp.stack([hi, lo]), ones
 
