@@ -20,20 +20,31 @@ from dsabeamformer_tpu.config import ObsConfig
 
 @dataclasses.dataclass(frozen=True)
 class ArrayLayout:
-    """East-west antenna coordinates for a 1-D phased array.
+    """Antenna coordinates for a phased array.
 
-    ``positions_m`` has length ``n_ant`` (the padded GEMM dim); entries
-    beyond the active antennas are zero and carry no signal (their wire
-    samples are zero, so their weights are irrelevant — but we also zero
-    their calibration gains for hygiene).
+    ``positions_m`` is the east-west coordinate, length ``n_ant`` (the
+    padded GEMM dim); entries beyond the active antennas are zero and
+    carry no signal (their wire samples are zero, so their weights are
+    irrelevant — but we also zero their calibration gains for hygiene).
+
+    ``positions_ns_m`` (optional north-south coordinate) generalizes to
+    2-D station layouts; when None the array is the reference's 1-D
+    east-west line and beams form a fan in sin(theta).
     """
 
-    positions_m: np.ndarray  # [n_ant] float64
+    positions_m: np.ndarray  # [n_ant] float64, east-west
     n_active: int
+    positions_ns_m: np.ndarray | None = None  # [n_ant] float64, north-south
 
     @property
     def n_ant(self) -> int:
         return len(self.positions_m)
+
+    @property
+    def ns(self) -> np.ndarray:
+        if self.positions_ns_m is None:
+            return np.zeros_like(self.positions_m)
+        return self.positions_ns_m
 
     @property
     def active_mask(self) -> np.ndarray:
@@ -42,14 +53,19 @@ class ArrayLayout:
         return m
 
     def save(self, path: str) -> None:
-        np.savez(path, positions_m=self.positions_m, n_active=self.n_active)
+        np.savez(path, positions_m=self.positions_m, n_active=self.n_active,
+                 positions_ns_m=self.ns)
 
     @staticmethod
     def load(path: str) -> "ArrayLayout":
         d = np.load(path)
+        ns = None
+        if "positions_ns_m" in d and np.any(d["positions_ns_m"]):
+            ns = np.asarray(d["positions_ns_m"], dtype=np.float64)
         return ArrayLayout(
             positions_m=np.asarray(d["positions_m"], dtype=np.float64),
             n_active=int(d["n_active"]),
+            positions_ns_m=ns,
         )
 
 

@@ -84,6 +84,16 @@ def make_weights(
     re/im float32 ``[F, B, A]`` on the default device."""
     layout = layout if layout is not None else array_for(cfg)
     cal = cal if cal is not None else CalTable.unity(cfg)
+    if layout.n_ant != cfg.n_ant:
+        raise ValueError(
+            f"layout has {layout.n_ant} antennas, config {cfg.name!r} "
+            f"expects {cfg.n_ant}"
+        )
+    if cal.gains.shape != (cfg.n_ant, cfg.n_chan):
+        raise ValueError(
+            f"calibration table shaped {cal.gains.shape} != "
+            f"[n_ant, n_chan] = {(cfg.n_ant, cfg.n_chan)}"
+        )
     angles = pointing_rad + cfg.beam_angles_rad()
     return steering_weights(
         jnp.asarray(layout.positions_m),
@@ -93,6 +103,84 @@ def make_weights(
              im=jnp.asarray(cal.gains.imag.astype(np.float32))),
         fringe_delay_s,
     )
+
+
+@jax.jit
+def steering_weights_lm(
+    positions_ew_m: jax.Array,   # [A]
+    positions_ns_m: jax.Array,   # [A]
+    beam_l: jax.Array,           # [B] direction cosine (east)
+    beam_m: jax.Array,           # [B] direction cosine (north)
+    freqs_hz: jax.Array,         # [F]
+    gains: CVec,                 # [A, F]
+) -> CVec:
+    """2-D generalization: weights for a beam grid given in direction
+    cosines (l, m) over a 2-D station layout.
+
+    ``steering_weights`` (the reference-parity 1-D fan) is the special
+    case ``l = sin(theta_b), m = 0, positions_ns = 0``.  Returns planar
+    weights ``[F, B, A]``.
+    """
+    dt = _phase_dtype()
+    f = freqs_hz.astype(dt)[:, None, None]
+    le = beam_l.astype(dt)[None, :, None]
+    mn = beam_m.astype(dt)[None, :, None]
+    xe = positions_ew_m.astype(dt)[None, None, :]
+    xn = positions_ns_m.astype(dt)[None, None, :]
+    tau = (xe * le + xn * mn) / SPEED_OF_LIGHT_M_S
+    turns = f * tau
+    phase = (-2.0 * jnp.pi) * (turns - jnp.round(turns))
+    c = jnp.cos(phase).astype(jnp.float32)
+    si = jnp.sin(phase).astype(jnp.float32)
+    gr = gains.re.astype(jnp.float32).T[:, None, :]
+    gi = gains.im.astype(jnp.float32).T[:, None, :]
+    return CVec(re=c * gr - si * gi, im=si * gr + c * gi)
+
+
+def make_weights_lm(
+    cfg: ObsConfig,
+    beam_l: np.ndarray,
+    beam_m: np.ndarray,
+    layout: ArrayLayout | None = None,
+    cal: CalTable | None = None,
+) -> CVec:
+    """Weights for an arbitrary (l, m) beam grid (2-D arrays).
+
+    ``len(beam_l) == cfg.n_beams`` — the kernel is agnostic to how the
+    beam axis was laid out."""
+    layout = layout if layout is not None else array_for(cfg)
+    cal = cal if cal is not None else CalTable.unity(cfg)
+    if len(beam_l) != cfg.n_beams or len(beam_m) != cfg.n_beams:
+        raise ValueError(
+            f"beam grid has {len(beam_l)} beams, config expects {cfg.n_beams}"
+        )
+    return steering_weights_lm(
+        jnp.asarray(layout.positions_m),
+        jnp.asarray(layout.ns),
+        jnp.asarray(beam_l),
+        jnp.asarray(beam_m),
+        jnp.asarray(cfg.freqs_hz()),
+        CVec(re=jnp.asarray(cal.gains.real.astype(np.float32)),
+             im=jnp.asarray(cal.gains.imag.astype(np.float32))),
+    )
+
+
+def weights_lm_numpy_golden(
+    cfg: ObsConfig,
+    beam_l: np.ndarray,
+    beam_m: np.ndarray,
+    layout: ArrayLayout | None = None,
+    cal: CalTable | None = None,
+) -> np.ndarray:
+    layout = layout if layout is not None else array_for(cfg)
+    cal = cal if cal is not None else CalTable.unity(cfg)
+    f = cfg.freqs_hz()[:, None, None]
+    tau = (
+        layout.positions_m[None, None, :] * np.asarray(beam_l)[None, :, None]
+        + layout.ns[None, None, :] * np.asarray(beam_m)[None, :, None]
+    ) / SPEED_OF_LIGHT_M_S
+    w = np.exp(-2j * np.pi * f * tau)
+    return w * cal.gains.astype(np.complex128).T[:, None, :]
 
 
 def weights_numpy_golden(

@@ -215,6 +215,8 @@ def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
             f"wire shape {wire.shape} != expected {cfg.wire_block_shape} "
             f"for layout {cfg.input_layout!r}"
         )
+    if wire.dtype != jnp.uint8:
+        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
     pa = cfg.n_pol * cfg.n_ant
     if cfg.input_layout == "tfpa":
         if cfg.fold_corner_turn:
