@@ -58,11 +58,21 @@ def _make_weights(cfg, args):
 
 
 def cmd_run(args) -> int:
+    import contextlib
+
+    import jax
+
     from dsabeamformer_tpu.ingest.ring import RingBuffer
     from dsabeamformer_tpu.pipeline import (
         FileSink, FileSource, RingSink, RingSource, StreamingBeamformer,
     )
 
+    # Device pinning (the reference's cudaSetDevice(gpu_id) flag): on a
+    # multi-chip host each beamformer process owns one chip.
+    device_ctx = (
+        jax.default_device(jax.devices()[args.device])
+        if args.device is not None else contextlib.nullcontext()
+    )
     cfg = _load_cfg(args)
     qw = _make_weights(cfg, args)
 
@@ -109,7 +119,20 @@ def cmd_run(args) -> int:
     warm.sink = sink
     warm.depth = args.depth
     warm.on_block = on_block
-    stats = warm.run(max_blocks=args.blocks)
+    try:
+        with device_ctx:
+            stats = warm.run(max_blocks=args.blocks)
+    except KeyboardInterrupt:
+        # Operator stop: report what was processed (stateless restart
+        # semantics — nothing to persist).
+        from dsabeamformer_tpu.utils.metrics import StreamStats
+
+        stats = StreamStats(cfg_name=cfg.name)
+        stats.n_blocks = warm._block_idx
+        stats.bytes_in = warm._block_idx * cfg.wire_block_bytes
+        stats.finish()
+        print(stats.json_line(cfg))
+        return 130
     print(stats.json_line(cfg))
     return 0
 
@@ -238,6 +261,8 @@ def main(argv=None) -> int:
                    help="regenerate weights as the pointing drifts (fringe tracking)")
     p.add_argument("--declination", type=float, default=0.0,
                    help="source declination (rad), sets the drift rate")
+    p.add_argument("--device", type=int,
+                   help="pin to this local device index (multi-chip host)")
     p.add_argument("--depth", type=int, default=2, help="blocks in flight")
     p.add_argument("--blocks", type=int, help="stop after N blocks")
     p.add_argument("--latest", action="store_true",
