@@ -242,7 +242,25 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat invocations of the same
+    config skip the (potentially minutes-long) kernel compile."""
+    import os
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="dsabf", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
