@@ -188,6 +188,10 @@ DSA110 = ObsConfig(
     n_beams=512,
     n_chan=2048,
     n_chan_total=2048,
+    # 4x DSA-10's per-channel working set (K=256, 2B=1024): smaller
+    # tiles keep the kernel inside VMEM.
+    time_tile=512,
+    chan_tile=4,
 )
 
 #: Tiny geometry for CPU unit tests (interpret-mode Pallas).

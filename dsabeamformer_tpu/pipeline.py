@@ -251,7 +251,7 @@ class StreamingBeamformer:
         §3.3) with no stream stall."""
         self.weights = weights
 
-    def _drain_one(self, stats: StreamStats) -> None:
+    def _drain_one(self) -> None:
         seq, out, t_enq = self._inflight.popleft()
         if self.sink is not None:
             arr = np.asarray(out)  # D2H of the averaged powers
@@ -297,9 +297,9 @@ class StreamingBeamformer:
             stats.macs += cfg.macs_per_block * cfg.n_weight_terms
             n += 1
             while len(self._inflight) > self.depth:
-                self._drain_one(stats)
+                self._drain_one()
         while self._inflight:
-            self._drain_one(stats)
+            self._drain_one()
         stats.dropped = getattr(self.source, "dropped", 0)
         stats.skipped = getattr(self.source, "skipped", 0)
         return stats.finish()
