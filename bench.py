@@ -48,7 +48,7 @@ def main() -> int:
     import numpy as np
 
     from dsabeamformer_tpu.config import DSA10
-    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.ingest.generator import make_noise_block, make_random_bytes_block
     from dsabeamformer_tpu.models.weights import make_weights
     from dsabeamformer_tpu.ops.gemm import beamform_power
     from dsabeamformer_tpu.ops.quantize import quantize_weights
@@ -62,7 +62,7 @@ def main() -> int:
     print(f"[bench] backend={jax.default_backend()} "
           f"devices={jax.devices()}", file=sys.stderr)
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
-    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(4)]
+    blocks = [make_random_bytes_block(cfg, seed=s) for s in range(4)]
     stack = jax.device_put(
         np.stack([blocks[i % 4] for i in range(n_blocks)])
     )
