@@ -233,6 +233,30 @@ def cmd_selftest(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_info(args) -> int:
+    import jax
+
+    from dsabeamformer_tpu import __version__
+    from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
+
+    cfg = _load_cfg(args)
+    devs = jax.devices()
+    print(json.dumps({
+        "version": __version__,
+        "backend": jax.default_backend(),
+        "devices": [d.device_kind for d in devs],
+        "n_devices": len(devs),
+        "peak_int8_macs_per_s": peak_macs_per_s(True),
+        "config": cfg.name,
+        "wire_block_bytes": cfg.wire_block_bytes,
+        "block_duration_s": cfg.block_duration_s,
+        "realtime_gb_per_s": round(cfg.realtime_bytes_per_s / 1e9, 3),
+        "out_block_shape": list(cfg.out_block_shape),
+        "weight_mode": cfg.weight_mode,
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from dsabeamformer_tpu.utils.bench import run_benchmark
 
@@ -322,6 +346,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("selftest", help="end-to-end correctness check")
     _add_common(p)
     p.set_defaults(fn=cmd_selftest, config="tiny")
+
+    p = sub.add_parser("info", help="device + config diagnostics")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("bench", help="single-chip benchmark (JSON line)")
     _add_common(p)
