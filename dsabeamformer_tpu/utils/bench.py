@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dsabeamformer_tpu.config import ObsConfig
-from dsabeamformer_tpu.ingest.generator import make_noise_block, make_random_bytes_block
+from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
 from dsabeamformer_tpu.models.weights import make_weights
 from dsabeamformer_tpu.ops.gemm import beamform_power
 from dsabeamformer_tpu.ops.quantize import quantize_weights
@@ -71,7 +71,7 @@ def bench_kernel(cfg: ObsConfig, n_blocks: int = 8, n_distinct: int = 4,
 def bench_stream(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 4,
                  depth: int = 4) -> dict:
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
-    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(n_distinct)]
+    blocks = [make_random_bytes_block(cfg, seed=s) for s in range(n_distinct)]
     # Warm-up run compiles and primes transfers.
     run_stream(cfg, qw, SyntheticSource(cfg, blocks, n_blocks=2), depth=depth)
     src = SyntheticSource(cfg, blocks, n_blocks=n_blocks)
