@@ -54,17 +54,19 @@ def main() -> int:
     from dsabeamformer_tpu.ops.quantize import quantize_weights
     from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
 
+    # t_block=8192 (67 ms of sky per block): amortizes the per-block
+    # weight re-fetch; +5% over t_block=2048 (see BENCH.md sweep).
     cfg = DSA10.replace(
-        t_block=2048, time_tile=1024, chan_tile=8, input_layout="ftpa"
+        t_block=8192, time_tile=1024, chan_tile=8, input_layout="ftpa"
     )
-    n_blocks = 8
+    n_blocks = 2
 
     print(f"[bench] backend={jax.default_backend()} "
           f"devices={jax.devices()}", file=sys.stderr)
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
-    blocks = [make_random_bytes_block(cfg, seed=s) for s in range(4)]
+    blocks = [make_random_bytes_block(cfg, seed=s) for s in range(2)]
     stack = jax.device_put(
-        np.stack([blocks[i % 4] for i in range(n_blocks)])
+        np.stack([blocks[i % 2] for i in range(n_blocks)])
     )
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
