@@ -4,12 +4,15 @@ The reference exposed getopt flags on one binary (DADA key, GPU id,
 verbosity — SURVEY.md L0/C1); the rebuild splits the same surface into
 subcommands:
 
-  dsabf run       — attach to a voltage ring (or file) and beamform
-                    (the main real-time binary)
-  dsabf simulate  — synthetic capture process: write blocks into a ring
-                    (the packet-capture stand-in for tests/demos)
-  dsabf selftest  — tiny end-to-end correctness check on this backend
-  dsabf bench     — single-chip benchmark, one JSON line (see bench.py)
+  dsabf run         — attach to a voltage ring (or file) and beamform
+                      (the main real-time binary)
+  dsabf simulate    — synthetic capture process: write blocks into a ring
+                      (the packet-capture stand-in for tests/demos)
+  dsabf weights     — generate/quantize/save MXU-ready weights
+  dsabf beampattern — render the formed-beam response
+  dsabf selftest    — tiny end-to-end correctness check on this backend
+  dsabf info        — device + config diagnostics
+  dsabf bench       — single-chip benchmark, one JSON line (see bench.py)
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
