@@ -48,7 +48,7 @@ def main() -> int:
     import numpy as np
 
     from dsabeamformer_tpu.config import DSA10
-    from dsabeamformer_tpu.ingest.generator import make_noise_block, make_random_bytes_block
+    from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
     from dsabeamformer_tpu.models.weights import make_weights
     from dsabeamformer_tpu.ops.gemm import beamform_power
     from dsabeamformer_tpu.ops.quantize import quantize_weights
