@@ -34,5 +34,32 @@ __all__ = [
     "DSA110",
     "TINY",
     "presets",
+    "make_weights",
+    "quantize_weights",
+    "beamform_power",
+    "beamform_voltages",
+    "StreamingBeamformer",
+    "run_stream",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import dsabeamformer_tpu` light).
+    if name in ("make_weights",):
+        from dsabeamformer_tpu.models.weights import make_weights
+
+        return make_weights
+    if name in ("quantize_weights",):
+        from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+        return quantize_weights
+    if name in ("beamform_power", "beamform_voltages"):
+        from dsabeamformer_tpu.ops import gemm
+
+        return getattr(gemm, name)
+    if name in ("StreamingBeamformer", "run_stream"):
+        from dsabeamformer_tpu import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
