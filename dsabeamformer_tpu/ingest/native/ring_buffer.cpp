@@ -92,6 +92,15 @@ Ring* dsaring_create(const char* name, uint64_t nbufs, uint64_t bufsz,
     shm_unlink(path);
     return nullptr;
   }
+  // Reserve the pages up front: tmpfs ftruncate is sparse, so an
+  // over-committed ring would otherwise be created "successfully" and
+  // SIGBUS the producer when shared memory fills mid-observation.
+  // posix_fallocate returns ENOSPC here instead.
+  if (posix_fallocate(fd, 0, (off_t)total) != 0) {
+    close(fd);
+    shm_unlink(path);
+    return nullptr;
+  }
   void* base = mmap(nullptr, total, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
   if (base == MAP_FAILED) {
     close(fd);
