@@ -29,6 +29,19 @@ import time
 import numpy as np
 
 
+def _coerce_field(current, val: str):
+    """Parse a --set value with the type of the current field value.
+    bool needs explicit token parsing: bool("false") is True."""
+    if isinstance(current, bool):
+        tok = val.strip().lower()
+        if tok in ("true", "1", "yes", "on"):
+            return True
+        if tok in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"invalid bool value {val!r} (use true/false)")
+    return type(current)(val)
+
+
 def _load_cfg(args):
     from dsabeamformer_tpu.config import presets
 
@@ -36,8 +49,7 @@ def _load_cfg(args):
     for kv in args.set or []:
         key, _, val = kv.partition("=")
         field = getattr(cfg, key)  # raises AttributeError for bad key
-        typ = type(field)
-        cfg = cfg.replace(**{key: typ(val)})
+        cfg = cfg.replace(**{key: _coerce_field(field, val)})
     return cfg
 
 
@@ -65,17 +77,26 @@ def cmd_run(args) -> int:
 
     import jax
 
+    # Device pinning (the reference's cudaSetDevice(gpu_id) flag): on a
+    # multi-chip host each beamformer process owns one chip.  The whole
+    # command body runs inside the pin so that weight arrays live on,
+    # and the warmup compile executes against, the pinned device — not
+    # device 0 (otherwise the first live block pays the compile/copy
+    # that warmup exists to hide).
+    device_ctx = (
+        jax.default_device(jax.devices()[args.device])
+        if args.device is not None else contextlib.nullcontext()
+    )
+    with device_ctx:
+        return _cmd_run_pinned(args)
+
+
+def _cmd_run_pinned(args) -> int:
     from dsabeamformer_tpu.ingest.ring import RingBuffer
     from dsabeamformer_tpu.pipeline import (
         FileSink, FileSource, RingSink, RingSource, StreamingBeamformer,
     )
 
-    # Device pinning (the reference's cudaSetDevice(gpu_id) flag): on a
-    # multi-chip host each beamformer process owns one chip.
-    device_ctx = (
-        jax.default_device(jax.devices()[args.device])
-        if args.device is not None else contextlib.nullcontext()
-    )
     cfg = _load_cfg(args)
     qw = _make_weights(cfg, args)
 
@@ -87,8 +108,11 @@ def cmd_run(args) -> int:
         source = FileSource(cfg, args.input_file)
     else:
         ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
+        # Staging pool sized from the pipeline depth (in-flight blocks
+        # + the one being enqueued + one safety slot).
         source = RingSource(cfg, ring, latest=args.latest,
-                            timeout_s=args.timeout)
+                            timeout_s=args.timeout,
+                            n_host_buffers=max(8, args.depth + 2))
     sink = None
     if args.output_file:
         sink = FileSink(args.output_file)
@@ -123,18 +147,12 @@ def cmd_run(args) -> int:
     warm.depth = args.depth
     warm.on_block = on_block
     try:
-        with device_ctx:
-            stats = warm.run(max_blocks=args.blocks)
+        stats = warm.run(max_blocks=args.blocks)
     except KeyboardInterrupt:
-        # Operator stop: report what was processed (stateless restart
-        # semantics — nothing to persist).
-        from dsabeamformer_tpu.utils.metrics import StreamStats
-
-        stats = StreamStats(cfg_name=cfg.name)
-        stats.n_blocks = warm._block_idx
-        stats.bytes_in = warm._block_idx * cfg.wire_block_bytes
-        stats.finish()
-        print(stats.json_line(cfg))
+        # Operator stop: report what was actually processed, clocked
+        # from the loop start (stateless restart semantics — nothing
+        # to persist).
+        print(warm.current_stats().json_line(cfg))
         return 130
     print(stats.json_line(cfg))
     return 0
@@ -212,7 +230,19 @@ def cmd_selftest(args) -> int:
     from dsabeamformer_tpu.ops.reference import beamform_block_ref
     from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
 
-    cfg = TINY if args.config == "tiny" else _load_cfg(args)
+    if args.config == "tiny":
+        cfg = TINY
+        if jax.default_backend() == "tpu":
+            # TINY's tiles violate Mosaic's (8, 128) block-divisibility
+            # rules on real hardware (it is an interpret-mode test
+            # geometry); self-test a small aligned DSA-10 subband there.
+            from dsabeamformer_tpu.config import DSA10
+
+            cfg = DSA10.replace(
+                name="selftest", n_chan=32, t_block=256, time_tile=256
+            )
+    else:
+        cfg = _load_cfg(args)
     angles = cfg.beam_angles_rad()
     target = cfg.n_beams // 3
     wire = make_point_source_block(cfg, angles[target], noise_rms=0.3, seed=1)

@@ -15,6 +15,7 @@ step is required.
 from __future__ import annotations
 
 import ctypes
+import fcntl
 import os
 import subprocess
 import threading
@@ -25,25 +26,55 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent / "native"
 _SRC = _NATIVE_DIR / "ring_buffer.cpp"
-_SO = _NATIVE_DIR / "libdsaring.so"
 _BUILD_LOCK = threading.Lock()
 
 _lib = None
 
 
+def _so_path() -> Path:
+    """Where to place the compiled library: the package dir when
+    writable, else a per-user cache dir (read-only installs)."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _NATIVE_DIR / "libdsaring.so"
+    cache = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    ) / "dsabf"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache / "libdsaring.so"
+
+
 def _build_library() -> Path:
+    """Compile the native ring on first use.
+
+    Producer (`dsabf simulate`) and consumer (`dsabf run`) commonly
+    start concurrently in separate processes, so cross-process safety
+    matters: an fcntl lock file serializes builds between processes
+    (the threading.Lock only covers threads in one process), and the
+    compiler writes to a per-pid temp published with an atomic
+    os.replace."""
+    so = _so_path()
     with _BUILD_LOCK:
-        if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
-            return _SO
-        tmp = _SO.with_suffix(".so.tmp")
-        cmd = [
-            os.environ.get("CXX", "g++"),
-            "-O2", "-std=c++17", "-shared", "-fPIC",
-            str(_SRC), "-o", str(tmp), "-lrt", "-pthread",
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-        os.replace(tmp, _SO)
-        return _SO
+        if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
+            return so
+        lock_path = so.with_suffix(".lock")
+        with open(lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                # Another process may have built it while we waited.
+                if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
+                    return so
+                tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
+                cmd = [
+                    os.environ.get("CXX", "g++"),
+                    "-O2", "-std=c++17", "-shared", "-fPIC",
+                    str(_SRC), "-o", str(tmp), "-lrt", "-pthread",
+                ]
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True)
+                os.replace(tmp, so)
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
+        return so
 
 
 def _load() -> ctypes.CDLL:

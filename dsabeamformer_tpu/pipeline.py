@@ -68,12 +68,17 @@ class RingSource:
         # reference's multi-stream pipeline): ``device_put`` is async and
         # on some backends aliases host memory, so a block's staging
         # buffer must not be overwritten while it may still be in flight.
-        # Pool size must exceed the driver's in-flight depth + 1.
+        # Pool size must exceed the driver's in-flight depth + 1;
+        # StreamingBeamformer.run() enforces this via ``n_host_buffers``.
         self._pool = [
             np.empty(cfg.wire_block_bytes, dtype=np.uint8)
             for _ in range(n_host_buffers)
         ]
         self._pool_i = 0
+
+    @property
+    def n_host_buffers(self) -> int:
+        return len(self._pool)
 
     def read_block(self) -> Optional[Block]:
         buf = self._pool[self._pool_i]
@@ -236,6 +241,30 @@ class StreamingBeamformer:
         self._inflight: collections.deque = collections.deque()
         self._block_idx = 0
         self._stream_t = 0.0
+        self._stats: Optional[StreamStats] = None
+
+    def _check_staging_pool(self) -> None:
+        """A source staging buffer must never be recycled while its
+        async ``device_put`` may still be in flight: the pool has to
+        hold every in-flight block (depth) plus the one being enqueued
+        and one safety slot."""
+        pool_n = getattr(self.source, "n_host_buffers", None)
+        if pool_n is not None and self.depth + 2 > pool_n:
+            raise ValueError(
+                f"depth={self.depth} requires at least depth+2="
+                f"{self.depth + 2} host staging buffers, but the source "
+                f"has only {pool_n}; raise RingSource(n_host_buffers=...) "
+                f"or lower --depth"
+            )
+
+    def current_stats(self) -> StreamStats:
+        """Stats for the in-progress (or completed) run, wall-clocked
+        from the loop start — safe to call from an interrupt handler."""
+        if self._stats is None:
+            self._stats = StreamStats(cfg_name=self.cfg.name)
+        self._stats.dropped = getattr(self.source, "dropped", 0)
+        self._stats.skipped = getattr(self.source, "skipped", 0)
+        return self._stats.finish()
 
     def warmup(self) -> None:
         """Compile the block step before attaching to a live stream (a
@@ -278,7 +307,8 @@ class StreamingBeamformer:
 
     def run(self, max_blocks: Optional[int] = None) -> StreamStats:
         cfg = self.cfg
-        stats = StreamStats(cfg_name=cfg.name)
+        self._check_staging_pool()
+        self._stats = stats = StreamStats(cfg_name=cfg.name)
         n = 0
         while max_blocks is None or n < max_blocks:
             item = self.source.read_block()

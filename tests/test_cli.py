@@ -66,3 +66,52 @@ def test_bad_config_key_fails():
     with pytest.raises(AttributeError):
         cli.main(["weights", "--config", "tiny", "--set", "nope=1",
                   "--out", "/tmp/x.npz"])
+
+
+def test_set_bool_coercion_tokens():
+    # bool("false") is True -- the CLI must parse bool tokens explicitly.
+    assert cli._coerce_field(True, "false") is False
+    assert cli._coerce_field(True, "0") is False
+    assert cli._coerce_field(False, "TRUE") is True
+    assert cli._coerce_field(False, "on") is True
+    with pytest.raises(ValueError, match="bool"):
+        cli._coerce_field(True, "nope")
+
+
+def test_set_bool_through_cli(capsys, tmp_path):
+    rc = cli.main(["weights", "--config", "tiny",
+                   "--set", "fold_corner_turn=false",
+                   "--out", str(tmp_path / "w.npz")])
+    assert rc == 0
+
+
+def test_run_pinned_nonzero_device_single_compile(tmp_path, capsys, caplog,
+                                                  tiny_cfg):
+    """--device N must pin weights + warmup + the stream to device N:
+    with everything under one jax.default_device, the block step
+    compiles at most once (warmup), never again on the first live
+    block."""
+    import logging
+
+    import jax
+
+    blocks = [make_noise_block(tiny_cfg, rms=2.0, seed=s) for s in range(2)]
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        for b in blocks:
+            f.write(b.tobytes())
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING):
+            rc = cli.main(["run", "--config", "tiny",
+                           "--input-file", str(inpath),
+                           "--device", "1", "--blocks", "2"])
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["blocks"] == 2
+    compiles = [r for r in caplog.records
+                if "beamform_power" in r.getMessage()
+                and "Compiling" in r.getMessage()]
+    assert len(compiles) <= 1, [r.getMessage() for r in compiles]
