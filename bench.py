@@ -63,7 +63,7 @@ def main() -> int:
 
     print(f"[bench] backend={jax.default_backend()} "
           f"devices={jax.devices()}", file=sys.stderr)
-    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
     blocks = [make_random_bytes_block(cfg, seed=s) for s in range(2)]
     stack = jax.device_put(
         np.stack([blocks[i % 2] for i in range(n_blocks)])

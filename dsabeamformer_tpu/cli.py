@@ -63,13 +63,13 @@ def _add_common(p):
 def _make_weights(cfg, args):
     from dsabeamformer_tpu.models.calibration import CalTable
     from dsabeamformer_tpu.models.weights import make_weights
-    from dsabeamformer_tpu.ops.quantize import load_quant_weights, quantize_weights
+    from dsabeamformer_tpu.ops.quantize import load_quant_weights, prepare_weights
 
     if getattr(args, "weights", None):
         return load_quant_weights(args.weights)
     cal = CalTable.load(args.cal) if getattr(args, "cal", None) else None
     w = make_weights(cfg, cal=cal, pointing_rad=getattr(args, "pointing", 0.0))
-    return quantize_weights(w, cfg.weight_mode)
+    return prepare_weights(cfg, w)
 
 
 def cmd_run(args) -> int:
@@ -226,7 +226,7 @@ def cmd_selftest(args) -> int:
     from dsabeamformer_tpu.ingest.generator import make_point_source_block
     from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
     from dsabeamformer_tpu.ops.gemm import beamform_power
-    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.quantize import prepare_weights
     from dsabeamformer_tpu.ops.reference import beamform_block_ref
     from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
 
@@ -246,7 +246,7 @@ def cmd_selftest(args) -> int:
     angles = cfg.beam_angles_rad()
     target = cfg.n_beams // 3
     wire = make_point_source_block(cfg, angles[target], noise_rms=0.3, seed=1)
-    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    qw = prepare_weights(cfg, make_weights(cfg))
     p = np.asarray(beamform_power(jax.device_put(wire), qw, cfg))
     peak = int(np.argmax(p.sum(axis=(0, 1))))
     p_ref = beamform_block_ref(

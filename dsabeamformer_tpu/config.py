@@ -65,7 +65,15 @@ class ObsConfig:
     chan_tile: int = 8           # channels per Pallas grid cell (amortizes
                                  # per-cell grid/DMA overhead; the batched-GEMM
                                  # analog of cublasCgemmBatched's batching)
-    weight_mode: str = "int8x2"  # one of: int8x2 | int8 | bf16 | bf16x2 | f32
+    weight_mode: str = "int8x2"  # one of: int12 | int8x2 | int8 | bf16 | bf16x2 | f32
+    n_ant_compute: int = 0       # antennas the GEMM contracts over; 0 = auto
+                                 # (n_ant_active rounded up to 32, capped at
+                                 # n_ant).  Wire slots >= this index MUST be
+                                 # zero (they are in the reference's padded
+                                 # 4R4I format, SURVEY.md §0), so dropping
+                                 # them from K changes nothing numerically
+                                 # while skipping MXU passes and VPU unpack
+                                 # spent on structural zeros.
     input_layout: str = "tfpa"   # wire layout delivered by the capture stage
     fold_corner_turn: bool = False  # tfpa: corner-turn inside the kernel's
                                     # strided DMA instead of an XLA
@@ -89,10 +97,19 @@ class ObsConfig:
             raise ValueError("n_chan must be a multiple of navg_freq")
         if self.n_chan % self.chan_tile:
             raise ValueError("n_chan must be a multiple of chan_tile")
-        if self.weight_mode not in ("int8x2", "int8", "bf16", "bf16x2", "f32"):
+        if self.weight_mode not in ("int12", "int8x2", "int8", "bf16",
+                                    "bf16x2", "f32"):
             raise ValueError(f"unknown weight_mode: {self.weight_mode}")
         if self.input_layout not in ("tfpa", "ftpa"):
             raise ValueError(f"unknown input_layout: {self.input_layout}")
+        if self.n_ant_compute:
+            if self.n_ant_compute % 8:
+                raise ValueError("n_ant_compute must be a multiple of 8")
+            if not (self.n_ant_active <= self.n_ant_compute <= self.n_ant):
+                raise ValueError(
+                    "n_ant_compute must satisfy "
+                    "n_ant_active <= n_ant_compute <= n_ant"
+                )
 
     # ------------------------------------------------------------------ #
     # Derived quantities
@@ -159,13 +176,29 @@ class ObsConfig:
     def replace(self, **kw) -> "ObsConfig":
         return dataclasses.replace(self, **kw)
 
-    # FLOP accounting for MXU-utilization metrics (SURVEY.md §6):
-    # complex MAC = 4 real MACs; per (channel, time, pol) row the GEMM does
-    # n_beams * n_ant complex MACs.
+    @property
+    def a_compute(self) -> int:
+        """Resolved GEMM antenna count (see ``n_ant_compute``)."""
+        if self.n_ant_compute:
+            return self.n_ant_compute
+        return min(self.n_ant, -(-self.n_ant_active // 32) * 32)
+
+    @property
+    def gemm_k(self) -> int:
+        """Contraction length of each weight term's GEMM: the complex
+        K-concatenation gives 2*A rows; int12 additionally concatenates
+        its hi/lo sub-terms along K (the x16 data trick, ops/quantize.py)
+        for 4*A rows in a single term."""
+        mult = 4 if self.weight_mode == "int12" else 2
+        return mult * self.a_compute
+
+    # FLOP accounting for MXU-utilization metrics (SURVEY.md §6): per
+    # weight term the GEMM is [P*T, gemm_k] @ [gemm_k, 2B] per channel.
     @property
     def macs_per_block(self) -> int:
         """Real multiply-accumulates per block for ONE weight term."""
-        return 4 * self.n_beams * self.n_ant * self.n_chan * self.t_block * self.n_pol
+        return (self.n_pol * self.t_block * self.gemm_k
+                * 2 * self.n_beams * self.n_chan)
 
     @property
     def n_weight_terms(self) -> int:

@@ -28,14 +28,16 @@ def _emit(cfg: ObsConfig, re: np.ndarray, im: np.ndarray) -> np.ndarray:
 
 
 def make_random_bytes_block(cfg: ObsConfig, seed: int = 0) -> np.ndarray:
-    """Uniform random 4R4I bytes on all inputs — statistically wrong but
-    bit-format-valid, and ~100x faster to generate than Gaussian noise.
-    For throughput benchmarks only (a full-band block is ~0.5 GB;
-    Gaussian generation takes minutes per block)."""
+    """Uniform random 4R4I bytes on active inputs — statistically wrong
+    but bit-format-valid, and ~100x faster to generate than Gaussian
+    noise.  For throughput benchmarks only (a full-band block is
+    ~0.5 GB; Gaussian generation takes minutes per block).  Honors the
+    wire contract that zero-padded antenna slots carry zero bytes
+    (config.n_ant_compute relies on it)."""
     rng = np.random.default_rng(seed)
-    return rng.integers(
-        0, 256, size=cfg.wire_block_shape, dtype=np.uint8
-    )
+    blk = rng.integers(0, 256, size=cfg.wire_block_shape, dtype=np.uint8)
+    blk[..., cfg.n_ant_active:] = 0
+    return blk
 
 
 def make_noise_block(cfg: ObsConfig, rms: float = 2.0, seed: int = 0) -> np.ndarray:

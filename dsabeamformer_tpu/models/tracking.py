@@ -76,7 +76,7 @@ class FringeTracker:
             cal=self.cal,
             pointing_rad=self.pointing_at(t_s),
         )
-        return quantize_weights(w, self.cfg.weight_mode)
+        return quantize_weights(w, self.cfg.weight_mode, self.cfg.a_compute)
 
     def maybe_update(self, t_s: float) -> Optional[QuantWeights]:
         """Return fresh weights if the drift since the last update

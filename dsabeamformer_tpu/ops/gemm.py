@@ -60,49 +60,63 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _unpack_tile(x_u8):
-    """uint8 (rows, P*A) -> int8 (re, im), the 4R4I prologue.
+def _unpack_tile(x_u8, x16: bool):
+    """uint8 (rows, cols) -> int8 4R4I nibble planes, the unpack prologue.
 
-    Mosaic has no 8-bit vector shifts, so widen to int32, extract the
-    nibbles with shift/mask, sign-extend with a select, and narrow back
-    to int8 for the MXU.  Pure VPU work, negligible next to the matmul.
+    Mosaic has no 8-bit vector shifts, so the work happens in int32.
+    Sign extension by masked arithmetic (``((v + 8) & 15) - 8``) instead
+    of compare+select — 3 ALU ops per nibble, no predication.  With
+    ``x16`` also returns the 16x-scaled planes for the int12 K-folding
+    (exact in int8: |16x| <= 128 for 4-bit x).  Returns (re, im) or
+    (16re, 16im, re, im), each int8 with the input's shape.
     """
     x32 = x_u8.astype(jnp.int32)
-    hi = jnp.right_shift(x32, 4)
-    lo = jnp.bitwise_and(x32, 15)
-    hi = hi - jnp.where(hi >= 8, 16, 0)
-    lo = lo - jnp.where(lo >= 8, 16, 0)
-    return hi.astype(jnp.int8), lo.astype(jnp.int8)
+    # Real in the high nibble, imag in the low (config.py wire format).
+    re = ((jnp.right_shift(x32, 4) + 8) & 15) - 8
+    im = ((x32 + 8) & 15) - 8  # carries into bit 4 are masked off
+    if x16:
+        return (
+            jnp.left_shift(re, 4).astype(jnp.int8),
+            jnp.left_shift(im, 4).astype(jnp.int8),
+            re.astype(jnp.int8),
+            im.astype(jnp.int8),
+        )
+    return re.astype(jnp.int8), im.astype(jnp.int8)
 
 
-def _accumulate(xr, xi, w_refs, *, chan, n_ant, n_pol):
-    """Pol-stacked K-cat GEMM in *quantized units*.
+def _build_x(x_bytes, *, n_ant, a_compute, n_pol, x16):
+    """Wire byte tile ``[Tt, P*A]`` -> MXU X operand ``[P*Tt, K]`` int8.
 
-    Both polarizations share the weight matrix, so their row blocks are
-    stacked along M (sublanes) into a single ``[n_pol*Tt, 2A]`` operand —
-    one MXU dispatch per term instead of one per (pol, term), with twice
-    the M to amortize systolic-array fill.  Row order: all pol-0 rows,
-    then all pol-1 rows.
-
-    Scaling is DEFERRED: the result is in units of the last term's scale
-    (``s_lo`` for int8x2, whose terms are spaced by exactly 2^8, so the
-    int32 partials combine as ``(M_hi << 8) + M_lo`` — an all-integer
-    epilogue with a single f32 convert; bf16x2 terms carry scale 1 and
-    add directly in f32).  The caller multiplies the final *averaged*
-    output by ``scale**power`` — 16x fewer elements than scaling here.
-    Keeping the VPU epilogue this thin matters: the per-element float
-    work would otherwise rival the MXU time (K=128 means only 128 MACs
-    amortize each output element).
-
-    Each quantization term is a separate kernel input (Mosaic rejects
-    stacked 4-D blocks, so terms are unstacked at the call site).
-    Returns ``[n_pol*Tt, 2B]`` float32, in quantized units.
+    Slices each pol's byte columns to the first ``a_compute`` antennas
+    BEFORE unpacking (zero-padded slots never reach the VPU), stacks the
+    nibble planes along lanes to match the weight rows — ``[re | im]``
+    (K = 2*a_compute) or ``[16re | 16im | re | im]`` (int12,
+    K = 4*a_compute) — and stacks the pols along sublanes (M): both pols
+    share weights, so one MXU dispatch with 2x M amortizes array fill.
     """
     rows = []
     for p in range(n_pol):
-        sl = slice(p * n_ant, (p + 1) * n_ant)
-        rows.append(jnp.concatenate([xr[:, sl], xi[:, sl]], axis=1))  # [Tt, 2A]
-    x_all = jnp.concatenate(rows, axis=0)  # [P*Tt, 2A] int8
+        cols = x_bytes[:, p * n_ant : p * n_ant + a_compute]
+        rows.append(jnp.concatenate(_unpack_tile(cols, x16), axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _accumulate(x_all, w_refs, *, chan):
+    """Quantized-unit GEMM: ``x_all [M, K] @ w [K, 2B]`` per term.
+
+    Scaling is DEFERRED: the result is in units of the last term's scale
+    (int8x2 terms are spaced by exactly 2^8, so the int32 partials
+    combine as ``(M_hi << 8) + M_lo``; int12 folds its hi/lo terms into
+    K so a single dot already yields ``16*X@W_hi + X@W_lo``; bf16x2
+    terms carry scale 1 and add directly in f32).  The caller multiplies
+    the final *averaged* output by ``scale**power`` — 16x fewer elements
+    than scaling here.  Keeping the VPU epilogue this thin matters: the
+    per-element float work would otherwise rival the MXU time.
+
+    Each quantization term is a separate kernel input (Mosaic rejects
+    stacked 4-D blocks, so terms are unstacked at the call site).
+    Returns ``[M, 2B]`` float32, in quantized units.
+    """
     if w_refs[0].dtype == jnp.int8:
         m = jnp.dot(x_all, w_refs[0][chan], preferred_element_type=jnp.int32)
         if len(w_refs) == 2:
@@ -122,8 +136,8 @@ def _accumulate(xr, xi, w_refs, *, chan, n_ant, n_pol):
     return acc
 
 
-def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time,
-                  tfpa):
+def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
+                  navg_time, x16, tfpa):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     fc = x_ref.shape[1] if tfpa else x_ref.shape[0]  # chan_tile
     tt = x_ref.shape[0] if tfpa else x_ref.shape[1]  # time_tile
@@ -133,8 +147,9 @@ def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time,
     # of the unrolled form was minutes at chan_tile=8.
     def chan_body(c, _):
         x = x_ref[:, c, :] if tfpa else x_ref[c]
-        xr, xi = _unpack_tile(x)  # (Tt, P*A)
-        acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
+        x_all = _build_x(x, n_ant=n_ant, a_compute=a_compute, n_pol=n_pol,
+                         x16=x16)
+        acc = _accumulate(x_all, w_refs, chan=c)
         br = acc[:, :n_beams]
         bi = acc[:, n_beams:]
         p = br * br + bi * bi  # (P*Tt, B), quantized-units^2
@@ -158,14 +173,17 @@ def _power_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, navg_time,
     jax.lax.fori_loop(0, fc, chan_body, 0, unroll=fc if fc <= 2 else 1)
 
 
-def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):
+def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
+                    x16, tfpa):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     fc = x_ref.shape[1] if tfpa else x_ref.shape[0]
     tt = x_ref.shape[0] if tfpa else x_ref.shape[1]
 
     def chan_body(c, _):
-        xr, xi = _unpack_tile(x_ref[:, c, :] if tfpa else x_ref[c])
-        acc = _accumulate(xr, xi, w_refs, chan=c, n_ant=n_ant, n_pol=n_pol)
+        x = x_ref[:, c, :] if tfpa else x_ref[c]
+        x_all = _build_x(x, n_ant=n_ant, a_compute=a_compute, n_pol=n_pol,
+                         x16=x16)
+        acc = _accumulate(x_all, w_refs, chan=c)
         acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
         # Output is [F, T, P*2B] (pol folded into the lane axis: Mosaic
         # rejects 4-D output blocks); caller reshapes to [F, T, P, 2B].
@@ -178,13 +196,14 @@ def _voltage_kernel(x_ref, *refs, n_ant, n_beams, n_pol, n_terms, tfpa):
 
 
 def _check_weights(qw: QuantWeights, cfg: ObsConfig) -> None:
-    want = (cfg.n_chan, 2 * cfg.n_ant, 2 * cfg.n_beams)
+    want = (cfg.n_chan, cfg.gemm_k, 2 * cfg.n_beams)
     got = tuple(qw.terms.shape[1:])
     if got != want:
         raise ValueError(
             f"quantized weights shaped {got} do not match config "
-            f"{cfg.name!r} (expected [F,2A,2B] = {want}); regenerate with "
-            f"quantize_weights(make_weights(cfg), cfg.weight_mode)"
+            f"{cfg.name!r} (expected [F,K,2B] = {want} for mode "
+            f"{cfg.weight_mode!r} / a_compute={cfg.a_compute}); regenerate "
+            f"with prepare_weights(cfg, make_weights(cfg))"
         )
     if qw.scales.shape != (cfg.n_chan, qw.terms.shape[0]):
         raise ValueError(
@@ -226,7 +245,7 @@ def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
 
 
 def _common_specs(cfg: ObsConfig, n_terms: int):
-    a2 = 2 * cfg.n_ant
+    a2 = cfg.gemm_k
     b2 = 2 * cfg.n_beams
     fc = cfg.chan_tile
     if _kernel_reads_tfpa(cfg):
@@ -302,10 +321,12 @@ def beamform_power(
     kernel = functools.partial(
         _power_kernel,
         n_ant=cfg.n_ant,
+        a_compute=cfg.a_compute,
         n_beams=cfg.n_beams,
         n_pol=cfg.n_pol,
         n_terms=n_terms,
         navg_time=cfg.navg_time,
+        x16=cfg.weight_mode == "int12",
         tfpa=_kernel_reads_tfpa(cfg),
     )
     out = pl.pallas_call(
@@ -360,9 +381,11 @@ def beamform_voltages(
     kernel = functools.partial(
         _voltage_kernel,
         n_ant=cfg.n_ant,
+        a_compute=cfg.a_compute,
         n_beams=cfg.n_beams,
         n_pol=cfg.n_pol,
         n_terms=n_terms,
+        x16=cfg.weight_mode == "int12",
         tfpa=_kernel_reads_tfpa(cfg),
     )
     out = pl.pallas_call(

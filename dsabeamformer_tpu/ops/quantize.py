@@ -10,14 +10,32 @@ imaginary parts along the contraction axis:
           [-Wi^T, Wr^T]]               # [2A, 2B]
     Xc @ Wc = [Br | Bi]                # [T, 2B]
 
-For DSA-10 (A=64) this makes K = 128 — exactly the MXU systolic dim — so
-the complex GEMM runs at full MXU occupancy instead of the 50% ceiling a
-K=64 formulation would have.  Same trick doubles as the int8 enabler:
+The MXU charges by passes of ceil(K/128), so K is the axis to engineer.
+Two K tricks stack on top of the complex concatenation:
 
-- ``int8``   : one int8 term, per-channel scale (fastest, ~1e-3 risk).
-- ``int8x2`` : hi + lo int8 terms (residual quantization, ~15-bit
-               effective weight precision) — int8 MXU rate with error
-               ~1e-5, far inside the <=1e-3 power-error bar.  Default.
+- **Antenna slicing** (``a_compute``): the wire format zero-pads the
+  antenna axis (DSA-10: 10 active of 64, SURVEY.md §0), and zero data
+  rows contribute nothing to the GEMM — the weight matrix keeps only
+  the first ``a_compute`` antenna columns, shrinking K by the padding
+  ratio before the MXU ever sees it.
+- **``int12`` x16 folding**: 12-bit weights in ONE int8 matmul.
+  ``W ~= s * (16*W_hi + W_lo)`` with the 16 moved to the DATA side —
+  legal precisely because voltages are 4-bit (``|16x| <= 128`` fits
+  int8) — so ``B = [16X | X] @ [[W_hi], [W_lo]]`` is a single
+  K-concatenated int8 GEMM.  For DSA-10 (a_compute=32) K = 4*32 = 128:
+  one MXU pass where int8x2 needs two, at ~2.5e-4 weight error (the
+  1e-3 power bar needs ~12 bits; int8's 8 are too few, int8x2's 16 are
+  more than the f32 phase generation can even use).
+
+Modes:
+
+- ``int12``  : one int8 term, K-folded hi+lo (see above) — the fast
+               mode that clears the 1e-3 bar.
+- ``int8``   : one int8 term, per-channel scale (fails the bar at ~7e-3;
+               kept for throughput comparison).
+- ``int8x2`` : hi + lo int8 terms spaced exactly 2^8 (residual
+               quantization, ~15-bit effective) — max accuracy at 2x
+               the matmul passes.  Default.
 - ``bf16`` / ``bf16x2`` : bfloat16 single / hi+lo split.
 - ``f32``    : exact float32 (validation path).
 
@@ -40,9 +58,12 @@ from dsabeamformer_tpu.ops.cplx import CVec
 class QuantWeights(NamedTuple):
     """MXU-ready weights.
 
-    terms:  ``[n_terms, F, 2A, 2B]`` — int8, bfloat16, or float32.
-    scales: ``[F, n_terms]`` float32 — per-channel per-term scale such that
-            ``Wc[f] ~= sum_k scales[f, k] * terms[k, f]``.
+    terms:  ``[n_terms, F, K, 2B]`` — int8, bfloat16, or float32.
+            K = 2*a_compute, except int12 where the single term holds
+            hi over lo: ``[[W_hi], [W_lo]]`` with K = 4*a_compute.
+    scales: ``[F, n_terms]`` float32 — per-channel per-term scale such
+            that ``Wc[f] ~= sum_k scales[f, k] * terms[k, f]`` (for
+            int12: ``Wc[f] ~= scales[f,0] * (16*hi + lo)``).
     """
 
     terms: jax.Array
@@ -56,17 +77,34 @@ class QuantWeights(NamedTuple):
     def n_chan(self) -> int:
         return self.terms.shape[1]
 
-    def dequantize(self) -> jax.Array:
-        """Reconstruct ``Wc`` in float32 (test oracle)."""
+    def dequantize(self, mode: str = "linear") -> jax.Array:
+        """Reconstruct ``Wc`` in float32 (test oracle).
+
+        Pass ``mode="int12"`` for x16-folded terms (the K axis holds
+        ``[[W_hi], [W_lo]]`` and the data side carries the 16)."""
+        if mode == "int12":
+            k2 = self.terms.shape[2] // 2
+            hi = self.terms[0, :, :k2].astype(jnp.float32)
+            lo = self.terms[0, :, k2:].astype(jnp.float32)
+            return self.scales[:, 0, None, None] * (16.0 * hi + lo)
         return jnp.einsum(
             "kfab,fk->fab", self.terms.astype(jnp.float32), self.scales
         )
 
 
-def cat_weights(weights: CVec) -> jax.Array:
-    """Planar ``CVec`` ``[F, B, A]`` -> K-concatenated real ``Wc [F, 2A, 2B]``."""
+def cat_weights(weights: CVec, a_compute: int | None = None) -> jax.Array:
+    """Planar ``CVec`` ``[F, B, A]`` -> K-concatenated real ``Wc
+    [F, 2*a_compute, 2B]``; antennas >= ``a_compute`` (zero-padded wire
+    slots) are dropped from the contraction axis."""
     wr = weights.re.astype(jnp.float32)  # [F, B, A]
     wi = weights.im.astype(jnp.float32)
+    if a_compute is not None:
+        if not (0 < a_compute <= wr.shape[2]):
+            raise ValueError(
+                f"a_compute={a_compute} out of range for A={wr.shape[2]}"
+            )
+        wr = wr[:, :, :a_compute]
+        wi = wi[:, :, :a_compute]
     wrT = jnp.swapaxes(wr, 1, 2)  # [F, A, B]
     wiT = jnp.swapaxes(wi, 1, 2)
     top = jnp.concatenate([wrT, wiT], axis=2)     # [F, A, 2B]
@@ -125,7 +163,27 @@ def _quant_f32(wc):
     return wc[None], jnp.ones((wc.shape[0], 1), jnp.float32)
 
 
+@jax.jit
+def _quant_int12(wc):
+    # ONE term [[W_hi], [W_lo]] stacked along K; the kernel's X operand
+    # is [16X | X], so the product is 16*(X@W_hi) + X@W_lo = X@(16Whi+Wlo)
+    # in units of s — 12-bit effective weights in one int8 MXU pass.
+    # s = amax/2040 puts round(wc/(16s)) within +-127.5; the clip
+    # handles the boundary, after which |wc/s - 16*hi| <= 8 so lo is a
+    # genuine 4-bit residual (it rides the int8 operand regardless).
+    s = jnp.maximum(
+        jnp.max(jnp.abs(wc), axis=(1, 2)) / jnp.float32(2040.0),
+        jnp.float32(1e-30),
+    )
+    sn = s[:, None, None]
+    hi = jnp.clip(jnp.round(wc / (16.0 * sn)), -127, 127)
+    lo = jnp.clip(jnp.round(wc / sn - 16.0 * hi), -127, 127)
+    term = jnp.concatenate([hi, lo], axis=1).astype(jnp.int8)
+    return term[None], s[:, None]
+
+
 _QUANTIZERS = {
+    "int12": _quant_int12,
     "int8": _quant_int8,
     "int8x2": _quant_int8x2,
     "bf16": _quant_bf16,
@@ -134,23 +192,28 @@ _QUANTIZERS = {
 }
 
 
-def quantize_weights(weights: CVec, mode: str = "int8x2") -> QuantWeights:
+def quantize_weights(
+    weights: CVec, mode: str = "int8x2", a_compute: int | None = None
+) -> QuantWeights:
     """Planar-complex weights ``[F, B, A]`` -> MXU-ready ``QuantWeights``.
 
-    Pure jitted device-side transform: calibration/pointing updates flow
-    ``make_weights -> quantize_weights`` with no host round-trip
-    (BASELINE north star: device-side weight updates).
+    ``a_compute`` drops zero-padded antennas from the contraction axis
+    (pass ``cfg.a_compute``; None keeps all A).  Pure jitted device-side
+    transform: calibration/pointing updates flow ``make_weights ->
+    quantize_weights`` with no host round-trip (BASELINE north star:
+    device-side weight updates).
     """
     try:
         fn = _QUANTIZERS[mode]
     except KeyError:
         raise ValueError(f"unknown weight mode {mode!r}") from None
-    terms, scales = fn(cat_weights(weights))
+    terms, scales = fn(cat_weights(weights, a_compute))
     return QuantWeights(terms=terms, scales=scales)
 
 
 def prepare_weights(cfg: ObsConfig, weights: CVec) -> QuantWeights:
-    return quantize_weights(weights, cfg.weight_mode)
+    """Config-driven quantization: mode and antenna slicing from cfg."""
+    return quantize_weights(weights, cfg.weight_mode, cfg.a_compute)
 
 
 def save_quant_weights(path: str, qw: QuantWeights) -> None:

@@ -82,6 +82,7 @@ def shard_weights(
     qw = quantize_weights(
         make_weights(cfg, layout=layout, cal=cal, pointing_rad=pointing_rad),
         cfg.weight_mode,
+        cfg.a_compute,
     )
     sharded = QuantWeights(
         terms=jax.device_put(

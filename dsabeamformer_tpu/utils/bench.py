@@ -45,7 +45,7 @@ def _scan_blocks(stack, qw, cfg):
 
 def bench_kernel(cfg: ObsConfig, n_blocks: int = 8, n_distinct: int = 4,
                  repeats: int = 3) -> dict:
-    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
     blocks = [make_random_bytes_block(cfg, seed=s) for s in range(n_distinct)]
     stack = jax.device_put(
         np.stack([blocks[i % n_distinct] for i in range(n_blocks)])
@@ -70,7 +70,7 @@ def bench_kernel(cfg: ObsConfig, n_blocks: int = 8, n_distinct: int = 4,
 
 def bench_stream(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 4,
                  depth: int = 4) -> dict:
-    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
     blocks = [make_random_bytes_block(cfg, seed=s) for s in range(n_distinct)]
     # Warm-up run compiles and primes transfers.
     run_stream(cfg, qw, SyntheticSource(cfg, blocks, n_blocks=2), depth=depth)

@@ -31,6 +31,7 @@ def _golden_power(cfg, wire, cal=None):
 @pytest.mark.parametrize(
     "mode,rtol",
     [
+        ("int12", 8e-4),
         ("int8x2", 2e-4),
         ("bf16x2", 2e-4),
         ("f32", 1e-5),
@@ -42,11 +43,49 @@ def test_fused_power_vs_golden(tiny_cfg, mode, rtol):
     cfg = tiny_cfg.replace(weight_mode=mode)
     cal = CalTable.random(cfg, seed=11)
     wire = make_noise_block(cfg, rms=2.5, seed=21)
-    qw = quantize_weights(make_weights(cfg, cal=cal), mode)
+    qw = quantize_weights(make_weights(cfg, cal=cal), mode, cfg.a_compute)
     p = np.asarray(beamform_power(wire, qw, cfg))
     p_ref = _golden_power(cfg, wire, cal=cal)
     assert p.shape == cfg.out_block_shape
     assert_power_close(p, p_ref, rtol=rtol, what=mode)
+
+
+def test_ant_slicing_exact(tiny_cfg):
+    """Dropping zero-padded antennas from K (n_ant_compute) is bit-exact
+    in f32 mode: the sliced rows contribute only structural zeros."""
+    cfg_full = tiny_cfg.replace(weight_mode="f32")
+    cfg_sl = tiny_cfg.replace(weight_mode="f32", n_ant_compute=8)
+    wire = make_noise_block(cfg_full, rms=2.0, seed=71)
+    w = make_weights(cfg_full)
+    p_full = np.asarray(
+        beamform_power(wire, quantize_weights(w, "f32", 16), cfg_full)
+    )
+    p_sl = np.asarray(
+        beamform_power(wire, quantize_weights(w, "f32", 8), cfg_sl)
+    )
+    np.testing.assert_array_equal(p_full, p_sl)
+
+
+def test_int12_sliced_point_source_peak(tiny_cfg):
+    """The fast path (int12 + antenna slicing) still puts the beam peak
+    exactly at the injected source.
+
+    Note the loose rtol: under the sidelobe-floored error metric
+    (denominator clamped at 1e-3*peak, utils/testing.py) a coherent
+    point source amplifies 12-bit weight error to ~5e-3 in ~-30 dB
+    sidelobe bins — which is why int12 is NOT the default mode; int8x2
+    stays within the 1e-3 bar on this same input (the parametrized
+    golden test above covers the noise-block gate where int12 measures
+    ~4e-4)."""
+    cfg = tiny_cfg.replace(weight_mode="int12", n_ant_compute=8)
+    angles = cfg.beam_angles_rad()
+    target = len(angles) // 4
+    wire = make_point_source_block(cfg, angles[target], noise_rms=0.3, seed=5)
+    qw = quantize_weights(make_weights(cfg), "int12", cfg.a_compute)
+    p = np.asarray(beamform_power(wire, qw, cfg))
+    assert int(np.argmax(p.sum(axis=(0, 1)))) == target
+    p_ref = _golden_power(cfg, wire)
+    assert_power_close(p, p_ref, rtol=1e-2, what="int12 sliced")
 
 
 def test_fused_power_point_source_peak(tiny_cfg):

@@ -44,6 +44,9 @@ def test_cat_gemm_equals_complex_gemm(tiny_cfg, rng):
         # s_lo = s_hi/256 with clip at 127: worst case 1.5*s_lo
         # => 1.5/(256*127) ~ 4.6e-5.
         ("int8x2", 6.0e-5),
+        # 12-bit x16 folding: s = amax/2040, residual <= s/2
+        # => 0.5/2040 ~ 2.45e-4.
+        ("int12", 3.0e-4),
         ("bf16", 1.0 / 200),
         ("bf16x2", 1.0 / 50000),
         ("f32", 1e-7),
@@ -53,16 +56,31 @@ def test_dequantize_error_bound(tiny_cfg, mode, bound):
     w = make_weights(tiny_cfg)
     wc = np.asarray(cat_weights(w))
     qw = quantize_weights(w, mode)
-    approx = np.asarray(qw.dequantize())
+    approx = np.asarray(qw.dequantize("int12" if mode == "int12" else "linear"))
     err = np.max(np.abs(approx - wc)) / np.max(np.abs(wc))
     assert err <= bound, f"{mode}: {err:.3e} > {bound:.3e}"
 
 
 def test_modes_term_counts(tiny_cfg):
     w = make_weights(tiny_cfg)
+    f, b, a = w.shape
     assert quantize_weights(w, "int8").terms.shape[0] == 1
     assert quantize_weights(w, "int8x2").terms.shape[0] == 2
     assert quantize_weights(w, "int8x2").terms.dtype == jnp.int8
     assert quantize_weights(w, "bf16x2").terms.dtype == jnp.bfloat16
+    # int12: ONE term with hi/lo folded along K (4A rows).
+    q12 = quantize_weights(w, "int12")
+    assert q12.terms.shape == (1, f, 4 * a, 2 * b)
+    assert q12.terms.dtype == jnp.int8
     with pytest.raises(ValueError):
         quantize_weights(w, "nope")
+
+
+def test_cat_weights_a_compute_slices_k(tiny_cfg):
+    w = make_weights(tiny_cfg)
+    f, b, a = w.shape
+    wc = np.asarray(cat_weights(w))
+    wc8 = np.asarray(cat_weights(w, 8))
+    assert wc8.shape == (f, 16, 2 * b)
+    np.testing.assert_array_equal(wc8[:, :8], wc[:, :8])
+    np.testing.assert_array_equal(wc8[:, 8:], wc[:, a : a + 8])
