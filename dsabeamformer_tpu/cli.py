@@ -13,6 +13,7 @@ subcommands:
   dsabf selftest    — tiny end-to-end correctness check on this backend
   dsabf info        — device + config diagnostics
   dsabf bench       — single-chip benchmark, one JSON line (see bench.py)
+  dsabf trace       — capture + summarize a device profiler trace
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
@@ -299,6 +300,18 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_trace(args) -> int:
+    """Capture a device trace of a few block steps and print the per-op
+    duration breakdown (the nvprof-timeline analog, SURVEY.md §5)."""
+    from dsabeamformer_tpu.utils.profiling import profile_block_step
+
+    cfg = _load_cfg(args)
+    rows = profile_block_step(cfg, n_blocks=args.blocks, log_dir=args.out)
+    print(json.dumps({"log_dir": args.out, "blocks": args.blocks,
+                      "ops": rows}))
+    return 0
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: repeat invocations of the same
     config skip the (potentially minutes-long) kernel compile."""
@@ -391,6 +404,13 @@ def main(argv=None) -> int:
                    choices=["stream", "kernel"],
                    help="stream = end-to-end host->HBM ingest; kernel = device-resident")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("trace", help="capture + summarize a device trace")
+    _add_common(p)
+    p.add_argument("--blocks", type=int, default=3)
+    p.add_argument("--out", default="/tmp/dsabf-trace",
+                   help="profiler log dir (tensorboard --logdir <out>)")
+    p.set_defaults(fn=cmd_trace)
 
     args = ap.parse_args(argv)
     return args.fn(args)

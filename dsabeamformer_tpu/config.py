@@ -60,8 +60,9 @@ class ObsConfig:
     bandwidth_hz: float = 250e6
     beam_span_deg: float = 2.6   # full fan width, beams uniform in sin(theta)
     # --- kernel tiling / numerics ---
-    time_tile: int = 1024        # Pallas grid tile along T (swept on v5e:
-                                 # 1024 best; VMEM-bound above)
+    time_tile: int = 2048        # Pallas grid tile along T (swept on v5e:
+                                 # 2048 best with the antenna-sliced K;
+                                 # VMEM-bound above at chan_tile=8)
     chan_tile: int = 8           # channels per Pallas grid cell (amortizes
                                  # per-cell grid/DMA overhead; the batched-GEMM
                                  # analog of cublasCgemmBatched's batching)

@@ -6,9 +6,15 @@ Two modes:
 
 - ``stream``: end-to-end host->HBM ingest through the streaming driver
   (BASELINE config 4) — what the observatory would actually sustain.
-- ``kernel``: device-resident hot loop (blocks pre-staged in HBM, timed
-  with a `lax.scan` chain so relay/dispatch latency is excluded) — the
-  speed-of-light number for the fused Pallas kernel.
+- ``kernel``: device-resident hot loop — blocks pre-staged in HBM,
+  n_blocks back-to-back *dispatches* of the fused block step (exactly
+  the production streaming shape: one dispatch per block).  Dispatches
+  pile up in the device queue and execute serially, so wall/n_blocks is
+  the true per-block device time including the per-dispatch cost the
+  streaming driver actually pays.  (The round-1 harness timed a
+  ``lax.scan`` chain instead, which measured ~35% slower: the
+  stacked-input dynamic-slice copy per iteration is a benchmark
+  artifact, not production work — BENCH.md round 2.)
 
 NOTE on timing over the axon relay: ``block_until_ready`` does not
 reliably fence remote execution, so both modes force a scalar digest
@@ -17,12 +23,10 @@ fetch to close the timing interval.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dsabeamformer_tpu.config import ObsConfig
@@ -34,27 +38,25 @@ from dsabeamformer_tpu.pipeline import SyntheticSource, run_stream
 from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _scan_blocks(stack, qw, cfg):
-    def body(carry, wire):
-        return carry + beamform_power(wire, qw, cfg).sum(), None
-
-    s, _ = jax.lax.scan(body, jnp.float32(0), stack)
-    return s
+@jax.jit
+def _digest(x):
+    return x.sum()
 
 
-def bench_kernel(cfg: ObsConfig, n_blocks: int = 8, n_distinct: int = 4,
+def bench_kernel(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 2,
                  repeats: int = 3) -> dict:
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
-    blocks = [make_random_bytes_block(cfg, seed=s) for s in range(n_distinct)]
-    stack = jax.device_put(
-        np.stack([blocks[i % n_distinct] for i in range(n_blocks)])
-    )
-    float(_scan_blocks(stack, qw, cfg))  # compile + warm
+    blocks = [
+        jax.device_put(make_random_bytes_block(cfg, seed=s))
+        for s in range(n_distinct)
+    ]
+    float(_digest(beamform_power(blocks[0], qw, cfg)))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(_scan_blocks(stack, qw, cfg))
+        for i in range(n_blocks):
+            out = beamform_power(blocks[i % n_distinct], qw, cfg)
+        float(_digest(out))
         best = min(best, (time.perf_counter() - t0) / n_blocks)
     macs_per_s = cfg.macs_per_block * cfg.n_weight_terms / best
     peak = peak_macs_per_s(int8="int8" in cfg.weight_mode)
@@ -85,5 +87,5 @@ def bench_stream(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 4,
 def run_benchmark(cfg: ObsConfig, n_blocks: int = 16,
                   mode: str = "stream") -> dict:
     if mode == "kernel":
-        return bench_kernel(cfg, n_blocks=min(n_blocks, 8))
+        return bench_kernel(cfg, n_blocks=n_blocks)
     return bench_stream(cfg, n_blocks=n_blocks)

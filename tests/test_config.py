@@ -58,7 +58,7 @@ def test_subband_slicing():
 def test_config_hashable_for_jit():
     d = {DSA10: 1, TINY: 2}
     assert d[DSA10] == 1
-    assert DSA10.replace(t_block=1024) != DSA10
+    assert DSA10.replace(t_block=1024, time_tile=1024) != DSA10
 
 
 def test_wire_dtype_rejected(tiny_cfg):

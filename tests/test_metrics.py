@@ -49,3 +49,25 @@ def test_bench_stream_record_on_cpu():
     rec = run_benchmark(TINY, n_blocks=3, mode="stream")
     assert rec["mode"] == "stream"
     assert rec["blocks"] == 3
+
+
+def test_trace_capture_and_summary(tmp_path, tiny_cfg):
+    """profiling.profile_block_step captures a real device trace and
+    returns a per-op duration breakdown (works on the CPU backend)."""
+    from dsabeamformer_tpu.utils.profiling import profile_block_step
+
+    rows = profile_block_step(tiny_cfg, n_blocks=2, log_dir=str(tmp_path))
+    assert rows and all({"name", "count", "total_ms"} <= set(r) for r in rows)
+    assert any("beamform" in r["name"] for r in rows)
+
+
+def test_cli_trace(tmp_path, capsys):
+    import json as _json
+
+    from dsabeamformer_tpu import cli
+
+    rc = cli.main(["trace", "--config", "tiny", "--blocks", "2",
+                   "--out", str(tmp_path)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["ops"]

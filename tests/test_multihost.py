@@ -36,3 +36,45 @@ def test_subband_config_frequencies():
 def test_indivisible_hosts_rejected():
     with pytest.raises(ValueError):
         host_subbands(DSA10, 7)
+
+def test_multihost_runtime_two_processes(tmp_path):
+    """The real jax.distributed runtime path (multihost.py:
+    initialize_multihost / my_subband / make_array_from_process_local_data
+    assembly): 2 processes x 2 CPU devices run the global channel-sharded
+    step and golden-check their local output shards."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    worker = Path(__file__).parent / "multihost_worker.py"
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out
