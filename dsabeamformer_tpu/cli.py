@@ -99,6 +99,18 @@ def _cmd_run_pinned(args) -> int:
     )
 
     cfg = _load_cfg(args)
+    dada_offset = 0
+    if args.input_file:
+        from dsabeamformer_tpu.ingest import dada
+
+        if dada.is_dada_file(args.input_file):
+            # Recorded PSRDADA capture: the file's header defines the
+            # stream geometry (the reference parsed the DADA header the
+            # same way, SURVEY.md §3.1).
+            cfg, hdr, dada_offset = dada.read_dada_file(args.input_file, cfg)
+            print(f"[dsabf] DADA header: {cfg.n_chan} chan x {cfg.n_ant} "
+                  f"ant x {cfg.n_pol} pol, order {cfg.input_layout}, "
+                  f"data at +{dada_offset}", file=sys.stderr)
     qw = _make_weights(cfg, args)
 
     # Compile the hot path before attaching to the stream.
@@ -106,7 +118,7 @@ def _cmd_run_pinned(args) -> int:
     warm.warmup()
 
     if args.input_file:
-        source = FileSource(cfg, args.input_file)
+        source = FileSource(cfg, args.input_file, offset=dada_offset)
     else:
         ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
         # Staging pool sized from the pipeline depth (in-flight blocks

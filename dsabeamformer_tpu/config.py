@@ -75,15 +75,13 @@ class ObsConfig:
                                  # them from K changes nothing numerically
                                  # while skipping MXU passes and VPU unpack
                                  # spent on structural zeros.
-    input_layout: str = "tfpa"   # wire layout delivered by the capture stage
-    fold_corner_turn: bool = False  # tfpa: corner-turn inside the kernel's
-                                    # strided DMA instead of an XLA
-                                    # pre-transpose.  Experimental: correct
-                                    # in tests, but the current Mosaic
-                                    # release crashes compiling the strided
-                                    # read at full size, and the measured
-                                    # XLA-transpose cost is <5% — so the
-                                    # transpose is the default.
+    input_layout: str = "tfpa"   # wire layout delivered by the capture
+                                 # stage.  'tfpa' is corner-turned by an XLA
+                                 # pre-transpose (measured 2.4% of the block
+                                 # step; an in-kernel strided-DMA corner
+                                 # turn was tried in rounds 1-2 and retired
+                                 # — Mosaic cannot compile the strided read
+                                 # at full size, docs/DESIGN.md)
 
     def __post_init__(self):
         if self.n_pol != 2:

@@ -31,8 +31,10 @@ Design notes
   exact (|x|<=8, |w|<=127, K<=256, hi<<8 combine => |acc| < 2^27), and
   dequantization is a single per-channel scalar on the 16x-averaged
   output.
-- 'tfpa' wire blocks are corner-turned by the DMA stride pattern
-  (``fold_corner_turn``), not a separate transpose pass.
+- 'tfpa' wire blocks are corner-turned by one XLA pre-transpose
+  (measured 2.4% of the block step).  An in-kernel strided-DMA corner
+  turn was tried and retired: Mosaic cannot compile the strided read at
+  full size (docs/DESIGN.md dead-ends list).
 
 Public API
 ----------
@@ -137,18 +139,17 @@ def _accumulate(x_all, w_refs, *, chan):
 
 
 def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                  navg_time, x16, tfpa):
+                  navg_time, x16):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    fc = x_ref.shape[1] if tfpa else x_ref.shape[0]  # chan_tile
-    tt = x_ref.shape[0] if tfpa else x_ref.shape[1]  # time_tile
+    fc = x_ref.shape[0]  # chan_tile
+    tt = x_ref.shape[1]  # time_tile
 
     # fori_loop (not Python unroll) over the channel tile: the kernel
     # body compiles once regardless of chan_tile — Mosaic compile time
     # of the unrolled form was minutes at chan_tile=8.
     def chan_body(c, _):
-        x = x_ref[:, c, :] if tfpa else x_ref[c]
-        x_all = _build_x(x, n_ant=n_ant, a_compute=a_compute, n_pol=n_pol,
-                         x16=x16)
+        x_all = _build_x(x_ref[c], n_ant=n_ant, a_compute=a_compute,
+                         n_pol=n_pol, x16=x16)
         acc = _accumulate(x_all, w_refs, chan=c)
         br = acc[:, :n_beams]
         bi = acc[:, n_beams:]
@@ -174,15 +175,14 @@ def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                    x16, tfpa):
+                    x16):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    fc = x_ref.shape[1] if tfpa else x_ref.shape[0]
-    tt = x_ref.shape[0] if tfpa else x_ref.shape[1]
+    fc = x_ref.shape[0]
+    tt = x_ref.shape[1]
 
     def chan_body(c, _):
-        x = x_ref[:, c, :] if tfpa else x_ref[c]
-        x_all = _build_x(x, n_ant=n_ant, a_compute=a_compute, n_pol=n_pol,
-                         x16=x16)
+        x_all = _build_x(x_ref[c], n_ant=n_ant, a_compute=a_compute,
+                         n_pol=n_pol, x16=x16)
         acc = _accumulate(x_all, w_refs, chan=c)
         acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
         # Output is [F, T, P*2B] (pol folded into the lane axis: Mosaic
@@ -212,22 +212,13 @@ def _check_weights(qw: QuantWeights, cfg: ObsConfig) -> None:
         )
 
 
-def _kernel_reads_tfpa(cfg: ObsConfig) -> bool:
-    """True when the kernel itself performs the corner-turn by reading
-    the time-major wire with a strided BlockSpec (saves a full
-    HBM round trip vs an XLA pre-transpose)."""
-    return cfg.input_layout == "tfpa" and cfg.fold_corner_turn
-
-
 def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
     """Wire block -> the kernel's input array.
 
     'ftpa' (channel-major) is already GEMM order: reshape to
     ``[F, T, P*A]``.  'tfpa' (time-major, the reference's wire order,
-    SURVEY.md L3) either stays ``[T, F, P*A]`` for the kernel's strided
-    corner-turn read (default) or is pre-transposed by XLA
-    (``fold_corner_turn=False`` — costs one extra HBM round trip but
-    gives the kernel fully-contiguous DMAs).
+    SURVEY.md L3) is corner-turned by one XLA pre-transpose so the
+    kernel always gets fully-contiguous DMAs.
     """
     if wire.shape != cfg.wire_block_shape:
         raise ValueError(
@@ -238,8 +229,6 @@ def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
         raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
     pa = cfg.n_pol * cfg.n_ant
     if cfg.input_layout == "tfpa":
-        if cfg.fold_corner_turn:
-            return wire.reshape(cfg.t_block, cfg.n_chan, pa)
         wire = jnp.transpose(wire, (1, 0, 2, 3))
     return wire.reshape(cfg.n_chan, cfg.t_block, pa)
 
@@ -248,23 +237,12 @@ def _common_specs(cfg: ObsConfig, n_terms: int):
     a2 = cfg.gemm_k
     b2 = 2 * cfg.n_beams
     fc = cfg.chan_tile
-    if _kernel_reads_tfpa(cfg):
-        # Time-major wire [T, F, P*A]: the block gathers time_tile rows
-        # of chan_tile*128 contiguous bytes — the corner-turn happens in
-        # the DMA's stride pattern, not as a separate pass.
-        wire_spec = pl.BlockSpec(
-            (cfg.time_tile, fc, cfg.n_pol * cfg.n_ant),
-            lambda f, t: (t, f, 0),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        wire_spec = pl.BlockSpec(
+    in_specs = [
+        pl.BlockSpec(
             (fc, cfg.time_tile, cfg.n_pol * cfg.n_ant),
             lambda f, t: (f, t, 0),
             memory_space=pltpu.VMEM,
-        )
-    in_specs = [
-        wire_spec,
+        ),
     ] + [
         # One spec per quantization term: [chan_tile, 2A, 2B], constant
         # along the (innermost) time grid dim so each weight tile is
@@ -327,7 +305,6 @@ def beamform_power(
         n_terms=n_terms,
         navg_time=cfg.navg_time,
         x16=cfg.weight_mode == "int12",
-        tfpa=_kernel_reads_tfpa(cfg),
     )
     out = pl.pallas_call(
         kernel,
@@ -386,7 +363,6 @@ def beamform_voltages(
         n_pol=cfg.n_pol,
         n_terms=n_terms,
         x16=cfg.weight_mode == "int12",
-        tfpa=_kernel_reads_tfpa(cfg),
     )
     out = pl.pallas_call(
         kernel,

@@ -133,11 +133,15 @@ class SyntheticSource:
 
 class FileSource:
     """Raw concatenated wire blocks from a file (the reference's DEBUG
-    file-input mode, SURVEY.md §4)."""
+    file-input mode, SURVEY.md §4).  ``offset`` skips a leading header
+    block (e.g. a PSRDADA file's HDR_SIZE bytes — see ingest/dada.py
+    ``read_dada_file`` / ``open_dada_file``)."""
 
-    def __init__(self, cfg: ObsConfig, path: str | Path):
+    def __init__(self, cfg: ObsConfig, path: str | Path, offset: int = 0):
         self.cfg = cfg
         self._f = open(path, "rb")
+        if offset:
+            self._f.seek(offset)
         self._seq = 0
         self.dropped = 0
         self.skipped = 0

@@ -78,13 +78,6 @@ def test_set_bool_coercion_tokens():
         cli._coerce_field(True, "nope")
 
 
-def test_set_bool_through_cli(capsys, tmp_path):
-    rc = cli.main(["weights", "--config", "tiny",
-                   "--set", "fold_corner_turn=false",
-                   "--out", str(tmp_path / "w.npz")])
-    assert rc == 0
-
-
 def test_run_pinned_nonzero_device_single_compile(tmp_path, capsys, caplog,
                                                   tiny_cfg):
     """--device N must pin weights + warmup + the stream to device N:
