@@ -217,8 +217,8 @@ def cmd_weights(args) -> int:
     print(json.dumps({
         "out": args.out,
         "mode": cfg.weight_mode,
-        "terms": int(qw.terms.shape[0]),
-        "shape": list(qw.terms.shape),
+        "terms": qw.n_terms,
+        "shape": [qw.n_terms] + list(qw.terms[0].shape),
     }))
     return 0
 

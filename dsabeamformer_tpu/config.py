@@ -221,8 +221,9 @@ DSA110 = ObsConfig(
     n_chan=2048,
     n_chan_total=2048,
     # 4x DSA-10's per-channel working set (K=256, 2B=1024): smaller
-    # tiles keep the kernel inside VMEM.
-    time_tile=512,
+    # tiles keep the kernel inside VMEM (tile=1024/fc=4 measured best;
+    # fc=8 and tile=2048 variants are VMEM-bound).
+    time_tile=1024,
     chan_tile=4,
 )
 

@@ -197,18 +197,19 @@ def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
 
 def _check_weights(qw: QuantWeights, cfg: ObsConfig) -> None:
     want = (cfg.n_chan, cfg.gemm_k, 2 * cfg.n_beams)
-    got = tuple(qw.terms.shape[1:])
-    if got != want:
-        raise ValueError(
-            f"quantized weights shaped {got} do not match config "
-            f"{cfg.name!r} (expected [F,K,2B] = {want} for mode "
-            f"{cfg.weight_mode!r} / a_compute={cfg.a_compute}); regenerate "
-            f"with prepare_weights(cfg, make_weights(cfg))"
-        )
-    if qw.scales.shape != (cfg.n_chan, qw.terms.shape[0]):
+    for term in qw.terms:
+        got = tuple(term.shape)
+        if got != want:
+            raise ValueError(
+                f"quantized weight term shaped {got} does not match config "
+                f"{cfg.name!r} (expected [F,K,2B] = {want} for mode "
+                f"{cfg.weight_mode!r} / a_compute={cfg.a_compute}); "
+                f"regenerate with prepare_weights(cfg, make_weights(cfg))"
+            )
+    if qw.scales.shape != (cfg.n_chan, len(qw.terms)):
         raise ValueError(
             f"weight scales shaped {tuple(qw.scales.shape)} do not match "
-            f"[F, n_terms] = {(cfg.n_chan, qw.terms.shape[0])}"
+            f"[F, n_terms] = {(cfg.n_chan, len(qw.terms))}"
         )
 
 
@@ -286,7 +287,7 @@ def beamform_power(
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
     x = _prepare_wire(wire, cfg)
-    n_terms = int(qw.terms.shape[0])
+    n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
         (cfg.n_chan, cfg.t_block // cfg.navg_time, cfg.n_beams), jnp.float32
@@ -317,11 +318,11 @@ def beamform_power(
         ),
         cost_estimate=_cost(
             cfg, n_terms,
-            weight_bytes=qw.terms.size * qw.terms.dtype.itemsize,
+            weight_bytes=sum(w.size * w.dtype.itemsize for w in qw.terms),
             out_bytes=out_shape.size * 4,
         ),
         interpret=interpret,
-    )(x, *(qw.terms[k] for k in range(n_terms)), qw.scales[:, None, :])
+    )(x, *qw.terms, qw.scales[:, None, :])
     if cfg.navg_freq > 1:
         f, t, b = out.shape
         out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
@@ -345,7 +346,7 @@ def beamform_voltages(
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
     x = _prepare_wire(wire, cfg)
-    n_terms = int(qw.terms.shape[0])
+    n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
         (cfg.n_chan, cfg.t_block, cfg.n_pol * 2 * cfg.n_beams), jnp.float32
@@ -375,11 +376,11 @@ def beamform_voltages(
         ),
         cost_estimate=_cost(
             cfg, n_terms,
-            weight_bytes=qw.terms.size * qw.terms.dtype.itemsize,
+            weight_bytes=sum(w.size * w.dtype.itemsize for w in qw.terms),
             out_bytes=out_shape.size * 4,
         ),
         interpret=interpret,
-    )(x, *(qw.terms[k] for k in range(n_terms)), qw.scales[:, None, :])
+    )(x, *qw.terms, qw.scales[:, None, :])
     return out.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, 2 * cfg.n_beams)
 
 

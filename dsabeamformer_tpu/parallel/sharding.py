@@ -84,10 +84,9 @@ def shard_weights(
         cfg.weight_mode,
         cfg.a_compute,
     )
+    term_sharding = NamedSharding(mesh, P(AXIS, None, None))
     sharded = QuantWeights(
-        terms=jax.device_put(
-            qw.terms, NamedSharding(mesh, P(None, AXIS, None, None))
-        ),
+        terms=tuple(jax.device_put(t, term_sharding) for t in qw.terms),
         scales=jax.device_put(qw.scales, NamedSharding(mesh, P(AXIS, None))),
     )
     return sharded
@@ -113,7 +112,8 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
         else P(None, AXIS, None, None)
     )
     qw_spec = QuantWeights(
-        terms=P(None, AXIS, None, None), scales=P(AXIS, None)
+        terms=tuple(P(AXIS, None, None) for _ in range(cfg.n_weight_terms)),
+        scales=P(AXIS, None),
     )
     out_spec = P(AXIS, None, None)
 

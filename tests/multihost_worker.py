@@ -62,12 +62,15 @@ def main() -> int:
     # full table and contributes its channel slice.
     qw_full = quantize_weights(make_weights(cfg), cfg.weight_mode,
                                cfg.a_compute)
-    terms = np.asarray(qw_full.terms)
     scales = np.asarray(qw_full.scales)
     sl = slice(sub.chan_start, sub.chan_start + sub.n_chan)
+    term_sharding = NamedSharding(mesh, P(AXIS, None, None))
     qw = QuantWeights(
-        terms=jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P(None, AXIS, None, None)), terms[:, sl]
+        terms=tuple(
+            jax.make_array_from_process_local_data(
+                term_sharding, np.asarray(t)[sl]
+            )
+            for t in qw_full.terms
         ),
         scales=jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(AXIS, None)), scales[sl]

@@ -54,5 +54,5 @@ def test_kernel_matches_recorded_block(tiny_cfg, fixture):
 def test_weight_shape_mismatch_rejected(tiny_cfg, fixture):
     bad_cfg = tiny_cfg.replace(n_beams=tiny_cfg.n_beams * 2)
     qw = quantize_weights(make_weights(tiny_cfg), tiny_cfg.weight_mode)
-    with pytest.raises(ValueError, match="do not match config"):
+    with pytest.raises(ValueError, match="match config"):
         beamform_power(fixture["wire"], qw, bad_cfg)

@@ -64,14 +64,15 @@ def test_dequantize_error_bound(tiny_cfg, mode, bound):
 def test_modes_term_counts(tiny_cfg):
     w = make_weights(tiny_cfg)
     f, b, a = w.shape
-    assert quantize_weights(w, "int8").terms.shape[0] == 1
-    assert quantize_weights(w, "int8x2").terms.shape[0] == 2
-    assert quantize_weights(w, "int8x2").terms.dtype == jnp.int8
-    assert quantize_weights(w, "bf16x2").terms.dtype == jnp.bfloat16
+    assert quantize_weights(w, "int8").n_terms == 1
+    assert quantize_weights(w, "int8x2").n_terms == 2
+    assert quantize_weights(w, "int8x2").terms[0].dtype == jnp.int8
+    assert quantize_weights(w, "bf16x2").terms[0].dtype == jnp.bfloat16
     # int12: ONE term with hi/lo folded along K (4A rows).
     q12 = quantize_weights(w, "int12")
-    assert q12.terms.shape == (1, f, 4 * a, 2 * b)
-    assert q12.terms.dtype == jnp.int8
+    assert len(q12.terms) == 1
+    assert q12.terms[0].shape == (f, 4 * a, 2 * b)
+    assert q12.terms[0].dtype == jnp.int8
     with pytest.raises(ValueError):
         quantize_weights(w, "nope")
 
