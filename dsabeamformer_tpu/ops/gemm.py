@@ -167,11 +167,20 @@ def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         o_ref[c] = power * (s * s)
         return 0
 
-    # Mosaic supports only full unroll or none.  Small channel tiles
-    # unroll fully so one channel's VPU unpack/epilogue overlaps the
-    # other's MXU matmuls; larger tiles keep the single-copy body
-    # (full unroll at chan_tile=8 costs minutes of compile).
-    jax.lax.fori_loop(0, fc, chan_body, 0, unroll=fc if fc <= 2 else 1)
+    # Mosaic supports only full unroll or none, so partial unroll is
+    # done by hand: two channels per loop body let the scheduler
+    # overlap one channel's VPU unpack/epilogue with the other's MXU
+    # passes, at 2x (not fc x) the compile-time body size (full unroll
+    # at chan_tile=8 costs minutes of Mosaic compile).
+    if fc % 2 == 0:
+        def chan_pair(c2, _):
+            chan_body(2 * c2, 0)
+            chan_body(2 * c2 + 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, fc // 2, chan_pair, 0)
+    else:
+        jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
