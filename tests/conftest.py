@@ -14,14 +14,20 @@ import os
 # Belt and braces for subprocesses spawned by tests.
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+#: DSABF_TPU_TESTS=1 opts OUT of the CPU forcing so test_tpu_hw.py can
+#: gate a machine with a real TPU (everything else still passes there,
+#: just slower and in f32).
+_TPU_RUN = os.environ.get("DSABF_TPU_TESTS") == "1"
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-# Full float64 for the device-side weight-phase math (on TPU the same code
-# runs in f32, which the accuracy tests show is sufficient; CPU tests get
-# oracle precision).
-jax.config.update("jax_enable_x64", True)
+if not _TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    # Full float64 for the device-side weight-phase math (on TPU the
+    # same code runs in f32, which the accuracy tests show is
+    # sufficient; CPU tests get oracle precision).
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -31,6 +37,8 @@ from dsabeamformer_tpu.config import TINY  # noqa: E402
 
 @pytest.fixture(scope="session", autouse=True)
 def _check_backend():
+    if _TPU_RUN:
+        return
     assert jax.default_backend() == "cpu", (
         "tests must run on the CPU backend; got " + jax.default_backend()
     )
