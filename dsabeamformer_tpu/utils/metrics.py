@@ -32,6 +32,20 @@ _PEAK_MACS = {
 
 
 def peak_macs_per_s(int8: bool = True) -> Optional[float]:
+    """Peak MAC rate for the MXU-utilization estimate.
+
+    The spec table only knows shipped device kinds; on anything else
+    set ``DSABF_PEAK_INT8_MACS`` / ``DSABF_PEAK_BF16_MACS`` (MAC/s) —
+    an unknown kind otherwise returns None (utilization reported as
+    null, never silently wrong).  This is the analytic heartbeat
+    number; the measured truth comes from `dsabf trace` (BENCH.md)."""
+    import os
+
+    env = os.environ.get(
+        "DSABF_PEAK_INT8_MACS" if int8 else "DSABF_PEAK_BF16_MACS"
+    )
+    if env:
+        return float(env)
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:

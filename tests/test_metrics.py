@@ -71,3 +71,12 @@ def test_cli_trace(tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["ops"]
+
+
+def test_peak_macs_env_override(monkeypatch):
+    from dsabeamformer_tpu.utils import metrics
+
+    monkeypatch.setenv("DSABF_PEAK_INT8_MACS", "1.5e14")
+    assert metrics.peak_macs_per_s(True) == 1.5e14
+    monkeypatch.setenv("DSABF_PEAK_BF16_MACS", "7.5e13")
+    assert metrics.peak_macs_per_s(False) == 7.5e13
