@@ -62,14 +62,18 @@ def _add_common(p):
 
 
 def _make_weights(cfg, args):
+    from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calibration import CalTable
     from dsabeamformer_tpu.models.weights import make_weights
     from dsabeamformer_tpu.ops.quantize import load_quant_weights, prepare_weights
 
     if getattr(args, "weights", None):
         return load_quant_weights(args.weights)
+    layout = (ArrayLayout.load(args.layout)
+              if getattr(args, "layout", None) else None)
     cal = CalTable.load(args.cal) if getattr(args, "cal", None) else None
-    w = make_weights(cfg, cal=cal, pointing_rad=getattr(args, "pointing", 0.0))
+    w = make_weights(cfg, layout=layout, cal=cal,
+                     pointing_rad=getattr(args, "pointing", 0.0))
     return prepare_weights(cfg, w)
 
 
@@ -128,7 +132,7 @@ def _cmd_run_pinned(args) -> int:
                             n_host_buffers=max(8, args.depth + 2))
     sink = None
     if args.output_file:
-        sink = FileSink(args.output_file)
+        sink = FileSink(args.output_file, cfg)
     elif args.output_key:
         out_bytes = int(np.prod(cfg.out_block_shape)) * 4
         out_ring = RingBuffer(args.output_key, create=True,
@@ -186,6 +190,16 @@ def cmd_simulate(args) -> int:
                 cfg, np.deg2rad(args.source_angle), seed=s))
         else:
             blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
+    if args.out_file:
+        # Capture-to-disk: a DADA file `dsabf run --input-file` (or any
+        # PSRDADA consumer) can replay.
+        n = args.blocks if args.blocks is not None else 32
+        dada.write_dada_file(
+            args.out_file, cfg,
+            (blocks[i % len(blocks)] for i in range(n)),
+        )
+        print(json.dumps({"written": n, "out_file": args.out_file}))
+        return 0
     with RingBuffer(args.key, create=True, nbufs=args.nbufs,
                     bufsz=cfg.wire_block_bytes) as ring:
         ring.write_header(dada.encode_header(cfg))
@@ -353,6 +367,9 @@ def main(argv=None) -> int:
     p.add_argument("--output-key", help="write powers to an output ring")
     p.add_argument("--output-file", help="append powers to a raw float32 file")
     p.add_argument("--cal", help="calibration .npz (CalTable)")
+    p.add_argument("--layout",
+                   help="antenna position table (.npz or text: EW [NS] "
+                        "meters, one row per dish)")
     p.add_argument("--weights", help="pre-quantized weights .npz (dsabf weights)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
@@ -386,12 +403,17 @@ def main(argv=None) -> int:
     p.add_argument("--nbufs", type=int, default=8)
     p.add_argument("--linger", type=float, default=10.0,
                    help="seconds to wait for the consumer to drain after EOD")
+    p.add_argument("--out-file",
+                   help="write a DADA capture file instead of a ring")
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("weights", help="generate + quantize + save weights")
     _add_common(p)
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--cal", help="calibration .npz (CalTable)")
+    p.add_argument("--layout",
+                   help="antenna position table (.npz or text: EW [NS] "
+                        "meters, one row per dish)")
     p.add_argument("--pointing", type=float, default=0.0)
     p.set_defaults(fn=cmd_weights)
 

@@ -52,21 +52,62 @@ class ArrayLayout:
         m[: self.n_active] = True
         return m
 
+    def padded(self, n_ant: int) -> "ArrayLayout":
+        """Zero-pad the antenna axis to the config's padded GEMM dim
+        (a surveyed table lists only physical dishes)."""
+        if n_ant < self.n_ant:
+            raise ValueError(
+                f"cannot pad {self.n_ant} antennas down to {n_ant}"
+            )
+        if n_ant == self.n_ant:
+            return self
+        pos = np.zeros(n_ant, dtype=np.float64)
+        pos[: self.n_ant] = self.positions_m
+        ns = None
+        if self.positions_ns_m is not None:
+            ns = np.zeros(n_ant, dtype=np.float64)
+            ns[: self.n_ant] = self.positions_ns_m
+        return ArrayLayout(positions_m=pos, n_active=self.n_active,
+                           positions_ns_m=ns)
+
     def save(self, path: str) -> None:
         np.savez(path, positions_m=self.positions_m, n_active=self.n_active,
                  positions_ns_m=self.ns)
 
     @staticmethod
     def load(path: str) -> "ArrayLayout":
-        d = np.load(path)
-        ns = None
-        if "positions_ns_m" in d and np.any(d["positions_ns_m"]):
-            ns = np.asarray(d["positions_ns_m"], dtype=np.float64)
-        return ArrayLayout(
-            positions_m=np.asarray(d["positions_m"], dtype=np.float64),
-            n_active=int(d["n_active"]),
-            positions_ns_m=ns,
-        )
+        """Load a position table.
+
+        Two formats: the package's ``.npz`` (``save``), or a plain-text
+        table (the form observatory position files usually take — the
+        reference compiled such a table into its binary, SURVEY.md
+        C2/C8): one row per PHYSICAL antenna, 1 column (east-west
+        meters) or 2 columns (east-west, north-south); ``#`` comments
+        allowed.  Text tables list only active dishes — pad to the
+        config's GEMM dim with ``.padded(cfg.n_ant)`` (make_weights
+        does this automatically).
+        """
+        if str(path).endswith(".npz"):
+            d = np.load(path)
+            ns = None
+            if "positions_ns_m" in d and np.any(d["positions_ns_m"]):
+                ns = np.asarray(d["positions_ns_m"], dtype=np.float64)
+            return ArrayLayout(
+                positions_m=np.asarray(d["positions_m"], dtype=np.float64),
+                n_active=int(d["n_active"]),
+                positions_ns_m=ns,
+            )
+        table = np.atleast_2d(np.loadtxt(path, comments="#", ndmin=2))
+        if table.shape[1] not in (1, 2):
+            raise ValueError(
+                f"position table {path!r} has {table.shape[1]} columns "
+                f"(expected 1 [EW] or 2 [EW, NS])"
+            )
+        ew = np.ascontiguousarray(table[:, 0], dtype=np.float64)
+        ns = (np.ascontiguousarray(table[:, 1], dtype=np.float64)
+              if table.shape[1] == 2 and np.any(table[:, 1]) else None)
+        return ArrayLayout(positions_m=ew, n_active=len(ew),
+                           positions_ns_m=ns)
 
 
 def linear_array(n_ant: int, n_active: int, spacing_m: float) -> ArrayLayout:

@@ -84,10 +84,19 @@ def make_weights(
     re/im float32 ``[F, B, A]`` on the default device."""
     layout = layout if layout is not None else array_for(cfg)
     cal = cal if cal is not None else CalTable.unity(cfg)
+    if layout.n_ant < cfg.n_ant:
+        # Surveyed tables list only physical dishes; pad to the GEMM dim.
+        layout = layout.padded(cfg.n_ant)
     if layout.n_ant != cfg.n_ant:
         raise ValueError(
             f"layout has {layout.n_ant} antennas, config {cfg.name!r} "
             f"expects {cfg.n_ant}"
+        )
+    if layout.n_active != cfg.n_ant_active:
+        raise ValueError(
+            f"layout has {layout.n_active} active antennas, config "
+            f"{cfg.name!r} expects {cfg.n_ant_active} (override with "
+            f"--set n_ant_active={layout.n_active} if the table is right)"
         )
     if cal.gains.shape != (cfg.n_ant, cfg.n_chan):
         raise ValueError(

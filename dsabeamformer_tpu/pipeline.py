@@ -174,10 +174,27 @@ class CollectSink:
 
 
 class FileSink:
-    """Appends float32 power blocks to a raw file."""
+    """Appends float32 power blocks to a raw file.
 
-    def __init__(self, path: str | Path):
+    With a config and a ``.dada`` path, a DADA-style header block is
+    written first (PAYLOAD=BEAM_POWERS + output geometry) so downstream
+    PSRDADA tooling can parse the product — the file analog of
+    RingSink's output stream header."""
+
+    def __init__(self, path: str | Path, cfg: Optional[ObsConfig] = None):
         self._f = open(path, "wb")
+        if cfg is not None and str(path).endswith(".dada"):
+            f_out, t_out, b_out = cfg.out_block_shape
+            text = dada.encode_header(
+                cfg,
+                HDR_SIZE=dada.DADA_HDR_SIZE,
+                PAYLOAD="BEAM_POWERS",
+                OUT_DTYPE="float32",
+                OUT_NCHAN=f_out,
+                OUT_NTIME=t_out,
+                OUT_NBEAM=b_out,
+            ).encode("ascii")
+            self._f.write(text.ljust(dada.DADA_HDR_SIZE, b"\0"))
 
     def write(self, seq: int, powers: np.ndarray) -> None:
         self._f.write(np.ascontiguousarray(powers, dtype=np.float32).tobytes())

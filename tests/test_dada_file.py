@@ -112,3 +112,28 @@ def test_cli_run_on_dada_file(tmp_path, capsys, tiny_cfg):
     np.testing.assert_array_equal(
         np.fromfile(out_d, np.float32), np.fromfile(out_r, np.float32)
     )
+
+
+def test_simulate_to_dada_file_then_run(tmp_path, capsys, tiny_cfg):
+    """Full file loop: dsabf simulate --out-file -> dsabf run, with the
+    output also DADA-framed."""
+    from dsabeamformer_tpu import cli
+
+    cap = tmp_path / "cap.dada"
+    rc = cli.main(["simulate", "--config", "tiny", "--blocks", "3",
+                   "--source-angle", "0.4", "--out-file", str(cap)])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip())
+    assert meta["written"] == 3
+    out = tmp_path / "powers.dada"
+    rc = cli.main(["run", "--config", "tiny", "--input-file", str(cap),
+                   "--output-file", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["blocks"] == 3
+    # Output is DADA-framed: header block then f32 powers.
+    cfg2, h, off = dada.read_dada_file(out, tiny_cfg)
+    assert h["PAYLOAD"] == "BEAM_POWERS"
+    payload = np.frombuffer(out.read_bytes()[off:], np.float32)
+    assert payload.size == 3 * int(np.prod(tiny_cfg.out_block_shape))
+    assert np.isfinite(payload).all()

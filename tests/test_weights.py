@@ -49,3 +49,56 @@ def test_fringe_delay_is_common_phase(tiny_cfg):
     r0 = ratio[:, :1, :1]
     np.testing.assert_allclose(ratio, np.broadcast_to(r0, ratio.shape), atol=1e-9)
     np.testing.assert_allclose(np.abs(r0), 1.0, atol=1e-12)
+
+
+def test_text_position_table_roundtrip(tmp_path, tiny_cfg):
+    """A surveyed plain-text position table (one row per physical dish)
+    loads, pads to the GEMM dim, and drives weight generation
+    (SURVEY.md C2/C8: the reference compiled such a table in)."""
+    import numpy as np
+
+    from dsabeamformer_tpu.models.arrays import ArrayLayout, array_for
+    from dsabeamformer_tpu.models.weights import make_weights
+
+    ref_layout = array_for(tiny_cfg)
+    path = tmp_path / "positions.txt"
+    with open(path, "w") as f:
+        f.write("# east-west meters\n")
+        for x in ref_layout.positions_m[: tiny_cfg.n_ant_active]:
+            f.write(f"{x}\n")
+    loaded = ArrayLayout.load(str(path))
+    assert loaded.n_ant == tiny_cfg.n_ant_active
+    padded = loaded.padded(tiny_cfg.n_ant)
+    np.testing.assert_allclose(padded.positions_m, ref_layout.positions_m)
+    # make_weights pads automatically and matches the default layout.
+    w1 = make_weights(tiny_cfg, layout=loaded)
+    w0 = make_weights(tiny_cfg)
+    np.testing.assert_allclose(np.asarray(w1.re), np.asarray(w0.re))
+
+
+def test_layout_active_count_mismatch_rejected(tiny_cfg):
+    import pytest
+
+    from dsabeamformer_tpu.models.arrays import linear_array
+    from dsabeamformer_tpu.models.weights import make_weights
+
+    bad = linear_array(tiny_cfg.n_ant, tiny_cfg.n_ant_active + 2, 5.0)
+    with pytest.raises(ValueError, match="active"):
+        make_weights(tiny_cfg, layout=bad)
+
+
+def test_cli_layout_flag(tmp_path, capsys, tiny_cfg):
+    import json
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.models.arrays import array_for
+
+    layout = array_for(tiny_cfg)
+    path = tmp_path / "pos.txt"
+    with open(path, "w") as f:
+        for x in layout.positions_m[: tiny_cfg.n_ant_active]:
+            f.write(f"{x} 0.0\n")
+    rc = cli.main(["weights", "--config", "tiny", "--layout", str(path),
+                   "--out", str(tmp_path / "w.npz")])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["terms"] == 2
