@@ -54,7 +54,7 @@ def main() -> int:
     from dsabeamformer_tpu.config import DSA10
     from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
     from dsabeamformer_tpu.models.weights import make_weights
-    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
     from dsabeamformer_tpu.ops.quantize import quantize_weights
     from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
 
@@ -68,7 +68,9 @@ def main() -> int:
           file=sys.stderr)
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
     blocks = [
-        jax.device_put(make_random_bytes_block(cfg, seed=s)) for s in range(2)
+        jax.device_put(device_wire_view(make_random_bytes_block(cfg, seed=s),
+                                        cfg))
+        for s in range(2)
     ]
 
     @jax.jit

@@ -126,10 +126,12 @@ def _cmd_run_pinned(args) -> int:
     else:
         ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
         # Staging pool sized from the pipeline depth (in-flight blocks
-        # + the one being enqueued + one safety slot).
+        # + the one being enqueued + one safety slot).  Exactly
+        # depth+2: at t_block=8192 each staging buffer is 2.1 GB of
+        # host RAM, so the pool is no larger than the driver needs.
         source = RingSource(cfg, ring, latest=args.latest,
                             timeout_s=args.timeout,
-                            n_host_buffers=max(8, args.depth + 2))
+                            n_host_buffers=args.depth + 2)
     sink = None
     if args.output_file:
         sink = FileSink(args.output_file, cfg)

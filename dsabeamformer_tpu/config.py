@@ -135,6 +135,29 @@ class ObsConfig:
         return self.t_block * self.n_chan * self.n_pol * self.n_ant
 
     @property
+    def device_wire_shape(self) -> Tuple[int, ...]:
+        """The canonical DEVICE-side wire block shape — what the driver
+        should ``device_put`` (a free host-side view of the 4-D capture
+        buffer, same bytes).
+
+        Chosen so XLA's default layout for the parameter is exactly the
+        fused kernel's operand layout: the minor dimension is a multiple
+        of 128 lanes, so no relayout copy is inserted (a 4-D
+        ``[..., P, A]`` parameter costs a measured ~2 ms/block relayout
+        of the full 537 MB DSA-10 block).
+
+        - ``ftpa``: ``[F, T, P*A]`` — channel-major rows, contiguous DMA.
+        - ``tfpa``: ``[T, F*P*A]`` — time-major rows; the kernel reads
+          channel tiles straight out of the fused lane axis (the
+          corner-turn happens in the Pallas grid/DMA, not as an XLA
+          transpose).
+        """
+        pa = self.n_pol * self.n_ant
+        if self.input_layout == "tfpa":
+            return (self.t_block, self.n_chan * pa)
+        return (self.n_chan, self.t_block, pa)
+
+    @property
     def out_block_shape(self) -> Tuple[int, int, int]:
         """[F/navg_f, T/navg_t, B] float32 averaged beam powers."""
         return (
@@ -209,7 +232,12 @@ class ObsConfig:
 # --------------------------------------------------------------------- #
 
 #: DSA-10 full band on one chip: 64 ant (10 active), 256 beams, 2048 chan.
-DSA10 = ObsConfig(name="dsa10")
+#: t_block=8192 (67 ms of sky, 2.1 GB wire): large blocks amortize the
+#: per-dispatch driver/runtime overhead (measured ~1.7 ms/dispatch on
+#: the CI relay) to <0.3 ms per 2048 samples; latency is irrelevant at
+#: FRB-search timescales and HBM holds depth+1 blocks comfortably.  The
+#: Pallas grid still tiles time at time_tile, so VMEM use is unchanged.
+DSA10 = ObsConfig(name="dsa10", t_block=8192)
 
 #: DSA-110 scale-out config: 110 ant padded to 128, 512 beams
 #: (BASELINE.json configs[4]); channel-sharded across a v5e-8 mesh.

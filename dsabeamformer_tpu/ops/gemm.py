@@ -31,10 +31,17 @@ Design notes
   exact (|x|<=8, |w|<=127, K<=256, hi<<8 combine => |acc| < 2^27), and
   dequantization is a single per-channel scalar on the 16x-averaged
   output.
-- 'tfpa' wire blocks are corner-turned by one XLA pre-transpose
-  (measured 2.4% of the block step).  An in-kernel strided-DMA corner
-  turn was tried and retired: Mosaic cannot compile the strided read at
-  full size (docs/DESIGN.md dead-ends list).
+- Wire blocks arrive in the canonical device form
+  ``cfg.device_wire_shape`` — a free host-side view whose minor dim is a
+  multiple of 128 lanes, so XLA's default parameter layout matches the
+  kernel operand and no relayout copy is inserted (the 4-D form cost a
+  measured ~2 ms/block relayout of the 537 MB DSA-10 block).  'tfpa'
+  (time-major) blocks are consumed time-major directly: the block spec
+  covers all chan_tile channels' lanes per time tile and the per-channel
+  byte tile is an in-kernel lane slice — the corner-turn happens in the
+  grid/DMA and is never materialized.  (Round-1/2 history: an XLA
+  pre-transpose cost ~2 ms fused into the relayout copy; an in-kernel
+  strided-DMA corner turn crashed Mosaic at full size — docs/DESIGN.md.)
 
 Public API
 ----------
@@ -139,16 +146,26 @@ def _accumulate(x_all, w_refs, *, chan):
 
 
 def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                  navg_time, x16):
+                  navg_time, x16, time_major):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    fc = x_ref.shape[0]  # chan_tile
-    tt = x_ref.shape[1]  # time_tile
+    pa = n_pol * n_ant
+    if time_major:
+        # x_ref is [time_tile, chan_tile * P*A]: the wire block stayed in
+        # its time-major capture order and the per-channel byte tile is a
+        # lane-axis slice at c*PA (statically a multiple of 128).  This IS
+        # the corner-turn — done by the grid/DMA, never materialized.
+        tt = x_ref.shape[0]
+        fc = x_ref.shape[1] // pa
+    else:
+        fc = x_ref.shape[0]  # chan_tile
+        tt = x_ref.shape[1]  # time_tile
 
     # fori_loop (not Python unroll) over the channel tile: the kernel
     # body compiles once regardless of chan_tile — Mosaic compile time
     # of the unrolled form was minutes at chan_tile=8.
     def chan_body(c, _):
-        x_all = _build_x(x_ref[c], n_ant=n_ant, a_compute=a_compute,
+        xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
+        x_all = _build_x(xb, n_ant=n_ant, a_compute=a_compute,
                          n_pol=n_pol, x16=x16)
         acc = _accumulate(x_all, w_refs, chan=c)
         br = acc[:, :n_beams]
@@ -222,38 +239,73 @@ def _check_weights(qw: QuantWeights, cfg: ObsConfig) -> None:
         )
 
 
-def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
-    """Wire block -> the kernel's input array.
+def _prepare_wire(wire: jax.Array, cfg: ObsConfig) -> tuple:
+    """Wire block -> ``(x, time_major)``, the kernel's input array.
 
-    'ftpa' (channel-major) is already GEMM order: reshape to
-    ``[F, T, P*A]``.  'tfpa' (time-major, the reference's wire order,
-    SURVEY.md L3) is corner-turned by one XLA pre-transpose so the
-    kernel always gets fully-contiguous DMAs.
+    The canonical device form is ``cfg.device_wire_shape`` (a free
+    host-side view of the capture buffer) — XLA's default layout for it
+    matches the kernel operand exactly, so no relayout copy is inserted:
+
+    - 'ftpa': ``[F, T, P*A]`` consumed channel-major (``time_major=False``).
+    - 'tfpa': ``[T, F*P*A]`` consumed time-major — the corner-turn the
+      reference did with a CUDA ``expand_input`` kernel (SURVEY.md L3)
+      happens in the Pallas grid/DMA + an in-kernel lane slice, never as
+      an XLA transpose.
+
+    The legacy 4-D ``cfg.wire_block_shape`` form is still accepted for
+    tests/tooling; on TPU it costs an in-jit relayout (and for 'tfpa' a
+    materialized transpose), measured ~2 ms per DSA-10 block.
     """
-    if wire.shape != cfg.wire_block_shape:
-        raise ValueError(
-            f"wire shape {wire.shape} != expected {cfg.wire_block_shape} "
-            f"for layout {cfg.input_layout!r}"
-        )
     if wire.dtype != jnp.uint8:
         raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
     pa = cfg.n_pol * cfg.n_ant
+    if wire.shape == cfg.device_wire_shape:
+        return wire, cfg.input_layout == "tfpa"
+    if wire.shape != cfg.wire_block_shape:
+        raise ValueError(
+            f"wire shape {wire.shape} is neither the canonical device form "
+            f"{cfg.device_wire_shape} nor the 4-D host form "
+            f"{cfg.wire_block_shape} for layout {cfg.input_layout!r}"
+        )
     if cfg.input_layout == "tfpa":
-        wire = jnp.transpose(wire, (1, 0, 2, 3))
-    return wire.reshape(cfg.n_chan, cfg.t_block, pa)
+        return wire.reshape(cfg.t_block, cfg.n_chan * pa), True
+    return wire.reshape(cfg.n_chan, cfg.t_block, pa), False
 
 
-def _common_specs(cfg: ObsConfig, n_terms: int):
+def device_wire_view(wire, cfg: ObsConfig):
+    """Host-side 4-D capture block -> the canonical device form (a free
+    reshape view; ``device_put`` this, not the 4-D array)."""
+    import numpy as np
+
+    arr = np.asarray(wire)
+    if arr.shape != cfg.wire_block_shape:
+        raise ValueError(
+            f"wire shape {arr.shape} != host form {cfg.wire_block_shape}"
+        )
+    return arr.reshape(cfg.device_wire_shape)
+
+
+def _common_specs(cfg: ObsConfig, n_terms: int, time_major: bool = False):
     a2 = cfg.gemm_k
     b2 = 2 * cfg.n_beams
     fc = cfg.chan_tile
-    in_specs = [
-        pl.BlockSpec(
-            (fc, cfg.time_tile, cfg.n_pol * cfg.n_ant),
+    pa = cfg.n_pol * cfg.n_ant
+    if time_major:
+        # Time-major wire [T, F*PA]: the block covers all chan_tile
+        # channels' lanes for a time tile — contiguous fc*PA-byte rows,
+        # the grid-level corner turn.
+        wire_spec = pl.BlockSpec(
+            (cfg.time_tile, fc * pa),
+            lambda f, t: (t, f),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        wire_spec = pl.BlockSpec(
+            (fc, cfg.time_tile, pa),
             lambda f, t: (f, t, 0),
             memory_space=pltpu.VMEM,
-        ),
-    ] + [
+        )
+    in_specs = [wire_spec] + [
         # One spec per quantization term: [chan_tile, 2A, 2B], constant
         # along the (innermost) time grid dim so each weight tile is
         # fetched once per channel group.
@@ -295,7 +347,14 @@ def beamform_power(
     """
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
-    x = _prepare_wire(wire, cfg)
+    x, time_major = _prepare_wire(wire, cfg)
+    pa = cfg.n_pol * cfg.n_ant
+    if time_major and pa % 128 and not interpret:
+        # Mosaic lane slices must be 128-aligned; for small geometries
+        # (P*A not a lane multiple) fall back to the materialized
+        # corner-turn.  All deployment presets have P*A % 128 == 0.
+        x = jnp.transpose(x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2))
+        time_major = False
     n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
@@ -315,11 +374,12 @@ def beamform_power(
         n_terms=n_terms,
         navg_time=cfg.navg_time,
         x16=cfg.weight_mode == "int12",
+        time_major=time_major,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=_common_specs(cfg, n_terms),
+        in_specs=_common_specs(cfg, n_terms, time_major),
         out_specs=out_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -354,7 +414,14 @@ def beamform_voltages(
     """
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
-    x = _prepare_wire(wire, cfg)
+    x, time_major = _prepare_wire(wire, cfg)
+    if time_major:
+        # The validation kernel is channel-major only; materialize the
+        # corner-turn here (HBM-heavy path by design, see docstring).
+        pa = cfg.n_pol * cfg.n_ant
+        x = jnp.transpose(
+            x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2)
+        )
     n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(

@@ -291,7 +291,7 @@ class StreamingBeamformer:
         """Compile the block step before attaching to a live stream (a
         cold compile would otherwise stall the first blocks and overrun
         the ring)."""
-        zero = np.zeros(self.cfg.wire_block_shape, dtype=np.uint8)
+        zero = np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
         out = beamform_power(jax.device_put(zero), self.weights, self.cfg)
         np.asarray(out)  # full round trip
 
@@ -340,7 +340,11 @@ class StreamingBeamformer:
                 new_qw = self.tracker.maybe_update(seq * cfg.block_duration_s)
                 if new_qw is not None:
                     self.weights = new_qw
-            wire_dev = jax.device_put(wire_np)          # H2D (async)
+            # Canonical device form (free view of the staging buffer):
+            # uploads with the kernel's exact layout, no on-device copy.
+            wire_dev = jax.device_put(                  # H2D (async)
+                wire_np.reshape(cfg.device_wire_shape)
+            )
             out = beamform_power(wire_dev, self.weights, cfg)  # async dispatch
             self._inflight.append((seq, out, time.perf_counter()))
             stats.n_blocks += 1

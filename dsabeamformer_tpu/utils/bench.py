@@ -32,7 +32,7 @@ import numpy as np
 from dsabeamformer_tpu.config import ObsConfig
 from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
 from dsabeamformer_tpu.models.weights import make_weights
-from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
 from dsabeamformer_tpu.ops.quantize import quantize_weights
 from dsabeamformer_tpu.pipeline import SyntheticSource, run_stream
 from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
@@ -47,7 +47,9 @@ def bench_kernel(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 2,
                  repeats: int = 3) -> dict:
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
     blocks = [
-        jax.device_put(make_random_bytes_block(cfg, seed=s))
+        jax.device_put(
+            device_wire_view(make_random_bytes_block(cfg, seed=s), cfg)
+        )
         for s in range(n_distinct)
     ]
     float(_digest(beamform_power(blocks[0], qw, cfg)))  # compile + warm

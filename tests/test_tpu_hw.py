@@ -82,18 +82,22 @@ def test_realtime_factor_on_tpu(tpu_backend):
     from dsabeamformer_tpu.config import DSA10
     from dsabeamformer_tpu.utils.bench import bench_kernel
 
-    cfg = DSA10.replace(t_block=2048, input_layout="ftpa")
+    cfg = DSA10.replace(t_block=2048)  # deployed tfpa path, short blocks
     rec = bench_kernel(cfg, n_blocks=8, repeats=2)
-    # Round-2 regression floor: measured 1.49x on the derated CI chip
-    # (BASELINE parity is >= ~1x full band per device).
-    assert rec["realtime_factor"] >= 1.2, rec
+    # Round-2 regression floor: measured 1.8x on the derated CI chip at
+    # t_block=2048 (2.1x at the preset's t_block=8192; BASELINE parity
+    # is >= ~1x full band per device).
+    assert rec["realtime_factor"] >= 1.5, rec
 
 
 def test_int12_faster_than_int8x2_on_tpu(tpu_backend):
     from dsabeamformer_tpu.config import DSA10
     from dsabeamformer_tpu.utils.bench import bench_kernel
 
-    base = DSA10.replace(t_block=2048, input_layout="ftpa")
+    base = DSA10.replace(t_block=2048)
     r12 = bench_kernel(base.replace(weight_mode="int12"), n_blocks=8,
                        repeats=2)
-    assert r12["realtime_factor"] >= 1.6, r12
+    # Measured 2.0-2.2x at t_block=2048 on the derated CI chip (3.3x at
+    # the preset's t_block=8192); floor set under the observed ~8%
+    # run-to-run variance of this short measurement.
+    assert r12["realtime_factor"] >= 1.85, r12
