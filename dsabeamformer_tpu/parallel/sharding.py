@@ -56,12 +56,18 @@ def _check_divisible(cfg: ObsConfig, n: int) -> None:
 
 
 def sharded_wire_sharding(cfg: ObsConfig, mesh: Mesh) -> NamedSharding:
-    """Sharding for wire blocks: the channel axis is split across chips;
+    """Sharding for wire blocks in the canonical device form
+    (``cfg.device_wire_shape``): the channel axis is split across chips;
     each host/NIC DMAs its own subband directly to its chip (the
-    capture-side split the reference relied on upstream)."""
+    capture-side split the reference relied on upstream).
+
+    - ftpa ``[F, T, P*A]``: channels are the leading dim.
+    - tfpa ``[T, F*P*A]``: channels are channel-major in the fused lane
+      dim, so an equal split of dim 1 IS the contiguous subband split.
+    """
     if cfg.input_layout == "ftpa":
-        return NamedSharding(mesh, P(AXIS, None, None, None))
-    return NamedSharding(mesh, P(None, AXIS, None, None))
+        return NamedSharding(mesh, P(AXIS, None, None))
+    return NamedSharding(mesh, P(None, AXIS))
 
 
 def shard_weights(
@@ -96,6 +102,11 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
                        with_band_power: bool = False):
     """Build the jitted multi-chip block step.
 
+    ``wire`` is the canonical device form (``cfg.device_wire_shape``),
+    channel-sharded per ``sharded_wire_sharding``; each shard is its
+    subband's own canonical form, so the per-chip kernel runs the
+    copy-free path.
+
     Returns ``step(wire, qw) -> powers`` (channel-sharded
     ``[F/navg_f, T/navg_t, B]``), or with ``with_band_power=True``
     ``step(wire, qw) -> (powers, band_power)`` where ``band_power``
@@ -107,9 +118,9 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
     local_cfg = cfg.replace(n_chan=cfg.n_chan // n)
 
     wire_spec = (
-        P(AXIS, None, None, None)
+        P(AXIS, None, None)
         if cfg.input_layout == "ftpa"
-        else P(None, AXIS, None, None)
+        else P(None, AXIS)
     )
     qw_spec = QuantWeights(
         terms=tuple(P(AXIS, None, None) for _ in range(cfg.n_weight_terms)),

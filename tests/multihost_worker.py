@@ -51,9 +51,13 @@ def main() -> int:
     sub = my_subband(cfg)
 
     # The capture fan-out: the full-band block is deterministic, each
-    # host "receives" only its subband slice (tfpa wire: channel dim 1).
+    # host "receives" only its subband slice and stages it in the
+    # canonical device form ([T, F_local*P*A] for tfpa wire).
     wire = np.asarray(make_noise_block(cfg, rms=2.0, seed=9))
-    local_wire = wire[:, sub.chan_start : sub.chan_start + sub.n_chan]
+    pa = cfg.n_pol * cfg.n_ant
+    local_wire = np.ascontiguousarray(
+        wire[:, sub.chan_start : sub.chan_start + sub.n_chan]
+    ).reshape(cfg.t_block, sub.n_chan * pa)
     wire_sh = jax.make_array_from_process_local_data(
         sharded_wire_sharding(cfg, mesh), local_wire
     )

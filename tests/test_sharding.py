@@ -8,7 +8,7 @@ import pytest
 from dsabeamformer_tpu.config import DSA110
 from dsabeamformer_tpu.ingest.generator import make_noise_block, make_point_source_block
 from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
-from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
 from dsabeamformer_tpu.ops.quantize import quantize_weights
 from dsabeamformer_tpu.ops.reference import beamform_block_ref
 from dsabeamformer_tpu.parallel.sharding import (
@@ -42,7 +42,8 @@ def test_sharded_matches_single_device(shard_cfg, mesh):
 
     step = sharded_beamformer(cfg, mesh)
     qw_sh = shard_weights(cfg, mesh)
-    wire_sh = jax.device_put(wire, sharded_wire_sharding(cfg, mesh))
+    wire_sh = jax.device_put(device_wire_view(wire, cfg),
+                             sharded_wire_sharding(cfg, mesh))
     p_sharded = np.asarray(step(wire_sh, qw_sh))
     np.testing.assert_allclose(p_sharded, p_single, rtol=1e-5, atol=1e-2)
 
@@ -54,7 +55,8 @@ def test_sharded_point_source_peak(shard_cfg, mesh):
     wire = make_point_source_block(cfg, angles[target], noise_rms=0.2, seed=3)
     step = sharded_beamformer(cfg, mesh)
     qw_sh = shard_weights(cfg, mesh)
-    wire_sh = jax.device_put(wire, sharded_wire_sharding(cfg, mesh))
+    wire_sh = jax.device_put(device_wire_view(wire, cfg),
+                             sharded_wire_sharding(cfg, mesh))
     p = np.asarray(step(wire_sh, qw_sh))
     assert int(np.argmax(p.sum(axis=(0, 1)))) == target
     p_ref = beamform_block_ref(
@@ -72,7 +74,8 @@ def test_band_power_psum(shard_cfg, mesh):
     wire = make_noise_block(cfg, rms=2.0, seed=5)
     step = sharded_beamformer(cfg, mesh, with_band_power=True)
     qw_sh = shard_weights(cfg, mesh)
-    wire_sh = jax.device_put(wire, sharded_wire_sharding(cfg, mesh))
+    wire_sh = jax.device_put(device_wire_view(wire, cfg),
+                             sharded_wire_sharding(cfg, mesh))
     powers, band = step(wire_sh, qw_sh)
     powers, band = np.asarray(powers), np.asarray(band)
     assert band.shape == (cfg.t_block // cfg.navg_time,)
@@ -90,7 +93,8 @@ def test_dsa110_structure_compiles_small(mesh):
     wire = make_noise_block(cfg, rms=2.0, seed=9)
     step = sharded_beamformer(cfg, mesh)
     qw_sh = shard_weights(cfg, mesh)
-    wire_sh = jax.device_put(wire, sharded_wire_sharding(cfg, mesh))
+    wire_sh = jax.device_put(device_wire_view(wire, cfg),
+                             sharded_wire_sharding(cfg, mesh))
     p = np.asarray(step(wire_sh, qw_sh))
     p_ref = beamform_block_ref(
         weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
