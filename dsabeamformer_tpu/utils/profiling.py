@@ -76,11 +76,13 @@ def profile_block_step(cfg, n_blocks: int = 3,
 
     from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
     from dsabeamformer_tpu.models.weights import make_weights
-    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
     from dsabeamformer_tpu.ops.quantize import quantize_weights
 
     qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
-    wire = jax.device_put(make_random_bytes_block(cfg, seed=0))
+    wire = jax.device_put(
+        device_wire_view(make_random_bytes_block(cfg, seed=0), cfg)
+    )
     out = beamform_power(wire, qw, cfg)
     np.asarray(out.sum())  # compile + full round trip before tracing
     with trace(log_dir) as d:
