@@ -96,8 +96,8 @@ class ObsConfig:
             raise ValueError("n_chan must be a multiple of navg_freq")
         if self.n_chan % self.chan_tile:
             raise ValueError("n_chan must be a multiple of chan_tile")
-        if self.weight_mode not in ("int12", "int8x2", "int8", "bf16",
-                                    "bf16x2", "f32"):
+        if self.weight_mode not in ("int13", "int12", "int8x2", "int8",
+                                    "bf16", "bf16x2", "f32"):
             raise ValueError(f"unknown weight_mode: {self.weight_mode}")
         if self.input_layout not in ("tfpa", "ftpa"):
             raise ValueError(f"unknown input_layout: {self.input_layout}")
@@ -200,18 +200,25 @@ class ObsConfig:
 
     @property
     def a_compute(self) -> int:
-        """Resolved GEMM antenna count (see ``n_ant_compute``)."""
+        """Resolved GEMM antenna count (see ``n_ant_compute``).
+
+        Auto mode rounds the active count up to 32 (one half-K MXU
+        block), except ``int13`` which rounds to 16: its double fold
+        multiplies K by 8, so a_compute=16 is exactly one full 128-row
+        MXU pass (DSA-10's 10 active paths fit)."""
         if self.n_ant_compute:
             return self.n_ant_compute
-        return min(self.n_ant, -(-self.n_ant_active // 32) * 32)
+        mult = 16 if self.weight_mode == "int13" else 32
+        return min(self.n_ant, -(-self.n_ant_active // mult) * mult)
 
     @property
     def gemm_k(self) -> int:
         """Contraction length of each weight term's GEMM: the complex
         K-concatenation gives 2*A rows; int12 additionally concatenates
         its hi/lo sub-terms along K (the x16 data trick, ops/quantize.py)
-        for 4*A rows in a single term."""
-        mult = 4 if self.weight_mode == "int12" else 2
+        for 4*A rows in a single term, and int13 repeats the fold for
+        8*A rows."""
+        mult = {"int12": 4, "int13": 8}.get(self.weight_mode, 2)
         return mult * self.a_compute
 
     # FLOP accounting for MXU-utilization metrics (SURVEY.md §6): per

@@ -93,20 +93,27 @@ def _unpack_tile(x_u8, x16: bool):
     return re.astype(jnp.int8), im.astype(jnp.int8)
 
 
-def _build_x(x_bytes, *, n_ant, a_compute, n_pol, x16):
+def _build_x(x_bytes, *, n_ant, a_compute, n_pol, x16, x_dup=False):
     """Wire byte tile ``[Tt, P*A]`` -> MXU X operand ``[P*Tt, K]`` int8.
 
     Slices each pol's byte columns to the first ``a_compute`` antennas
     BEFORE unpacking (zero-padded slots never reach the VPU), stacks the
     nibble planes along lanes to match the weight rows — ``[re | im]``
-    (K = 2*a_compute) or ``[16re | 16im | re | im]`` (int12,
-    K = 4*a_compute) — and stacks the pols along sublanes (M): both pols
-    share weights, so one MXU dispatch with 2x M amortizes array fill.
+    (K = 2*a_compute), ``[16re | 16im | re | im]`` (int12,
+    K = 4*a_compute), or that block twice (int13's double fold,
+    ``x_dup``, K = 8*a_compute) — and stacks the pols along sublanes
+    (M): both pols share weights, so one MXU dispatch with 2x M
+    amortizes array fill.
     """
     rows = []
     for p in range(n_pol):
         cols = x_bytes[:, p * n_ant : p * n_ant + a_compute]
-        rows.append(jnp.concatenate(_unpack_tile(cols, x16), axis=1))
+        planes = _unpack_tile(cols, x16)
+        if x_dup:
+            # int13: the double fold repeats the int12 plane block in
+            # the lane axis — ONE concat of 8 (shared) plane pieces.
+            planes = planes + planes
+        rows.append(jnp.concatenate(planes, axis=1))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -146,7 +153,7 @@ def _accumulate(x_all, w_refs, *, chan):
 
 
 def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                  navg_time, x16, time_major):
+                  navg_time, x16, x_dup, time_major):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     pa = n_pol * n_ant
     if time_major:
@@ -166,7 +173,7 @@ def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
     def chan_body(c, _):
         xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
         x_all = _build_x(xb, n_ant=n_ant, a_compute=a_compute,
-                         n_pol=n_pol, x16=x16)
+                         n_pol=n_pol, x16=x16, x_dup=x_dup)
         acc = _accumulate(x_all, w_refs, chan=c)
         br = acc[:, :n_beams]
         bi = acc[:, n_beams:]
@@ -201,14 +208,14 @@ def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                    x16):
+                    x16, x_dup):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     fc = x_ref.shape[0]
     tt = x_ref.shape[1]
 
     def chan_body(c, _):
         x_all = _build_x(x_ref[c], n_ant=n_ant, a_compute=a_compute,
-                         n_pol=n_pol, x16=x16)
+                         n_pol=n_pol, x16=x16, x_dup=x_dup)
         acc = _accumulate(x_all, w_refs, chan=c)
         acc = acc * s_ref[c, 0, n_terms - 1]  # dequantize voltages
         # Output is [F, T, P*2B] (pol folded into the lane axis: Mosaic
@@ -373,7 +380,8 @@ def beamform_power(
         n_pol=cfg.n_pol,
         n_terms=n_terms,
         navg_time=cfg.navg_time,
-        x16=cfg.weight_mode == "int12",
+        x16=cfg.weight_mode in ("int12", "int13"),
+        x_dup=cfg.weight_mode == "int13",
         time_major=time_major,
     )
     out = pl.pallas_call(
@@ -439,7 +447,8 @@ def beamform_voltages(
         n_beams=cfg.n_beams,
         n_pol=cfg.n_pol,
         n_terms=n_terms,
-        x16=cfg.weight_mode == "int12",
+        x16=cfg.weight_mode in ("int12", "int13"),
+        x_dup=cfg.weight_mode == "int13",
     )
     out = pl.pallas_call(
         kernel,

@@ -29,8 +29,11 @@ Two K tricks stack on top of the complex concatenation:
 
 Modes:
 
-- ``int12``  : one int8 term, K-folded hi+lo (see above) — the fast
-               mode that clears the 1e-3 bar.
+- ``int13``  : one int8 term, TWO K-folded hi+lo pairs summed in the
+               dot (K = 8A) — the most accurate one-pass mode (~13-bit
+               weights; pass cost is flat in K <= 128, so at
+               a_compute=16 the second fold is free).
+- ``int12``  : one int8 term, K-folded hi+lo (see above).
 - ``int8``   : one int8 term, per-channel scale (fails the bar at ~7e-3;
                kept for throughput comparison).
 - ``int8x2`` : hi + lo int8 terms spaced exactly 2^8 (residual
@@ -90,6 +93,15 @@ class QuantWeights(NamedTuple):
             hi = self.terms[0][:, :k2].astype(jnp.float32)
             lo = self.terms[0][:, k2:].astype(jnp.float32)
             return self.scales[:, 0, None, None] * (16.0 * hi + lo)
+        if mode == "int13":
+            # Rows are [[hi1],[lo1],[hi2],[lo2]] (see _quant_int13).
+            t = self.terms[0].astype(jnp.float32)
+            k2 = t.shape[1] // 4
+            h1, l1 = t[:, :k2], t[:, k2 : 2 * k2]
+            h2, l2 = t[:, 2 * k2 : 3 * k2], t[:, 3 * k2 :]
+            return self.scales[:, 0, None, None] * (
+                16.0 * (h1 + h2) + l1 + l2
+            )
         acc = None
         for k, t in enumerate(self.terms):
             part = self.scales[:, k, None, None] * t.astype(jnp.float32)
@@ -169,6 +181,36 @@ def _quant_f32(wc):
 
 
 @jax.jit
+def _quant_int13(wc):
+    # TWO x16 folds summed inside one dot: ~13-bit weights in ONE int8
+    # MXU pass.  Each fold spans +-(16*127+127) = +-2159, so
+    # T = T1 + T2 spans +-4318.  Pass cost is flat in K <= 128, so at
+    # a_compute=16 — enough for DSA-10's 10 active paths — the extra
+    # fold is FREE (see BENCH.md).  Measured error: 2.9e-3 point-source
+    # / 2.6e-4 noise vs int12's 7e-3 / 5.6e-4.
+    #
+    # Row layout matches the kernel's data operand [X12 | X12] (the
+    # int12 plane block repeated along lanes, gemm._build_x x_dup):
+    # term rows are [[hi1],[lo1],[hi2],[lo2]], each over the
+    # complex-concatenated 2A rows.
+    s = jnp.maximum(
+        jnp.max(jnp.abs(wc), axis=(1, 2)) / jnp.float32(4318.0),
+        jnp.float32(1e-30),
+    )
+    sn = s[:, None, None]
+    t = jnp.clip(jnp.round(wc / sn), -4318, 4318)
+    t1 = jnp.clip(jnp.round(t * 0.5), -2159, 2159)
+    t2 = t - t1  # |t2| <= 2159 by construction
+    parts = []
+    for tk in (t1, t2):
+        hi = jnp.clip(jnp.round(tk / 16.0), -127, 127)
+        lo = tk - 16.0 * hi  # |lo| <= 8
+        parts += [hi, lo]
+    term = jnp.concatenate(parts, axis=1).astype(jnp.int8)
+    return (term,), s[:, None]
+
+
+@jax.jit
 def _quant_int12(wc):
     # ONE term [[W_hi], [W_lo]] stacked along K; the kernel's X operand
     # is [16X | X], so the product is 16*(X@W_hi) + X@W_lo = X@(16Whi+Wlo)
@@ -188,6 +230,7 @@ def _quant_int12(wc):
 
 
 _QUANTIZERS = {
+    "int13": _quant_int13,
     "int12": _quant_int12,
     "int8": _quant_int8,
     "int8x2": _quant_int8x2,

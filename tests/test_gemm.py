@@ -31,6 +31,7 @@ def _golden_power(cfg, wire, cal=None):
 @pytest.mark.parametrize(
     "mode,rtol",
     [
+        ("int13", 5e-4),
         ("int12", 8e-4),
         ("int8x2", 2e-4),
         ("bf16x2", 2e-4),

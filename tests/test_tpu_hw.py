@@ -78,26 +78,59 @@ def test_int12_fast_mode_on_tpu(tpu_backend):
     assert relative_power_error(p, p_ref) <= POWER_RTOL
 
 
-def test_realtime_factor_on_tpu(tpu_backend):
+def test_realtime_and_mode_ratios_on_tpu(tpu_backend):
+    """Perf gates at the deployed preset (t_block=8192), measured
+    back-to-back in one session.
+
+    The CI chip's absolute throughput swings ~20% between sessions
+    (shared relay), so the load-bearing gates are same-session RATIOS
+    between modes; the absolute floor is a loose sanity bound.
+    Healthy values on this chip: int8x2 2.1x (the headline), int12
+    3.3x, int13 3.2x; int8x2/int12 ms ratio 1.56 (two passes vs one);
+    int13/int12 1.03 (the lane-repeat is free — a relayout regression
+    measures 1.5)."""
     from dsabeamformer_tpu.config import DSA10
     from dsabeamformer_tpu.utils.bench import bench_kernel
 
-    cfg = DSA10.replace(t_block=2048)  # deployed tfpa path, short blocks
-    rec = bench_kernel(cfg, n_blocks=8, repeats=2)
-    # Round-2 regression floor: measured 1.8x on the derated CI chip at
-    # t_block=2048 (2.1x at the preset's t_block=8192; BASELINE parity
-    # is >= ~1x full band per device).
-    assert rec["realtime_factor"] >= 1.5, rec
+    recs = {
+        mode: bench_kernel(DSA10.replace(weight_mode=mode), n_blocks=8,
+                           repeats=2)
+        for mode in ("int8x2", "int12", "int13")
+    }
+    # Absolute sanity: even a degraded session clears BASELINE parity
+    # (>= ~1x full band per device) with margin on the default mode.
+    assert recs["int8x2"]["realtime_factor"] >= 1.4, recs
+    # int12 must show the one-pass advantage over the two-pass default.
+    assert recs["int8x2"]["ms_per_block"] >= 1.3 * recs["int12"]["ms_per_block"], recs
+    # int13's double fold must stay one-pass-priced (no lane relayout).
+    assert recs["int13"]["ms_per_block"] <= 1.25 * recs["int12"]["ms_per_block"], recs
 
 
-def test_int12_faster_than_int8x2_on_tpu(tpu_backend):
+def test_int13_accuracy_on_tpu(tpu_backend):
+    """int13 (double x16 fold, K=8*16=128): noise accuracy clears the
+    1e-3 bar on hardware (its one-pass pricing is gated by
+    test_realtime_and_mode_ratios_on_tpu)."""
+    import jax
+    import numpy as np
+
     from dsabeamformer_tpu.config import DSA10
-    from dsabeamformer_tpu.utils.bench import bench_kernel
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
 
-    base = DSA10.replace(t_block=2048)
-    r12 = bench_kernel(base.replace(weight_mode="int12"), n_blocks=8,
-                       repeats=2)
-    # Measured 2.0-2.2x at t_block=2048 on the derated CI chip (3.3x at
-    # the preset's t_block=8192); floor set under the observed ~8%
-    # run-to-run variance of this short measurement.
-    assert r12["realtime_factor"] >= 1.85, r12
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024,
+                        weight_mode="int13")
+    assert cfg.a_compute == 16 and cfg.gemm_k == 128
+    wire = make_noise_block(cfg, rms=2.0, seed=3)
+    qw = quantize_weights(make_weights(cfg), "int13", cfg.a_compute)
+    p = np.asarray(
+        beamform_power(jax.device_put(device_wire_view(wire, cfg)), qw, cfg)
+    )
+    p_ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
+    )
+    assert relative_power_error(p, p_ref) <= POWER_RTOL
+
