@@ -20,8 +20,9 @@ from dsabeamformer_tpu.ops.quantize import quantize_weights
 from dsabeamformer_tpu.ops.reference import beamform_block_ref
 from dsabeamformer_tpu.utils.testing import assert_power_close
 
-MODES = ["int8x2", "int12", "f32", "bf16x2"]
-RTOL = {"int8x2": 3e-4, "int12": 2e-3, "f32": 1e-5, "bf16x2": 3e-4}
+MODES = ["int8x2", "int12", "f32", "bf16x2", "int13"]
+RTOL = {"int8x2": 3e-4, "int12": 2e-3, "f32": 1e-5, "bf16x2": 3e-4,
+        "int13": 1e-3}
 
 
 def _random_cfg(rng: np.random.Generator, i: int) -> ObsConfig:
@@ -69,3 +70,11 @@ def test_random_geometry_matches_golden(i):
                        what=f"{cfg.name} {cfg.weight_mode} "
                             f"A={cfg.n_ant}/{cfg.n_ant_active} "
                             f"a_c={cfg.a_compute} {cfg.input_layout}")
+    # The canonical device-wire form must agree bit-for-bit with the
+    # 4-D host form at every geometry (both layouts, every mode).
+    from dsabeamformer_tpu.ops.gemm import device_wire_view
+
+    p_dev = np.asarray(
+        beamform_power(device_wire_view(wire, cfg), qw, cfg)
+    )
+    np.testing.assert_array_equal(p, p_dev)
