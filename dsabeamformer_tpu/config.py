@@ -66,7 +66,8 @@ class ObsConfig:
     chan_tile: int = 8           # channels per Pallas grid cell (amortizes
                                  # per-cell grid/DMA overhead; the batched-GEMM
                                  # analog of cublasCgemmBatched's batching)
-    weight_mode: str = "int8x2"  # one of: int12 | int8x2 | int8 | bf16 | bf16x2 | f32
+    weight_mode: str = "int8x2"  # one of: int13 | int12 | int8x2 | int8
+                                 #         | bf16 | bf16x2 | f32
     n_ant_compute: int = 0       # antennas the GEMM contracts over; 0 = auto
                                  # (n_ant_active rounded up to 32, capped at
                                  # n_ant).  Wire slots >= this index MUST be

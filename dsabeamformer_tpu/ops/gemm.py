@@ -313,9 +313,9 @@ def _common_specs(cfg: ObsConfig, n_terms: int, time_major: bool = False):
             memory_space=pltpu.VMEM,
         )
     in_specs = [wire_spec] + [
-        # One spec per quantization term: [chan_tile, 2A, 2B], constant
-        # along the (innermost) time grid dim so each weight tile is
-        # fetched once per channel group.
+        # One spec per quantization term: [chan_tile, gemm_k, 2B],
+        # constant along the (innermost) time grid dim so each weight
+        # tile is fetched once per channel group.
         pl.BlockSpec(
             (fc, a2, b2), lambda f, t: (f, 0, 0), memory_space=pltpu.VMEM
         )
