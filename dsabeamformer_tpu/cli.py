@@ -14,6 +14,7 @@ subcommands:
   dsabf info        — device + config diagnostics
   dsabf bench       — single-chip benchmark, one JSON line (see bench.py)
   dsabf trace       — capture + summarize a device profiler trace
+  dsabf ring        — inspect a ring's counters (dada_dbmonitor analog)
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
@@ -328,6 +329,36 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_ring(args) -> int:
+    """Inspect a live voltage/power ring (the ``dada_dbmonitor`` analog,
+    SURVEY.md §5 observability): one JSON line of counters, or repeated
+    with ``--watch``."""
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
+    try:
+        while True:
+            print(json.dumps({
+                "key": args.key,
+                "nbufs": ring.nbufs,
+                "bufsz": ring.bufsz,
+                "written": ring.n_written,
+                "read": ring.n_read,
+                "backlog": ring.n_written - ring.n_read,
+                "dropped": ring.dropped,
+                "skipped": ring.skipped,
+                "eod": ring.eod(),
+            }), flush=True)
+            if not args.watch:
+                break
+            time.sleep(args.watch)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ring.close()
+    return 0
+
+
 def cmd_trace(args) -> int:
     """Capture a device trace of a few block steps and print the per-op
     duration breakdown (the nvprof-timeline analog, SURVEY.md §5)."""
@@ -447,6 +478,13 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="/tmp/dsabf-trace",
                    help="profiler log dir (tensorboard --logdir <out>)")
     p.set_defaults(fn=cmd_trace)
+
+    p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")
+    p.add_argument("--key", default="dsa")
+    p.add_argument("--timeout", type=float, default=5.0)
+    p.add_argument("--watch", type=float,
+                   help="re-print every N seconds until Ctrl-C")
+    p.set_defaults(fn=cmd_ring)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -108,3 +108,24 @@ def test_run_pinned_nonzero_device_single_compile(tmp_path, capsys, caplog,
                 if "beamform_power" in r.getMessage()
                 and "Compiling" in r.getMessage()]
     assert len(compiles) <= 1, [r.getMessage() for r in compiles]
+
+
+def test_ring_monitor(capsys):
+    """`dsabf ring` prints the counters of a live ring (dada_dbmonitor
+    analog)."""
+    import json
+
+    import numpy as np
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    with RingBuffer("clitestmon", create=True, nbufs=4, bufsz=64) as ring:
+        ring.write_header("HDR 1.0\n")
+        ring.write_block(np.zeros(64, np.uint8))
+        ring.write_block(np.ones(64, np.uint8))
+        assert cli.main(["ring", "--key", "clitestmon"]) == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["written"] == 2 and rec["backlog"] == 2
+        assert rec["nbufs"] == 4 and rec["bufsz"] == 64
+        assert rec["dropped"] == 0 and rec["eod"] is False
