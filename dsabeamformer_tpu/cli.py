@@ -316,6 +316,14 @@ def cmd_info(args) -> int:
         "realtime_gb_per_s": round(cfg.realtime_bytes_per_s / 1e9, 3),
         "out_block_shape": list(cfg.out_block_shape),
         "weight_mode": cfg.weight_mode,
+        # Deployment sizing at the default --depth 2 (see cmd_run): the
+        # driver keeps depth+1 wire blocks on HBM and stages depth+2 in
+        # host RAM; `dsabf simulate` additionally holds an nbufs-deep
+        # ring in /dev/shm.
+        "weight_bytes": cfg.n_chan * cfg.gemm_k * 2 * cfg.n_beams
+                        * cfg.n_weight_terms,
+        "hbm_wire_bytes_depth2": 3 * cfg.wire_block_bytes,
+        "host_staging_bytes_depth2": 4 * cfg.wire_block_bytes,
     }))
     return 0
 
