@@ -321,7 +321,9 @@ def cmd_info(args) -> int:
         # host RAM; `dsabf simulate` additionally holds an nbufs-deep
         # ring in /dev/shm.
         "weight_bytes": cfg.n_chan * cfg.gemm_k * 2 * cfg.n_beams
-                        * cfg.n_weight_terms,
+                        * cfg.n_weight_terms
+                        * {"f32": 4, "bf16": 2, "bf16x2": 2}.get(
+                            cfg.weight_mode, 1),
         "hbm_wire_bytes_depth2": 3 * cfg.wire_block_bytes,
         "host_staging_bytes_depth2": 4 * cfg.wire_block_bytes,
     }))
@@ -441,7 +443,9 @@ def main(argv=None) -> int:
                    help="inject a point source at this angle (deg)")
     p.add_argument("--distinct", type=int, default=4,
                    help="number of distinct pre-generated blocks")
-    p.add_argument("--nbufs", type=int, default=8)
+    p.add_argument("--nbufs", type=int, default=4,
+                   help="ring depth; /dev/shm use = nbufs x wire block "
+                        "(2.1 GB/block at the dsa10 preset's t_block=8192)")
     p.add_argument("--linger", type=float, default=10.0,
                    help="seconds to wait for the consumer to drain after EOD")
     p.add_argument("--out-file",

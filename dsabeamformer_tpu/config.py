@@ -69,7 +69,8 @@ class ObsConfig:
     weight_mode: str = "int8x2"  # one of: int13 | int12 | int8x2 | int8
                                  #         | bf16 | bf16x2 | f32
     n_ant_compute: int = 0       # antennas the GEMM contracts over; 0 = auto
-                                 # (n_ant_active rounded up to 32, capped at
+                                 # (n_ant_active rounded up to 32 — or 16
+                                 # for int13, see a_compute — capped at
                                  # n_ant).  Wire slots >= this index MUST be
                                  # zero (they are in the reference's padded
                                  # 4R4I format, SURVEY.md §0), so dropping
@@ -77,12 +78,13 @@ class ObsConfig:
                                  # while skipping MXU passes and VPU unpack
                                  # spent on structural zeros.
     input_layout: str = "tfpa"   # wire layout delivered by the capture
-                                 # stage.  'tfpa' is corner-turned by an XLA
-                                 # pre-transpose (measured 2.4% of the block
-                                 # step; an in-kernel strided-DMA corner
-                                 # turn was tried in rounds 1-2 and retired
-                                 # — Mosaic cannot compile the strided read
-                                 # at full size, docs/DESIGN.md)
+                                 # stage.  'tfpa' (time-major) is consumed
+                                 # time-major by the kernel via the
+                                 # canonical device form [T, F*P*A]: the
+                                 # corner-turn happens in the Pallas
+                                 # grid/DMA + an in-kernel lane slice and
+                                 # is never materialized (docs/DESIGN.md
+                                 # §4; device_wire_shape below)
 
     def __post_init__(self):
         if self.n_pol != 2:

@@ -28,9 +28,9 @@ Design notes
   (they share weights); the epilogue splits the row blocks back apart.
   No sublane<->lane reshapes anywhere (Mosaic lowers those slowly).
 - int8 path stays integer until one f32 convert: int32 accumulation is
-  exact (|x|<=8, |w|<=127, K<=256, hi<<8 combine => |acc| < 2^27), and
-  dequantization is a single per-channel scalar on the 16x-averaged
-  output.
+  exact (|x|<=128 incl. the x16 planes, |w|<=127, K<=1024, hi<<8
+  combine => |acc| < 2^27), and dequantization is a single per-channel
+  scalar on the 16x-averaged output.
 - Wire blocks arrive in the canonical device form
   ``cfg.device_wire_shape`` — a free host-side view whose minor dim is a
   multiple of 128 lanes, so XLA's default parameter layout matches the

@@ -204,7 +204,10 @@ def _quant_int13(wc):
     parts = []
     for tk in (t1, t2):
         hi = jnp.clip(jnp.round(tk / 16.0), -127, 127)
-        lo = tk - 16.0 * hi  # |lo| <= 8
+        # |lo| <= 8 in the interior, but when hi clips at +-127
+        # (|tk| > 2032) lo absorbs the excess up to +-127 — still int8,
+        # and 16*hi + lo == tk exactly for the whole +-2159 range.
+        lo = tk - 16.0 * hi
         parts += [hi, lo]
     term = jnp.concatenate(parts, axis=1).astype(jnp.int8)
     return (term,), s[:, None]

@@ -47,7 +47,7 @@ from dsabeamformer_tpu.models.calibration import CalTable
 from dsabeamformer_tpu.models.weights import make_weights
 from dsabeamformer_tpu.ops.cplx import CVec
 from dsabeamformer_tpu.ops.gemm import beamform_voltages
-from dsabeamformer_tpu.ops.quantize import QuantWeights, cat_weights
+from dsabeamformer_tpu.ops.quantize import QuantWeights, quantize_weights
 
 CHAN_AXIS = "chan"
 ANT_AXIS = "ant"
@@ -114,13 +114,13 @@ def shard_weights_tp(
     cal = cal if cal is not None else CalTable.unity(cfg)
     w: CVec = make_weights(cfg, layout=layout, cal=cal,
                            pointing_rad=pointing_rad)
-    wc = cat_weights(w, None)  # [F, 2A, 2B], rows [re(A); im(A)]
+    # Full-table quantization (a_compute=None keeps every K row): the
+    # per-channel scales see the whole weight matrix, identical to the
+    # single-chip path, before the rows are regrouped and sharded.
+    qw_full = quantize_weights(w, cfg.weight_mode, None)
+    terms, scales = qw_full.terms, qw_full.scales
     a = cfg.n_ant
     a_l = a // na
-
-    from dsabeamformer_tpu.ops.quantize import _QUANTIZERS
-
-    terms, scales = _QUANTIZERS[cfg.weight_mode](wc)
     # Regroup K rows by antenna shard: [re_0..re_A | im_0..im_A] ->
     # [re_g0 im_g0 | re_g1 im_g1 | ...] so an equal split of the K dim
     # IS the per-group cat_weights layout.
