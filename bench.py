@@ -97,9 +97,19 @@ def main() -> int:
     macs_per_s = cfg.macs_per_block * cfg.n_weight_terms / best
     peak = peak_macs_per_s(True)
     util = None if peak is None else macs_per_s / peak
+    # Dual accounting (BENCH.md): macs_per_block counts the SLICED K
+    # actually issued (a_compute antennas); the reference formulation
+    # contracts the full padded n_ant, so its utilization number for
+    # the same wall time is n_ant/a_compute larger — report both.
+    pad_ratio = cfg.n_ant / cfg.a_compute
+    util_s = "n/a" if util is None else (
+        f"{100 * util:.1f}% issued-MACs "
+        f"({100 * util * pad_ratio:.1f}% in the reference's padded-K "
+        f"accounting)"
+    )
     print(
         f"[bench] {best * 1e3:.2f} ms/block | {gbs:.1f} GB/s wire | "
-        f"{rt:.2f}x realtime | MXU {('%.1f%%' % (100 * util)) if util else 'n/a'}",
+        f"{rt:.2f}x realtime | MXU {util_s}",
         file=sys.stderr,
     )
 
