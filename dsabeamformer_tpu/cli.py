@@ -52,6 +52,23 @@ def _load_cfg(args):
         key, _, val = kv.partition("=")
         field = getattr(cfg, key)  # raises AttributeError for bad key
         cfg = cfg.replace(**{key: _coerce_field(field, val)})
+    if getattr(args, "subband", None):
+        # "I/N": this process owns the I-th of N equal contiguous
+        # subbands — the reference's one-process-per-subband deployment
+        # (SURVEY.md §2 scale-out) as a single flag.  Applied after
+        # --set so overrides describe the FULL band.
+        i_s, _, n_s = args.subband.partition("/")
+        try:
+            i, n = int(i_s), int(n_s)
+        except ValueError:
+            raise SystemExit(f"--subband must be I/N, got {args.subband!r}")
+        if not (n > 0 and 0 <= i < n):
+            raise SystemExit(f"--subband {args.subband}: need 0 <= I < N")
+        if cfg.n_chan % n:
+            raise SystemExit(
+                f"--subband /{n} does not divide n_chan={cfg.n_chan}")
+        width = cfg.n_chan // n
+        cfg = cfg.subband(i * width, width)
     return cfg
 
 
@@ -60,6 +77,9 @@ def _add_common(p):
                    help="config preset: dsa10 | dsa110 | tiny")
     p.add_argument("--set", action="append", metavar="KEY=VAL",
                    help="override any ObsConfig field, e.g. --set t_block=512")
+    p.add_argument("--subband", metavar="I/N",
+                   help="own the I-th of N equal subbands (the reference's "
+                        "process-per-subband deployment split)")
 
 
 def _make_weights(cfg, args):

@@ -129,3 +129,48 @@ def test_ring_monitor(capsys):
         assert rec["written"] == 2 and rec["backlog"] == 2
         assert rec["nbufs"] == 4 and rec["bufsz"] == 64
         assert rec["dropped"] == 0 and rec["eod"] is False
+
+
+def test_subband_flag(capsys):
+    """--subband I/N = the reference's process-per-subband split."""
+    import json
+
+    import numpy as np
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.config import DSA10
+
+    assert cli.main(["info", "--config", "dsa10", "--subband", "3/8"]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    sub = DSA10.subband(3 * 256, 256)
+    assert rec["wire_block_bytes"] == sub.wire_block_bytes
+    # Full-band rate is set by n_chan_total, so a subband instance's
+    # realtime target is 1/N of the aggregate.
+    assert rec["realtime_gb_per_s"] == round(sub.realtime_bytes_per_s / 1e9, 3)
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="I/N"):
+        cli.main(["info", "--config", "dsa10", "--subband", "3"])
+    with pytest.raises(SystemExit, match="divide"):
+        cli.main(["info", "--config", "dsa10", "--subband", "0/7"])
+
+
+def test_subband_end_to_end(tmp_path, capsys, tiny_cfg):
+    """A subband instance beamforms a subband capture file end-to-end."""
+    from dsabeamformer_tpu import cli
+
+    out = str(tmp_path / "cap.raw")
+    assert cli.main(["simulate", "--config", "tiny", "--subband", "1/2",
+                     "--blocks", "2", "--out-file", out]) == 0
+    capsys.readouterr()
+    pout = str(tmp_path / "powers.raw")
+    rc = cli.main(["run", "--config", "tiny", "--subband", "1/2",
+                   "--input-file", out, "--output-file", pout, "--blocks", "2"])
+    assert rc == 0
+    import os
+
+    import numpy as np
+
+    sub = tiny_cfg.subband(tiny_cfg.n_chan // 2, tiny_cfg.n_chan // 2)
+    assert os.path.getsize(pout) == 2 * int(np.prod(sub.out_block_shape)) * 4
