@@ -14,6 +14,7 @@ from dsabeamformer_tpu.ops.reference import (
 )
 from dsabeamformer_tpu.ops.quantize import QuantWeights, quantize_weights
 from dsabeamformer_tpu.ops.gemm import beamform_power, beamform_voltages
+from dsabeamformer_tpu.ops.incoherent import incoherent_power
 
 __all__ = [
     "pack_4r4i",
@@ -26,5 +27,6 @@ __all__ = [
     "QuantWeights",
     "quantize_weights",
     "beamform_power",
+    "incoherent_power",
     "beamform_voltages",
 ]

@@ -1,0 +1,73 @@
+"""Incoherent-sum detection: the zero-gain "beam 0" total-power product.
+
+A standard FRB-backend companion to the coherent beams (no direct
+reference counterpart — the reference emits only the 256 coherent
+beams, SURVEY.md §0 step 6): per channel and time sample, sum
+``|v|^2`` over the active antennas and both polarizations, then apply
+the same 16x time averaging as the coherent path.  Useful as a
+sensitivity-flat detector across the whole primary beam, an RFI
+monitor, and a normalization reference for the coherent powers.
+
+Memory-bound, not MXU work (one pass over the wire bytes, tiny
+output), so it is a plain jitted jnp function — XLA fuses the nibble
+unpack, square, and reductions into one pass; no Pallas needed.
+Accepts the same wire forms as ``beamform_power`` (canonical
+``cfg.device_wire_shape`` or the 4-D host form).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.ops.packing import unpack_4r4i
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
+    """4R4I wire block -> incoherent total power ``[F, T/navg_time]``.
+
+    ``sum_{a<n_ant_active, p} (re^2 + im^2)`` per (channel, sample),
+    summed over ``navg_time`` consecutive samples — the incoherent
+    analog of ``beamform_power``'s detection epilogue (power in raw
+    4-bit units^2; no weights, no calibration).
+    """
+    if wire.dtype != jnp.uint8:
+        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
+    pa = cfg.n_pol * cfg.n_ant
+    if wire.shape == cfg.device_wire_shape or wire.shape == cfg.wire_block_shape:
+        if cfg.input_layout == "tfpa":
+            x = wire.reshape(cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+        else:
+            x = wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+    else:
+        raise ValueError(
+            f"wire shape {wire.shape} is neither {cfg.device_wire_shape} "
+            f"nor {cfg.wire_block_shape} for layout {cfg.input_layout!r}"
+        )
+    x = x[..., : cfg.n_ant_active]
+    re, im = unpack_4r4i(x)
+    re = re.astype(jnp.int32)
+    im = im.astype(jnp.int32)
+    p = (re * re + im * im).sum(axis=(2, 3))  # over (pol, antenna)
+    if cfg.input_layout == "tfpa":
+        p = p.T  # [T, F] -> [F, T]
+    f, t = p.shape
+    p = p.reshape(f, t // cfg.navg_time, cfg.navg_time).sum(axis=2)
+    return p.astype(jnp.float32)
+
+
+def incoherent_power_golden(wire, cfg: ObsConfig):
+    """NumPy float64 oracle for ``incoherent_power``."""
+    import numpy as np
+
+    from dsabeamformer_tpu.ops.packing import unpack_wire_to_complex
+
+    v = unpack_wire_to_complex(np.asarray(wire).reshape(cfg.wire_block_shape),
+                               cfg.input_layout)  # [F, T, P, A] complex
+    p = (np.abs(v[..., : cfg.n_ant_active]) ** 2).sum(axis=(2, 3))
+    f, t = p.shape
+    return p.reshape(f, t // cfg.navg_time, cfg.navg_time).sum(axis=2)
