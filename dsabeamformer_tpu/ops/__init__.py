@@ -13,7 +13,11 @@ from dsabeamformer_tpu.ops.reference import (
     detect_ref,
 )
 from dsabeamformer_tpu.ops.quantize import QuantWeights, quantize_weights
-from dsabeamformer_tpu.ops.gemm import beamform_power, beamform_voltages
+from dsabeamformer_tpu.ops.gemm import (
+    beamform_power,
+    beamform_stokes,
+    beamform_voltages,
+)
 from dsabeamformer_tpu.ops.incoherent import incoherent_power
 
 __all__ = [
@@ -27,6 +31,7 @@ __all__ = [
     "QuantWeights",
     "quantize_weights",
     "beamform_power",
+    "beamform_stokes",
     "incoherent_power",
     "beamform_voltages",
 ]

@@ -207,6 +207,55 @@ def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         jax.lax.fori_loop(0, fc, chan_body, 0)
 
 
+def _stokes_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
+                   navg_time, x16, x_dup, time_major):
+    """Full-Stokes epilogue: I, Q, U, V per (time, beam) fused after the
+    GEMM, time-averaged like the power path.  Output block lanes are
+    ``[I | Q | U | V]`` (4*B wide; Mosaic takes <=3 output dims, so the
+    Stokes axis rides the lane dim and the caller reshapes).
+
+    Convention (linear feeds; documented in ``beamform_stokes``):
+    I = |Bx|^2+|By|^2, Q = |Bx|^2-|By|^2, U = 2 Re(Bx By*),
+    V = 2 Im(Bx By*).  All terms are quadratic in the same quantized
+    units, so the deferred s^2 dequantization is identical to the
+    power path.
+    """
+    w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
+    pa = n_pol * n_ant
+    if time_major:
+        tt = x_ref.shape[0]
+        fc = x_ref.shape[1] // pa
+    else:
+        fc = x_ref.shape[0]
+        tt = x_ref.shape[1]
+
+    def avg(z):
+        return z.reshape(tt // navg_time, navg_time, n_beams).sum(axis=1)
+
+    def chan_body(c, _):
+        xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
+        x_all = _build_x(xb, n_ant=n_ant, a_compute=a_compute,
+                         n_pol=n_pol, x16=x16, x_dup=x_dup)
+        acc = _accumulate(x_all, w_refs, chan=c)
+        bxr = acc[:tt, :n_beams]
+        bxi = acc[:tt, n_beams:]
+        byr = acc[tt : 2 * tt, :n_beams]
+        byi = acc[tt : 2 * tt, n_beams:]
+        px = bxr * bxr + bxi * bxi
+        py = byr * byr + byi * byi
+        cr = bxr * byr + bxi * byi          # Re(Bx By*)
+        ci = bxi * byr - bxr * byi          # Im(Bx By*)
+        out = jnp.concatenate(
+            [avg(px + py), avg(px - py), avg(cr + cr), avg(ci + ci)],
+            axis=1,
+        )
+        s = s_ref[c, 0, n_terms - 1]
+        o_ref[c] = out * (s * s)
+        return 0
+
+    jax.lax.fori_loop(0, fc, chan_body, 0)
+
+
 def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                     x16, x_dup):
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
@@ -403,6 +452,88 @@ def beamform_power(
     if cfg.navg_freq > 1:
         f, t, b = out.shape
         out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def beamform_stokes(
+    wire: jax.Array,
+    qw: QuantWeights,
+    cfg: ObsConfig,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused full-Stokes pipeline: wire block -> averaged Stokes spectra.
+
+    Returns float32 ``[F/navg_freq, T/navg_time, 4, B]`` with the Stokes
+    axis ordered ``[I, Q, U, V]`` for the linear-feed convention
+
+        I = |Bx|^2 + |By|^2        Q = |Bx|^2 - |By|^2
+        U = 2 Re(Bx conj(By))      V = 2 Im(Bx conj(By))
+
+    (x = pol 0, y = pol 1 of the wire block).  ``[..., 0, :]`` equals
+    ``beamform_power``'s output.  No reference counterpart (the CUDA
+    pipeline detects Stokes I only — SURVEY.md L5); polarization work
+    there required offline voltage dumps.
+
+    The output block is 4x the power path's, so the default DSA-10
+    tiles exceed VMEM — use e.g. ``cfg.replace(time_tile=1024,
+    chan_tile=4)`` (measured 0.88x realtime full-band single-chip at
+    1-3e-5 per-plane accuracy; an opt-in product, not the search hot
+    path — see BENCH.md).
+    """
+    interpret = _default_interpret() if interpret is None else interpret
+    _check_weights(qw, cfg)
+    x, time_major = _prepare_wire(wire, cfg)
+    pa = cfg.n_pol * cfg.n_ant
+    if time_major and pa % 128 and not interpret:
+        x = jnp.transpose(x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2))
+        time_major = False
+    n_terms = len(qw.terms)
+    grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
+    out_shape = jax.ShapeDtypeStruct(
+        (cfg.n_chan, cfg.t_block // cfg.navg_time, 4 * cfg.n_beams),
+        jnp.float32,
+    )
+    out_spec = pl.BlockSpec(
+        (cfg.chan_tile, cfg.time_tile // cfg.navg_time, 4 * cfg.n_beams),
+        lambda f, t: (f, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _stokes_kernel,
+        n_ant=cfg.n_ant,
+        a_compute=cfg.a_compute,
+        n_beams=cfg.n_beams,
+        n_pol=cfg.n_pol,
+        n_terms=n_terms,
+        navg_time=cfg.navg_time,
+        x16=cfg.weight_mode in ("int12", "int13"),
+        x_dup=cfg.weight_mode == "int13",
+        time_major=time_major,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_common_specs(cfg, n_terms, time_major),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=_cost(
+            cfg, n_terms,
+            weight_bytes=sum(w.size * w.dtype.itemsize for w in qw.terms),
+            out_bytes=out_shape.size * 4,
+        ),
+        interpret=interpret,
+    )(x, *qw.terms, qw.scales[:, None, :])
+    out = out.reshape(
+        cfg.n_chan, cfg.t_block // cfg.navg_time, 4, cfg.n_beams
+    )
+    if cfg.navg_freq > 1:
+        f = out.shape[0]
+        out = out.reshape(f // cfg.navg_freq, cfg.navg_freq,
+                          *out.shape[1:]).sum(axis=1)
     return out
 
 

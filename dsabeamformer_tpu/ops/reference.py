@@ -50,6 +50,29 @@ def average_ref(power, navg_time: int, navg_freq: int = 1):
     return p.sum(axis=(1, 3))
 
 
+def stokes_ref(bvolt):
+    """Full-Stokes detection (linear feeds, matching
+    ``ops.gemm.beamform_stokes``): ``[F, T, P, B]`` -> ``[F, T, 4, B]``
+    ordered [I, Q, U, V] with U/V from ``Bx conj(By)``."""
+    xp = jnp if isinstance(bvolt, jnp.ndarray) else np
+    bx, by = bvolt[:, :, 0], bvolt[:, :, 1]
+    px = bx.real**2 + bx.imag**2
+    py = by.real**2 + by.imag**2
+    c = bx * xp.conj(by)
+    return xp.stack([px + py, px - py, 2 * c.real, 2 * c.imag], axis=2)
+
+
+def beamform_stokes_ref(weights, wire, layout: str, navg_time: int,
+                        navg_freq: int = 1):
+    """Golden full-Stokes pipeline: wire -> ``[F/navg_f, T/navg_t, 4, B]``."""
+    volt = unpack_wire_to_complex(wire, layout)
+    st = stokes_ref(beamform_voltages_ref(weights, volt))
+    f, t, four, b = st.shape
+    p = st.reshape(f // navg_freq, navg_freq, t // navg_time, navg_time,
+                   four, b)
+    return p.sum(axis=(1, 3))
+
+
 def beamform_block_ref(weights, wire, layout: str, navg_time: int,
                        navg_freq: int = 1):
     """Full golden pipeline: 4R4I wire block -> averaged beam powers.
