@@ -138,8 +138,12 @@ def _cmd_run_pinned(args) -> int:
                   f"data at +{dada_offset}", file=sys.stderr)
     qw = _make_weights(cfg, args)
 
+    inco_sink = (FileSink(args.incoherent_file, None)
+                 if args.incoherent_file else None)
     # Compile the hot path before attaching to the stream.
-    warm = StreamingBeamformer(cfg, qw, source=None)
+    warm = StreamingBeamformer(cfg, qw, source=None,
+                               products=args.products,
+                               incoherent_sink=inco_sink)
     warm.warmup()
 
     if args.input_file:
@@ -153,14 +157,15 @@ def _cmd_run_pinned(args) -> int:
         source = RingSource(cfg, ring, latest=args.latest,
                             timeout_s=args.timeout,
                             n_host_buffers=args.depth + 2)
+    out_mult = 4 if args.products == "stokes" else 1
     sink = None
     if args.output_file:
-        sink = FileSink(args.output_file, cfg)
+        sink = FileSink(args.output_file, cfg, products=args.products)
     elif args.output_key:
-        out_bytes = int(np.prod(cfg.out_block_shape)) * 4
+        out_bytes = int(np.prod(cfg.out_block_shape)) * 4 * out_mult
         out_ring = RingBuffer(args.output_key, create=True,
                               nbufs=args.nbufs, bufsz=out_bytes)
-        sink = RingSink(out_ring, cfg)
+        sink = RingSink(out_ring, cfg, products=args.products)
 
     stats_f = open(args.stats_file, "a") if args.stats_file else None
 
@@ -437,6 +442,13 @@ def main(argv=None) -> int:
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
+    p.add_argument("--products", default="power",
+                   choices=["power", "stokes"],
+                   help="detection product: Stokes-I powers (reference "
+                        "behavior) or full Stokes I/Q/U/V")
+    p.add_argument("--incoherent-file",
+                   help="also write the incoherent-sum total power per "
+                        "block ([F, T/navg] float32) to this file")
     p.add_argument("--track", action="store_true",
                    help="regenerate weights as the pointing drifts (fringe tracking)")
     p.add_argument("--declination", type=float, default=0.0,

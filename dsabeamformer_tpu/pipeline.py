@@ -32,7 +32,8 @@ import numpy as np
 from dsabeamformer_tpu.config import ObsConfig
 from dsabeamformer_tpu.ingest import dada
 from dsabeamformer_tpu.ingest.ring import RingBuffer
-from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.gemm import beamform_power, beamform_stokes
+from dsabeamformer_tpu.ops.incoherent import incoherent_power
 from dsabeamformer_tpu.ops.quantize import QuantWeights
 from dsabeamformer_tpu.utils.metrics import BlockStats, StreamStats
 
@@ -181,18 +182,22 @@ class FileSink:
     PSRDADA tooling can parse the product — the file analog of
     RingSink's output stream header."""
 
-    def __init__(self, path: str | Path, cfg: Optional[ObsConfig] = None):
+    def __init__(self, path: str | Path, cfg: Optional[ObsConfig] = None,
+                 products: str = "power"):
         self._f = open(path, "wb")
         if cfg is not None and str(path).endswith(".dada"):
             f_out, t_out, b_out = cfg.out_block_shape
+            extra = {"OUT_NSTOKES": 4} if products == "stokes" else {}
             text = dada.encode_header(
                 cfg,
                 HDR_SIZE=dada.DADA_HDR_SIZE,
-                PAYLOAD="BEAM_POWERS",
+                PAYLOAD=("BEAM_STOKES_IQUV" if products == "stokes"
+                         else "BEAM_POWERS"),
                 OUT_DTYPE="float32",
                 OUT_NCHAN=f_out,
                 OUT_NTIME=t_out,
                 OUT_NBEAM=b_out,
+                **extra,
             ).encode("ascii")
             self._f.write(text.ljust(dada.DADA_HDR_SIZE, b"\0"))
 
@@ -210,17 +215,21 @@ class RingSink:
     Commits a stream header describing the power format (the output
     DADA header analog) when given the config."""
 
-    def __init__(self, ring: RingBuffer, cfg: Optional[ObsConfig] = None):
+    def __init__(self, ring: RingBuffer, cfg: Optional[ObsConfig] = None,
+                 products: str = "power"):
         self.ring = ring
         if cfg is not None:
             f, t, b = cfg.out_block_shape
+            extra = {"OUT_NSTOKES": 4} if products == "stokes" else {}
             self.ring.write_header(dada.encode_header(
                 cfg,
-                PAYLOAD="BEAM_POWERS",
+                PAYLOAD=("BEAM_STOKES_IQUV" if products == "stokes"
+                         else "BEAM_POWERS"),
                 OUT_DTYPE="float32",
                 OUT_NCHAN=f,
                 OUT_NTIME=t,
                 OUT_NBEAM=b,
+                **extra,
             ))
 
     def write(self, seq: int, powers: np.ndarray) -> None:
@@ -248,13 +257,24 @@ class StreamingBeamformer:
         depth: int = 2,
         on_block: Optional[Callable[[BlockStats], None]] = None,
         tracker=None,
+        products: str = "power",
+        incoherent_sink=None,
     ):
+        if products not in ("power", "stokes"):
+            raise ValueError(f"products must be power|stokes, got {products!r}")
         self.cfg = cfg
         self.weights = weights
         self.source = source
         self.sink = sink
         self.depth = depth
         self.on_block = on_block
+        # Detection product: "power" (Stokes I, the reference path) or
+        # "stokes" (fused I/Q/U/V — [F, T/navg, 4, B] blocks to the sink).
+        self.products = products
+        self._detect = beamform_stokes if products == "stokes" else beamform_power
+        # Optional side-channel: incoherent-sum total power per block
+        # ([F, T/navg] float32 -> incoherent_sink.write(seq, arr)).
+        self.incoherent_sink = incoherent_sink
         # Optional fringe/cal tracker (models/tracking.py): polled once
         # per block with the stream time; a non-None return swaps in new
         # weights for subsequent blocks without stalling.
@@ -292,8 +312,11 @@ class StreamingBeamformer:
         cold compile would otherwise stall the first blocks and overrun
         the ring)."""
         zero = np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
-        out = beamform_power(jax.device_put(zero), self.weights, self.cfg)
+        zero_dev = jax.device_put(zero)
+        out = self._detect(zero_dev, self.weights, self.cfg)
         np.asarray(out)  # full round trip
+        if self.incoherent_sink is not None:
+            np.asarray(incoherent_power(zero_dev, self.cfg))
 
     def update_weights(self, weights: QuantWeights) -> None:
         """Swap in new (already-quantized) weights for subsequent blocks
@@ -302,7 +325,9 @@ class StreamingBeamformer:
         self.weights = weights
 
     def _drain_one(self) -> None:
-        seq, out, t_enq = self._inflight.popleft()
+        seq, out, inco, t_enq = self._inflight.popleft()
+        if inco is not None:
+            self.incoherent_sink.write(seq, np.asarray(inco))
         if self.sink is not None:
             arr = np.asarray(out)  # D2H of the averaged powers
             self.sink.write(seq, arr)
@@ -345,8 +370,10 @@ class StreamingBeamformer:
             wire_dev = jax.device_put(                  # H2D (async)
                 wire_np.reshape(cfg.device_wire_shape)
             )
-            out = beamform_power(wire_dev, self.weights, cfg)  # async dispatch
-            self._inflight.append((seq, out, time.perf_counter()))
+            out = self._detect(wire_dev, self.weights, cfg)  # async dispatch
+            inco = (incoherent_power(wire_dev, cfg)
+                    if self.incoherent_sink is not None else None)
+            self._inflight.append((seq, out, inco, time.perf_counter()))
             stats.n_blocks += 1
             stats.bytes_in += cfg.wire_block_bytes
             stats.macs += cfg.macs_per_block * cfg.n_weight_terms

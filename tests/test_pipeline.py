@@ -153,3 +153,57 @@ def test_point_source_through_stream(tiny_cfg, qw):
     run_stream(tiny_cfg, qw, SyntheticSource(tiny_cfg, blocks, n_blocks=1), sink)
     p = sink.outputs[0][1]
     assert int(np.argmax(p.sum(axis=(0, 1)))) == target
+
+
+def test_stream_stokes_products(tiny_cfg, qw):
+    """products='stokes': the driver streams I/Q/U/V blocks to the sink."""
+    import numpy as np
+
+    from dsabeamformer_tpu.models.weights import weights_numpy_golden
+    from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+    from dsabeamformer_tpu.pipeline import StreamingBeamformer
+
+    blocks = [make_noise_block(tiny_cfg, rms=2.0, seed=s) for s in range(2)]
+    src = SyntheticSource(tiny_cfg, blocks, n_blocks=2)
+    sink = CollectSink()
+    bf = StreamingBeamformer(tiny_cfg, qw, src, sink, depth=1,
+                             products="stokes")
+    stats = bf.run()
+    assert stats.n_blocks == 2
+    w_ref = weights_numpy_golden(tiny_cfg)
+    for seq, st in sink.outputs:
+        assert st.shape == (tiny_cfg.n_chan,
+                            tiny_cfg.t_block // tiny_cfg.navg_time, 4,
+                            tiny_cfg.n_beams)
+        ref = beamform_stokes_ref(w_ref, blocks[seq], tiny_cfg.input_layout,
+                                  tiny_cfg.navg_time)
+        scale = np.abs(ref[:, :, 0]).max()
+        assert np.abs(st - ref).max() / scale < 3e-4
+
+
+def test_stream_incoherent_side_channel(tiny_cfg, qw):
+    import numpy as np
+
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+    from dsabeamformer_tpu.pipeline import StreamingBeamformer
+
+    blocks = [make_noise_block(tiny_cfg, rms=2.0, seed=s) for s in range(2)]
+    src = SyntheticSource(tiny_cfg, blocks, n_blocks=2)
+    sink = CollectSink()
+    inco = CollectSink()
+    bf = StreamingBeamformer(tiny_cfg, qw, src, sink, depth=1,
+                             incoherent_sink=inco)
+    bf.run()
+    assert len(inco.outputs) == 2
+    for seq, p in inco.outputs:
+        np.testing.assert_allclose(
+            p, incoherent_power_golden(blocks[seq], tiny_cfg), rtol=1e-6)
+
+
+def test_bad_products_rejected(tiny_cfg, qw):
+    import pytest
+
+    from dsabeamformer_tpu.pipeline import StreamingBeamformer
+
+    with pytest.raises(ValueError, match="power|stokes"):
+        StreamingBeamformer(tiny_cfg, qw, None, products="nope")
