@@ -134,3 +134,30 @@ def test_int13_accuracy_on_tpu(tpu_backend):
     )
     assert relative_power_error(p, p_ref) <= POWER_RTOL
 
+
+
+def test_stokes_accuracy_on_tpu(tpu_backend):
+    """Full-Stokes fused kernel on hardware: every plane within 1e-3 of
+    the float64 golden (scaled to the Stokes-I peak)."""
+    import jax
+    import numpy as np
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_stokes, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024)
+    wire = make_noise_block(cfg, rms=2.0, seed=9)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    st = np.asarray(
+        beamform_stokes(jax.device_put(device_wire_view(wire, cfg)), qw, cfg)
+    )
+    ref = beamform_stokes_ref(weights_numpy_golden(cfg), wire,
+                              cfg.input_layout, cfg.navg_time)
+    scale = np.abs(ref[:, :, 0]).max()
+    for k, name in enumerate("IQUV"):
+        err = np.abs(st[:, :, k] - ref[:, :, k]).max() / scale
+        assert err <= 1e-3, (name, err)  # measured 1-3e-5
