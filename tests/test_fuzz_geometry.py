@@ -78,3 +78,18 @@ def test_random_geometry_matches_golden(i):
         beamform_power(device_wire_view(wire, cfg), qw, cfg)
     )
     np.testing.assert_array_equal(p, p_dev)
+    # Full-Stokes shares the GEMM with the power path; fuzz it on a
+    # third of the geometries (its I plane must match p bit-for-bit in
+    # math, and every plane must match the golden).
+    if i % 3 == 0:
+        from dsabeamformer_tpu.ops.gemm import beamform_stokes
+        from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+
+        st = np.asarray(beamform_stokes(wire, qw, cfg))
+        np.testing.assert_allclose(st[:, :, 0], p, rtol=1e-6)
+        st_ref = beamform_stokes_ref(
+            weights_numpy_golden(cfg, cal=cal), wire, cfg.input_layout,
+            cfg.navg_time, cfg.navg_freq,
+        )
+        scale = np.abs(st_ref[:, :, 0]).max()
+        assert np.abs(st - st_ref).max() / scale <= RTOL[cfg.weight_mode]
