@@ -15,6 +15,7 @@ subcommands:
   dsabf bench       — single-chip benchmark, one JSON line (see bench.py)
   dsabf trace       — capture + summarize a device profiler trace
   dsabf ring        — inspect a ring's counters (dada_dbmonitor analog)
+  dsabf calibrate   — solve per-antenna gains from a calibrator capture
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
@@ -364,6 +365,49 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Solve per-antenna complex gains from a recorded calibrator
+    capture (models/calsolver.py) and save the CalTable for
+    ``dsabf run --cal`` / ``dsabf weights --cal``.  The reference
+    consumed externally-derived cal files; this closes the loop."""
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.models.arrays import ArrayLayout
+    from dsabeamformer_tpu.models.calsolver import solve_gains_blocks
+    from dsabeamformer_tpu.pipeline import FileSource
+
+    cfg = _load_cfg(args)
+    offset = 0
+    if dada.is_dada_file(args.input_file):
+        cfg, hdr, offset = dada.read_dada_file(args.input_file, cfg)
+    src = FileSource(cfg, args.input_file, offset=offset)
+    blocks = []
+    while args.blocks is None or len(blocks) < args.blocks:
+        item = src.read_block()
+        if item is None:
+            break
+        blocks.append(item[1].copy())
+    if not blocks:
+        print("no blocks in input file", file=sys.stderr)
+        return 1
+    layout = ArrayLayout.load(args.layout) if args.layout else None
+    cal = solve_gains_blocks(blocks, cfg, np.deg2rad(args.angle),
+                             layout=layout, ref_ant=args.ref_ant)
+    cal.save(args.out)
+    act = cfg.n_ant_active
+    print(json.dumps({
+        "out": args.out,
+        "blocks": len(blocks),
+        "n_ant": act,
+        "n_chan": cfg.n_chan,
+        "median_amp": float(np.median(np.abs(cal.gains[:act]))),
+        "max_phase_rad": float(
+            np.abs(np.angle(cal.gains[:act] / cal.gains[args.ref_ant]))
+            .max()
+        ),
+    }))
+    return 0
+
+
 def cmd_ring(args) -> int:
     """Inspect a live voltage/power ring (the ``dada_dbmonitor`` analog,
     SURVEY.md §5 observability): one JSON line of counters, or repeated
@@ -522,6 +566,21 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="/tmp/dsabf-trace",
                    help="profiler log dir (tensorboard --logdir <out>)")
     p.set_defaults(fn=cmd_trace)
+
+    p = sub.add_parser("calibrate",
+                       help="solve antenna gains from a calibrator capture")
+    _add_common(p)
+    p.add_argument("--input-file", required=True,
+                   help="recorded calibrator capture (.dada or raw blocks)")
+    p.add_argument("--angle", type=float, required=True,
+                   help="calibrator angle (deg, east of boresight)")
+    p.add_argument("--out", required=True, help="output CalTable .npz")
+    p.add_argument("--blocks", type=int, help="use at most N blocks")
+    p.add_argument("--ref-ant", type=int, default=0,
+                   help="reference antenna (phase zero point)")
+    p.add_argument("--layout",
+                   help="antenna position table (.npz or text)")
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")
     p.add_argument("--key", default="dsa")

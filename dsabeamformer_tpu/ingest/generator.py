@@ -59,6 +59,7 @@ def make_point_source_block(
     amplitude: float = 5.0,
     noise_rms: float = 0.5,
     seed: int = 0,
+    instrumental_gains: np.ndarray | None = None,
 ) -> np.ndarray:
     """A single point source at ``angle_rad`` plus receiver noise.
 
@@ -66,6 +67,12 @@ def make_point_source_block(
     noise-like emission, the realistic case), identical across antennas
     up to the geometric phase, and identical across pols up to an
     independent realization.
+
+    ``instrumental_gains`` (``[n_ant, n_chan]`` complex, e.g.
+    ``CalTable.random(cfg).gains``) corrupts each antenna's SIGNAL path
+    with a per-channel complex gain — a calibrator observation through
+    an uncalibrated instrument, the input ``models.calsolver`` solves
+    from.  (Receiver noise is added after the gain, as in hardware.)
     """
     rng = np.random.default_rng(seed)
     layout = layout if layout is not None else array_for(cfg)
@@ -81,6 +88,9 @@ def make_point_source_block(
         + 1j * rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))
     )  # [F,T,P]
     v = sig[..., None] * steer[:, :, None, :]  # [F,T,P,a]
+    if instrumental_gains is not None:
+        g = np.asarray(instrumental_gains)[: cfg.n_ant_active].T  # [F,a]
+        v = v * g[:, None, None, :]
 
     re = np.zeros(shape, np.float64)
     im = np.zeros(shape, np.float64)

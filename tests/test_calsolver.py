@@ -1,0 +1,125 @@
+"""Phase-up calibration solver (models/calsolver.py): recover
+per-antenna complex gains from a corrupted calibrator observation and
+restore the beam."""
+
+import numpy as np
+
+from dsabeamformer_tpu.ingest.generator import make_point_source_block
+from dsabeamformer_tpu.models.calibration import CalTable
+from dsabeamformer_tpu.models.calsolver import solve_gains, solve_gains_blocks
+from dsabeamformer_tpu.models.weights import make_weights
+from dsabeamformer_tpu.ops.gemm import beamform_power
+from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+
+def _corrupted_calibrator(cfg, angle, seed=3, noise_rms=0.15):
+    # Drive level chosen below the 4-bit wire's clip point even for the
+    # highest-gain antennas (real operations level-set before a cal
+    # scan); clipping compresses amplitude estimates.
+    rng = np.random.default_rng(seed)
+    act = cfg.n_ant_active
+    g = np.zeros((cfg.n_ant, cfg.n_chan), np.complex128)
+    amp = 1.0 + 0.15 * rng.standard_normal((act, cfg.n_chan))
+    ph = 1.5 * rng.standard_normal((act, cfg.n_chan))
+    g[:act] = amp * np.exp(1j * ph)
+    wire = make_point_source_block(cfg, angle, amplitude=2.5,
+                                   noise_rms=noise_rms, seed=seed,
+                                   instrumental_gains=g)
+    return wire, g
+
+
+def test_solved_gains_invert_instrument(tiny_cfg):
+    cfg = tiny_cfg
+    angle = cfg.beam_angles_rad()[20]
+    wire, g = _corrupted_calibrator(cfg, angle)
+    cal = solve_gains(wire, cfg, angle)
+    act = cfg.n_ant_active
+    # solved * instrumental should be constant across antennas per
+    # channel (a global per-channel factor is unobservable).  Phases
+    # are what beam coherence needs and converge fast; amplitudes carry
+    # the 4-bit quantization/clipping bias, hence the looser gate.
+    prod = cal.gains[:act] * g[:act]  # [a, F]
+    rel = prod / prod[0:1]
+    np.testing.assert_allclose(np.abs(rel), 1.0, atol=0.15)
+    assert np.abs(np.angle(rel)).max() < 0.08
+
+
+def test_solved_cal_restores_beam(tiny_cfg):
+    cfg = tiny_cfg
+    target = 20
+    angle = cfg.beam_angles_rad()[target]
+    wire, g = _corrupted_calibrator(cfg, angle)
+    # Uncalibrated: the corrupted phases defocus the beam.
+    qw_raw = quantize_weights(make_weights(cfg), cfg.weight_mode,
+                              cfg.a_compute)
+    p_raw = np.asarray(beamform_power(wire, qw_raw, cfg)).sum(axis=(0, 1))
+    # Calibrated with the solved table: peak restored at the target.
+    cal = solve_gains(wire, cfg, angle)
+    qw_cal = quantize_weights(make_weights(cfg, cal=cal), cfg.weight_mode,
+                              cfg.a_compute)
+    p_cal = np.asarray(beamform_power(wire, qw_cal, cfg)).sum(axis=(0, 1))
+    assert int(np.argmax(p_cal)) == target
+    # Clean-instrument reference peak: solved-cal recovers most of the
+    # coherent gain the corruption destroyed.
+    clean = make_point_source_block(cfg, angle, amplitude=2.5,
+                                    noise_rms=0.15, seed=3)
+    p_ref = np.asarray(beamform_power(clean, qw_raw, cfg)).sum(axis=(0, 1))
+    assert p_cal[target] > 0.8 * p_ref[target]
+    assert p_cal[target] > 1.5 * p_raw[target]
+
+
+def test_multi_block_solve_tightens(tiny_cfg):
+    cfg = tiny_cfg
+    angle = cfg.beam_angles_rad()[10]
+    act = cfg.n_ant_active
+    rng = np.random.default_rng(7)
+    g = np.zeros((cfg.n_ant, cfg.n_chan), np.complex128)
+    g[:act] = np.exp(1j * rng.standard_normal((act, cfg.n_chan)))
+    blocks = [
+        make_point_source_block(cfg, angle, amplitude=3.0, noise_rms=0.8,
+                                seed=s, instrumental_gains=g)
+        for s in range(4)
+    ]
+
+    def phase_err(cal):
+        prod = cal.gains[:act] * g[:act]
+        rel = prod / prod[0:1]
+        return np.abs(np.angle(rel)).max()
+
+    e1 = phase_err(solve_gains(blocks[0], cfg, angle))
+    e4 = phase_err(solve_gains_blocks(blocks, cfg, angle))
+    assert e4 < e1
+
+
+def test_cli_calibrate_roundtrip(tmp_path, capsys, tiny_cfg):
+    """dsabf calibrate on a clean calibrator capture -> near-unity
+    CalTable that dsabf run accepts."""
+    import json
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest import dada
+
+    cfg = tiny_cfg
+    angle_deg = float(np.rad2deg(cfg.beam_angles_rad()[10]))
+    cap = str(tmp_path / "cal.dada")
+    blocks = (make_point_source_block(cfg, np.deg2rad(angle_deg),
+                                      amplitude=2.5, noise_rms=0.2, seed=s)
+              for s in range(2))
+    dada.write_dada_file(cap, cfg, blocks)
+    out = str(tmp_path / "solved.npz")
+    rc = cli.main(["calibrate", "--config", "tiny", "--input-file", cap,
+                   "--angle", str(angle_deg), "--out", out])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["blocks"] == 2
+    assert abs(rec["median_amp"] - 1.0) < 0.1
+    assert rec["max_phase_rad"] < 0.1  # clean instrument -> ~zero phases
+
+    cal = CalTable.load(out)
+    assert cal.gains.shape == (cfg.n_ant, cfg.n_chan)
+
+    # The solved table feeds straight back into the run path.
+    pout = str(tmp_path / "p.raw")
+    rc = cli.main(["run", "--config", "tiny", "--input-file", cap,
+                   "--cal", out, "--output-file", pout, "--blocks", "1"])
+    assert rc == 0
