@@ -16,6 +16,7 @@ subcommands:
   dsabf trace       — capture + summarize a device profiler trace
   dsabf ring        — inspect a ring's counters (dada_dbmonitor analog)
   dsabf calibrate   — solve per-antenna gains from a calibrator capture
+  dsabf levels      — per-antenna rms + 4-bit clip report from a capture
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
@@ -408,6 +409,47 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_levels(args) -> int:
+    """Per-antenna drive-level report from a capture file: rms and
+    4-bit clip fraction (operators level-set before science/cal scans;
+    clipping compresses calibration amplitudes)."""
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ops.incoherent import wire_level_stats
+    from dsabeamformer_tpu.pipeline import FileSource
+
+    cfg = _load_cfg(args)
+    offset = 0
+    if dada.is_dada_file(args.input_file):
+        cfg, hdr, offset = dada.read_dada_file(args.input_file, cfg)
+    src = FileSource(cfg, args.input_file, offset=offset)
+    rms_acc = None
+    clip_acc = None
+    n = 0
+    while args.blocks is None or n < args.blocks:
+        item = src.read_block()
+        if item is None:
+            break
+        stats = wire_level_stats(item[1], cfg)
+        rms = np.asarray(stats["rms"], dtype=np.float64)
+        clip = np.asarray(stats["clip_fraction"], dtype=np.float64)
+        rms_acc = rms**2 if rms_acc is None else rms_acc + rms**2
+        clip_acc = clip if clip_acc is None else clip_acc + clip
+        n += 1
+    if n == 0:
+        print("no blocks in input file", file=sys.stderr)
+        return 1
+    rms_mean = np.sqrt(rms_acc / n)
+    clip_mean = clip_acc / n
+    print(json.dumps({
+        "blocks": n,
+        "n_ant_active": cfg.n_ant_active,
+        "rms": [round(float(v), 3) for v in rms_mean],
+        "clip_fraction": [round(float(v), 5) for v in clip_mean],
+        "worst_clip": round(float(clip_mean.max()), 5),
+    }))
+    return 0
+
+
 def cmd_ring(args) -> int:
     """Inspect a live voltage/power ring (the ``dada_dbmonitor`` analog,
     SURVEY.md §5 observability): one JSON line of counters, or repeated
@@ -581,6 +623,13 @@ def main(argv=None) -> int:
     p.add_argument("--layout",
                    help="antenna position table (.npz or text)")
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("levels",
+                       help="per-antenna rms + clip report from a capture")
+    _add_common(p)
+    p.add_argument("--input-file", required=True)
+    p.add_argument("--blocks", type=int, help="use at most N blocks")
+    p.set_defaults(fn=cmd_levels)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")
     p.add_argument("--key", default="dsa")

@@ -60,6 +60,38 @@ def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
     return p.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def wire_level_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
+    """Per-antenna drive-level diagnostics from one wire block.
+
+    Returns ``{"rms": [A], "clip_fraction": [A]}`` over the active
+    antennas (both pols, all channels/samples): the 4-bit wire
+    saturates at -8/+7, so operators level-set to keep rms ~2 and the
+    clip fraction ~0 before science or calibration scans (clipping
+    compresses cal amplitude solutions — models/calsolver.py).
+    """
+    if wire.dtype != jnp.uint8:
+        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
+    if cfg.input_layout == "tfpa":
+        x = wire.reshape(cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+    else:
+        x = wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+    x = x[..., : cfg.n_ant_active]
+    re, im = unpack_4r4i(x)
+    re = re.astype(jnp.int32)
+    im = im.astype(jnp.int32)
+    n = 2 * x.shape[0] * x.shape[1] * x.shape[2]  # components per antenna
+    ssq = (re * re + im * im).sum(axis=(0, 1, 2))
+    clipped = (
+        (re <= -8) | (re >= 7) | (im <= -8) | (im >= 7)
+    ).sum(axis=(0, 1, 2))
+    return {
+        "rms": jnp.sqrt(ssq.astype(jnp.float32) / n),
+        "clip_fraction": clipped.astype(jnp.float32)
+        / (x.shape[0] * x.shape[1] * x.shape[2]),
+    }
+
+
 def incoherent_power_golden(wire, cfg: ObsConfig):
     """NumPy float64 oracle for ``incoherent_power``."""
     import numpy as np

@@ -34,3 +34,38 @@ def test_incoherent_scales_with_signal(tiny_cfg):
     pq = float(np.asarray(incoherent_power(quiet, tiny_cfg)).mean())
     pl = float(np.asarray(incoherent_power(loud, tiny_cfg)).mean())
     assert pl > 4 * pq
+
+
+def test_wire_level_stats(tiny_cfg):
+    """rms tracks the generator drive level; clip fires on hot signals."""
+    from dsabeamformer_tpu.ops.incoherent import wire_level_stats
+
+    quiet = make_noise_block(tiny_cfg, rms=1.0, seed=3)
+    hot = make_noise_block(tiny_cfg, rms=6.0, seed=3)
+    sq = {k: np.asarray(v) for k, v in wire_level_stats(quiet, tiny_cfg).items()}
+    sh = {k: np.asarray(v) for k, v in wire_level_stats(hot, tiny_cfg).items()}
+    act = tiny_cfg.n_ant_active
+    assert sq["rms"].shape == (act,)
+    assert np.all(np.abs(sq["rms"] - 1.0) < 0.1)
+    assert np.all(sq["clip_fraction"] < 0.02)
+    # rms=6 noise saturates the 4-bit rails hard.
+    assert np.all(sh["clip_fraction"] > 0.2)
+
+
+def test_cli_levels(tmp_path, capsys, tiny_cfg):
+    import json
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest import dada
+
+    cap = str(tmp_path / "cap.dada")
+    dada.write_dada_file(
+        cap, tiny_cfg,
+        (make_noise_block(tiny_cfg, rms=2.0, seed=s) for s in range(2)),
+    )
+    assert cli.main(["levels", "--config", "tiny", "--input-file", cap]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["blocks"] == 2
+    assert len(rec["rms"]) == tiny_cfg.n_ant_active
+    assert all(abs(v - 2.0) < 0.25 for v in rec["rms"])
+    assert rec["worst_clip"] < 0.05
