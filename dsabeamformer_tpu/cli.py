@@ -84,6 +84,42 @@ def _add_common(p):
                         "process-per-subband deployment split)")
 
 
+def _capture_cfg(args, cfg):
+    """Resolve the stream config for a capture-file input: a DADA
+    header's geometry overrides the CLI config (the reference parsed
+    the header the same way, SURVEY.md §3.1).  ``--subband`` describes
+    a live deployment split and CANNOT be combined with a full-band
+    capture file — the header would silently override the slice, so
+    reject the combination loudly.  Returns (cfg, data_offset)."""
+    from dsabeamformer_tpu.ingest import dada
+
+    if not dada.is_dada_file(args.input_file):
+        return cfg, 0
+    if getattr(args, "subband", None):
+        raise SystemExit(
+            "--subband cannot be combined with a DADA capture file: the "
+            "file header defines the stream geometry (record per-subband "
+            "captures instead)"
+        )
+    cfg, hdr, offset = dada.read_dada_file(args.input_file, cfg)
+    return cfg, offset
+
+
+def _iter_capture_blocks(args, cfg, offset):
+    """Yield wire blocks from ``args.input_file``, at most
+    ``args.blocks`` when set (shared by calibrate/levels)."""
+    from dsabeamformer_tpu.pipeline import FileSource
+
+    src = FileSource(cfg, args.input_file, offset=offset)
+    n = 0
+    while args.blocks is None or n < args.blocks:
+        item = src.read_block()
+        if item is None:
+            break
+        yield item[1]
+        n += 1
+
+
 def _make_weights(cfg, args):
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calibration import CalTable
@@ -128,16 +164,29 @@ def _cmd_run_pinned(args) -> int:
     cfg = _load_cfg(args)
     dada_offset = 0
     if args.input_file:
-        from dsabeamformer_tpu.ingest import dada
-
-        if dada.is_dada_file(args.input_file):
-            # Recorded PSRDADA capture: the file's header defines the
-            # stream geometry (the reference parsed the DADA header the
-            # same way, SURVEY.md §3.1).
-            cfg, hdr, dada_offset = dada.read_dada_file(args.input_file, cfg)
+        cfg2, dada_offset = _capture_cfg(args, cfg)
+        if dada_offset:
+            cfg = cfg2
             print(f"[dsabf] DADA header: {cfg.n_chan} chan x {cfg.n_ant} "
                   f"ant x {cfg.n_pol} pol, order {cfg.input_layout}, "
                   f"data at +{dada_offset}", file=sys.stderr)
+    if args.products == "stokes":
+        # The Stokes output block is 4x the power path's; the deployed
+        # DSA-10 tiles exceed VMEM (ops/gemm.beamform_stokes docstring).
+        # Halve tiles to the measured-safe shape when they'd overflow.
+        tt, fc = cfg.time_tile, cfg.chan_tile
+        while fc * (tt // cfg.navg_time) * 4 * cfg.n_beams * 4 > 2 ** 20:
+            if (tt > 1024 and (tt // 2) % cfg.navg_time == 0
+                    and cfg.t_block % (tt // 2) == 0):
+                tt //= 2
+            elif fc > 1 and fc % 2 == 0 and cfg.n_chan % (fc // 2) == 0:
+                fc //= 2
+            else:
+                break
+        if (tt, fc) != (cfg.time_tile, cfg.chan_tile):
+            print(f"[dsabf] stokes: tiles -> time_tile={tt} chan_tile={fc} "
+                  f"(4x output block must fit VMEM)", file=sys.stderr)
+            cfg = cfg.replace(time_tile=tt, chan_tile=fc)
     qw = _make_weights(cfg, args)
 
     inco_sink = (FileSink(args.incoherent_file, None)
@@ -371,33 +420,33 @@ def cmd_calibrate(args) -> int:
     capture (models/calsolver.py) and save the CalTable for
     ``dsabf run --cal`` / ``dsabf weights --cal``.  The reference
     consumed externally-derived cal files; this closes the loop."""
-    from dsabeamformer_tpu.ingest import dada
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calsolver import solve_gains_blocks
-    from dsabeamformer_tpu.pipeline import FileSource
 
     cfg = _load_cfg(args)
-    offset = 0
-    if dada.is_dada_file(args.input_file):
-        cfg, hdr, offset = dada.read_dada_file(args.input_file, cfg)
-    src = FileSource(cfg, args.input_file, offset=offset)
-    blocks = []
-    while args.blocks is None or len(blocks) < args.blocks:
-        item = src.read_block()
-        if item is None:
-            break
-        blocks.append(item[1].copy())
-    if not blocks:
-        print("no blocks in input file", file=sys.stderr)
-        return 1
+    cfg, offset = _capture_cfg(args, cfg)
     layout = ArrayLayout.load(args.layout) if args.layout else None
-    cal = solve_gains_blocks(blocks, cfg, np.deg2rad(args.angle),
-                             layout=layout, ref_ant=args.ref_ant)
+    n_seen = 0
+
+    def blocks():
+        nonlocal n_seen
+        for blk in _iter_capture_blocks(args, cfg, offset):
+            n_seen += 1
+            yield blk
+
+    try:
+        cal = solve_gains_blocks(blocks(), cfg, np.deg2rad(args.angle),
+                                 layout=layout, ref_ant=args.ref_ant)
+    except ValueError as e:
+        if "no blocks" in str(e):
+            print("no blocks in input file", file=sys.stderr)
+            return 1
+        raise
     cal.save(args.out)
     act = cfg.n_ant_active
     print(json.dumps({
         "out": args.out,
-        "blocks": len(blocks),
+        "blocks": n_seen,
         "n_ant": act,
         "n_chan": cfg.n_chan,
         "median_amp": float(np.median(np.abs(cal.gains[:act]))),
@@ -413,23 +462,15 @@ def cmd_levels(args) -> int:
     """Per-antenna drive-level report from a capture file: rms and
     4-bit clip fraction (operators level-set before science/cal scans;
     clipping compresses calibration amplitudes)."""
-    from dsabeamformer_tpu.ingest import dada
     from dsabeamformer_tpu.ops.incoherent import wire_level_stats
-    from dsabeamformer_tpu.pipeline import FileSource
 
     cfg = _load_cfg(args)
-    offset = 0
-    if dada.is_dada_file(args.input_file):
-        cfg, hdr, offset = dada.read_dada_file(args.input_file, cfg)
-    src = FileSource(cfg, args.input_file, offset=offset)
+    cfg, offset = _capture_cfg(args, cfg)
     rms_acc = None
     clip_acc = None
     n = 0
-    while args.blocks is None or n < args.blocks:
-        item = src.read_block()
-        if item is None:
-            break
-        stats = wire_level_stats(item[1], cfg)
+    for blk in _iter_capture_blocks(args, cfg, offset):
+        stats = wire_level_stats(blk, cfg)
         rms = np.asarray(stats["rms"], dtype=np.float64)
         clip = np.asarray(stats["clip_fraction"], dtype=np.float64)
         rms_acc = rms**2 if rms_acc is None else rms_acc + rms**2

@@ -30,26 +30,39 @@ import numpy as np
 from dsabeamformer_tpu.config import SPEED_OF_LIGHT_M_S, ObsConfig
 from dsabeamformer_tpu.models.arrays import ArrayLayout, array_for
 from dsabeamformer_tpu.models.calibration import CalTable
-from dsabeamformer_tpu.ops.packing import unpack_wire_to_complex
+from dsabeamformer_tpu.ops.packing import unpack_4r4i
 
 
 def _accumulate_block(wire, cfg: ObsConfig, angle_rad: float,
-                      layout: ArrayLayout, ref_ant: int):
-    """One block's cross/auto sums: (r [F, a], auto [F])."""
-    v = unpack_wire_to_complex(
-        np.asarray(wire).reshape(cfg.wire_block_shape), cfg.input_layout
-    )  # [F, T, P, A] complex128
+                      layout: ArrayLayout, ref_ant: int,
+                      t_chunk: int = 512):
+    """One block's cross/auto sums: (r [F, a], auto [F]).
+
+    Processes ``t_chunk`` time samples at a time: the complex128
+    expansion is 16x the wire bytes (a whole DSA-10 preset block would
+    be ~34 GB), but the estimator is a plain sum over time, so chunking
+    bounds peak memory at ~t_chunk/t_block of that.
+    """
+    wire = np.asarray(wire).reshape(cfg.wire_block_shape)
     act = cfg.n_ant_active
-    v = v[..., :act]
     f = cfg.freqs_hz()[:, None]
     x = layout.positions_m[None, :act]
     steer = np.exp(
         2j * np.pi * f * x * np.sin(angle_rad) / SPEED_OF_LIGHT_M_S
     )  # [F, a]
-    u = v * np.conj(steer)[:, None, None, :]          # geometry removed
-    uref = u[..., ref_ant]
-    r = np.einsum("ftpa,ftp->fa", u, np.conj(uref))   # [F, a]
-    auto = (np.abs(uref) ** 2).sum(axis=(1, 2))       # [F]
+    r = np.zeros((cfg.n_chan, act), np.complex128)
+    auto = np.zeros(cfg.n_chan, np.float64)
+    for t0 in range(0, cfg.t_block, t_chunk):
+        sl = slice(t0, min(t0 + t_chunk, cfg.t_block))
+        chunk = (wire[:, sl] if cfg.input_layout == "ftpa"
+                 else wire[sl].transpose(1, 0, 2, 3))  # [F, Tc, P, A]
+        cre, cim = unpack_4r4i(np.ascontiguousarray(chunk[..., :act]))
+        v = cre.astype(np.complex128)
+        v += 1j * cim.astype(np.float64)
+        u = v * np.conj(steer)[:, None, None, :]      # geometry removed
+        uref = u[..., ref_ant]
+        r += np.einsum("ftpa,ftp->fa", u, np.conj(uref))
+        auto += (np.abs(uref) ** 2).sum(axis=(1, 2))
     return r, auto
 
 

@@ -152,8 +152,32 @@ def _accumulate(x_all, w_refs, *, chan):
     return acc
 
 
-def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                  navg_time, x16, x_dup, time_major):
+def _chan_loop(fc: int, chan_body):
+    """fori_loop over the channel tile with a manual 2-channel unroll.
+
+    fori_loop (not Python unroll) keeps Mosaic compile time flat (the
+    fully unrolled form took minutes at chan_tile=8); Mosaic supports
+    only full unroll or none, so the partial unroll is done by hand —
+    two channels per loop body let the scheduler overlap one channel's
+    VPU unpack/epilogue with the other's MXU passes.
+    """
+    if fc % 2 == 0:
+        def chan_pair(c2, _):
+            chan_body(2 * c2, 0)
+            chan_body(2 * c2 + 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, fc // 2, chan_pair, 0)
+    else:
+        jax.lax.fori_loop(0, fc, chan_body, 0)
+
+
+def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
+                   navg_time, x16, x_dup, time_major, epilogue):
+    """Shared fused detection kernel: unpack prologue + GEMM + a
+    pluggable quadratic epilogue (power or full Stokes), deferred-s^2
+    dequantized on the time-averaged output.
+    """
     w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     pa = n_pol * n_ant
     if time_major:
@@ -167,93 +191,58 @@ def _power_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         fc = x_ref.shape[0]  # chan_tile
         tt = x_ref.shape[1]  # time_tile
 
-    # fori_loop (not Python unroll) over the channel tile: the kernel
-    # body compiles once regardless of chan_tile — Mosaic compile time
-    # of the unrolled form was minutes at chan_tile=8.
     def chan_body(c, _):
         xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
         x_all = _build_x(xb, n_ant=n_ant, a_compute=a_compute,
                          n_pol=n_pol, x16=x16, x_dup=x_dup)
         acc = _accumulate(x_all, w_refs, chan=c)
-        br = acc[:, :n_beams]
-        bi = acc[:, n_beams:]
-        p = br * br + bi * bi  # (P*Tt, B), quantized-units^2
-        # Pol sum: row blocks are stacked per pol.
-        power = p[:tt]
-        for q in range(1, n_pol):
-            power = power + p[q * tt : (q + 1) * tt]
-        # Time averaging: sum groups of navg_time consecutive samples.
-        power = power.reshape(tt // navg_time, navg_time, n_beams).sum(axis=1)
+        out = epilogue(acc, tt, n_beams, n_pol, navg_time)
         # Deferred dequantization: one scalar multiply on the averaged
         # (16x smaller) output.  s is the last term's scale (1.0 for
-        # float modes).
-        s = s_ref[c, 0, n_terms - 1]
-        o_ref[c] = power * (s * s)
-        return 0
-
-    # Mosaic supports only full unroll or none, so partial unroll is
-    # done by hand: two channels per loop body let the scheduler
-    # overlap one channel's VPU unpack/epilogue with the other's MXU
-    # passes, at 2x (not fc x) the compile-time body size (full unroll
-    # at chan_tile=8 costs minutes of Mosaic compile).
-    if fc % 2 == 0:
-        def chan_pair(c2, _):
-            chan_body(2 * c2, 0)
-            chan_body(2 * c2 + 1, 0)
-            return 0
-
-        jax.lax.fori_loop(0, fc // 2, chan_pair, 0)
-    else:
-        jax.lax.fori_loop(0, fc, chan_body, 0)
-
-
-def _stokes_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                   navg_time, x16, x_dup, time_major):
-    """Full-Stokes epilogue: I, Q, U, V per (time, beam) fused after the
-    GEMM, time-averaged like the power path.  Output block lanes are
-    ``[I | Q | U | V]`` (4*B wide; Mosaic takes <=3 output dims, so the
-    Stokes axis rides the lane dim and the caller reshapes).
-
-    Convention (linear feeds; documented in ``beamform_stokes``):
-    I = |Bx|^2+|By|^2, Q = |Bx|^2-|By|^2, U = 2 Re(Bx By*),
-    V = 2 Im(Bx By*).  All terms are quadratic in the same quantized
-    units, so the deferred s^2 dequantization is identical to the
-    power path.
-    """
-    w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
-    pa = n_pol * n_ant
-    if time_major:
-        tt = x_ref.shape[0]
-        fc = x_ref.shape[1] // pa
-    else:
-        fc = x_ref.shape[0]
-        tt = x_ref.shape[1]
-
-    def avg(z):
-        return z.reshape(tt // navg_time, navg_time, n_beams).sum(axis=1)
-
-    def chan_body(c, _):
-        xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
-        x_all = _build_x(xb, n_ant=n_ant, a_compute=a_compute,
-                         n_pol=n_pol, x16=x16, x_dup=x_dup)
-        acc = _accumulate(x_all, w_refs, chan=c)
-        bxr = acc[:tt, :n_beams]
-        bxi = acc[:tt, n_beams:]
-        byr = acc[tt : 2 * tt, :n_beams]
-        byi = acc[tt : 2 * tt, n_beams:]
-        px = bxr * bxr + bxi * bxi
-        py = byr * byr + byi * byi
-        cr = bxr * byr + bxi * byi          # Re(Bx By*)
-        ci = bxi * byr - bxr * byi          # Im(Bx By*)
-        out = jnp.concatenate(
-            [avg(px + py), avg(px - py), avg(cr + cr), avg(ci + ci)],
-            axis=1,
-        )
+        # float modes); every epilogue term is quadratic in the same
+        # quantized units, so s^2 dequantizes them all.
         s = s_ref[c, 0, n_terms - 1]
         o_ref[c] = out * (s * s)
         return 0
 
-    jax.lax.fori_loop(0, fc, chan_body, 0)
+    _chan_loop(fc, chan_body)
+
+
+def _power_epilogue(acc, tt, n_beams, n_pol, navg_time):
+    """|B|^2 + pol sum + navg_time accumulation -> [tt/navg, B]."""
+    br = acc[:, :n_beams]
+    bi = acc[:, n_beams:]
+    p = br * br + bi * bi  # (P*Tt, B), quantized-units^2
+    # Pol sum: row blocks are stacked per pol.
+    power = p[:tt]
+    for q in range(1, n_pol):
+        power = power + p[q * tt : (q + 1) * tt]
+    return power.reshape(tt // navg_time, navg_time, n_beams).sum(axis=1)
+
+
+def _stokes_epilogue(acc, tt, n_beams, n_pol, navg_time):
+    """Full Stokes: [I | Q | U | V] along lanes -> [tt/navg, 4*B].
+
+    Convention (linear feeds; documented in ``beamform_stokes``):
+    I = |Bx|^2+|By|^2, Q = |Bx|^2-|By|^2, U = 2 Re(Bx By*),
+    V = 2 Im(Bx By*).  The Stokes axis rides the lane dim (Mosaic takes
+    <=3 output dims); the caller reshapes to [..., 4, B].
+    """
+    def avg(z):
+        return z.reshape(tt // navg_time, navg_time, n_beams).sum(axis=1)
+
+    bxr = acc[:tt, :n_beams]
+    bxi = acc[:tt, n_beams:]
+    byr = acc[tt : 2 * tt, :n_beams]
+    byi = acc[tt : 2 * tt, n_beams:]
+    px = bxr * bxr + bxi * bxi
+    py = byr * byr + byi * byi
+    cr = bxr * byr + bxi * byi          # Re(Bx By*)
+    ci = bxi * byr - bxr * byi          # Im(Bx By*)
+    return jnp.concatenate(
+        [avg(px + py), avg(px - py), avg(cr + cr), avg(ci + ci)],
+        axis=1,
+    )
 
 
 def _voltage_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
@@ -401,6 +390,17 @@ def beamform_power(
     navg_time samples, both pols, and navg_freq adjacent channels —
     matching ``ops.reference.beamform_block_ref``).
     """
+    out = _fused_detect(wire, qw, cfg, interpret, _power_epilogue,
+                        out_width=cfg.n_beams)
+    if cfg.navg_freq > 1:
+        f, t, b = out.shape
+        out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
+    return out
+
+
+def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width):
+    """Shared fused-kernel invocation for the detection products
+    (power: out_width=B; Stokes: out_width=4*B)."""
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
     x, time_major = _prepare_wire(wire, cfg)
@@ -414,15 +414,15 @@ def beamform_power(
     n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
-        (cfg.n_chan, cfg.t_block // cfg.navg_time, cfg.n_beams), jnp.float32
+        (cfg.n_chan, cfg.t_block // cfg.navg_time, out_width), jnp.float32
     )
     out_spec = pl.BlockSpec(
-        (cfg.chan_tile, cfg.time_tile // cfg.navg_time, cfg.n_beams),
+        (cfg.chan_tile, cfg.time_tile // cfg.navg_time, out_width),
         lambda f, t: (f, t, 0),
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
-        _power_kernel,
+        _detect_kernel,
         n_ant=cfg.n_ant,
         a_compute=cfg.a_compute,
         n_beams=cfg.n_beams,
@@ -432,8 +432,9 @@ def beamform_power(
         x16=cfg.weight_mode in ("int12", "int13"),
         x_dup=cfg.weight_mode == "int13",
         time_major=time_major,
+        epilogue=epilogue,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=_common_specs(cfg, n_terms, time_major),
@@ -449,10 +450,6 @@ def beamform_power(
         ),
         interpret=interpret,
     )(x, *qw.terms, qw.scales[:, None, :])
-    if cfg.navg_freq > 1:
-        f, t, b = out.shape
-        out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
-    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -481,52 +478,8 @@ def beamform_stokes(
     1-3e-5 per-plane accuracy; an opt-in product, not the search hot
     path — see BENCH.md).
     """
-    interpret = _default_interpret() if interpret is None else interpret
-    _check_weights(qw, cfg)
-    x, time_major = _prepare_wire(wire, cfg)
-    pa = cfg.n_pol * cfg.n_ant
-    if time_major and pa % 128 and not interpret:
-        x = jnp.transpose(x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2))
-        time_major = False
-    n_terms = len(qw.terms)
-    grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
-    out_shape = jax.ShapeDtypeStruct(
-        (cfg.n_chan, cfg.t_block // cfg.navg_time, 4 * cfg.n_beams),
-        jnp.float32,
-    )
-    out_spec = pl.BlockSpec(
-        (cfg.chan_tile, cfg.time_tile // cfg.navg_time, 4 * cfg.n_beams),
-        lambda f, t: (f, t, 0),
-        memory_space=pltpu.VMEM,
-    )
-    kernel = functools.partial(
-        _stokes_kernel,
-        n_ant=cfg.n_ant,
-        a_compute=cfg.a_compute,
-        n_beams=cfg.n_beams,
-        n_pol=cfg.n_pol,
-        n_terms=n_terms,
-        navg_time=cfg.navg_time,
-        x16=cfg.weight_mode in ("int12", "int13"),
-        x_dup=cfg.weight_mode == "int13",
-        time_major=time_major,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=_common_specs(cfg, n_terms, time_major),
-        out_specs=out_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=_cost(
-            cfg, n_terms,
-            weight_bytes=sum(w.size * w.dtype.itemsize for w in qw.terms),
-            out_bytes=out_shape.size * 4,
-        ),
-        interpret=interpret,
-    )(x, *qw.terms, qw.scales[:, None, :])
+    out = _fused_detect(wire, qw, cfg, interpret, _stokes_epilogue,
+                        out_width=4 * cfg.n_beams)
     out = out.reshape(
         cfg.n_chan, cfg.t_block // cfg.navg_time, 4, cfg.n_beams
     )

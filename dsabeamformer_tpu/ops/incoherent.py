@@ -28,12 +28,14 @@ from dsabeamformer_tpu.ops.packing import unpack_4r4i
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
-    """4R4I wire block -> incoherent total power ``[F, T/navg_time]``.
+    """4R4I wire block -> incoherent total power
+    ``[F/navg_freq, T/navg_time]``.
 
     ``sum_{a<n_ant_active, p} (re^2 + im^2)`` per (channel, sample),
-    summed over ``navg_time`` consecutive samples — the incoherent
-    analog of ``beamform_power``'s detection epilogue (power in raw
-    4-bit units^2; no weights, no calibration).
+    summed over ``navg_time`` consecutive samples and ``navg_freq``
+    adjacent channels — the incoherent analog of ``beamform_power``'s
+    detection epilogue, channel axis matching ``out_block_shape``
+    (power in raw 4-bit units^2; no weights, no calibration).
     """
     if wire.dtype != jnp.uint8:
         raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
@@ -57,7 +59,11 @@ def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
         p = p.T  # [T, F] -> [F, T]
     f, t = p.shape
     p = p.reshape(f, t // cfg.navg_time, cfg.navg_time).sum(axis=2)
-    return p.astype(jnp.float32)
+    p = p.astype(jnp.float32)
+    if cfg.navg_freq > 1:
+        # Match the coherent product's channel axis (out_block_shape).
+        p = p.reshape(f // cfg.navg_freq, cfg.navg_freq, -1).sum(axis=1)
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -81,13 +87,16 @@ def wire_level_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
     re = re.astype(jnp.int32)
     im = im.astype(jnp.int32)
     n = 2 * x.shape[0] * x.shape[1] * x.shape[2]  # components per antenna
-    ssq = (re * re + im * im).sum(axis=(0, 1, 2))
+    # Accumulate in f32, NOT int32: a railed DSA-10-scale antenna sums
+    # up to 33.5M samples x 128 = 4.3e9, past int32, and would report
+    # NaN rms for exactly the broken antenna this tool exists to flag.
+    ssq = (re * re + im * im).astype(jnp.float32).sum(axis=(0, 1, 2))
     clipped = (
         (re <= -8) | (re >= 7) | (im <= -8) | (im >= 7)
-    ).sum(axis=(0, 1, 2))
+    ).astype(jnp.float32).sum(axis=(0, 1, 2))
     return {
-        "rms": jnp.sqrt(ssq.astype(jnp.float32) / n),
-        "clip_fraction": clipped.astype(jnp.float32)
+        "rms": jnp.sqrt(ssq / n),
+        "clip_fraction": clipped
         / (x.shape[0] * x.shape[1] * x.shape[2]),
     }
 
@@ -102,4 +111,7 @@ def incoherent_power_golden(wire, cfg: ObsConfig):
                                cfg.input_layout)  # [F, T, P, A] complex
     p = (np.abs(v[..., : cfg.n_ant_active]) ** 2).sum(axis=(2, 3))
     f, t = p.shape
-    return p.reshape(f, t // cfg.navg_time, cfg.navg_time).sum(axis=2)
+    p = p.reshape(f, t // cfg.navg_time, cfg.navg_time).sum(axis=2)
+    if cfg.navg_freq > 1:
+        p = p.reshape(f // cfg.navg_freq, cfg.navg_freq, -1).sum(axis=1)
+    return p

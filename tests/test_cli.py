@@ -157,15 +157,19 @@ def test_subband_flag(capsys):
 
 
 def test_subband_end_to_end(tmp_path, capsys, tiny_cfg):
-    """A subband instance beamforms a subband capture file end-to-end."""
+    """A subband capture round-trips: the recorded DADA header carries
+    the subband geometry, so the consumer needs no --subband (and the
+    redundant/conflicting combination is rejected loudly)."""
+    import pytest
+
     from dsabeamformer_tpu import cli
 
-    out = str(tmp_path / "cap.raw")
+    out = str(tmp_path / "cap.dada")
     assert cli.main(["simulate", "--config", "tiny", "--subband", "1/2",
                      "--blocks", "2", "--out-file", out]) == 0
     capsys.readouterr()
     pout = str(tmp_path / "powers.raw")
-    rc = cli.main(["run", "--config", "tiny", "--subband", "1/2",
+    rc = cli.main(["run", "--config", "tiny",
                    "--input-file", out, "--output-file", pout, "--blocks", "2"])
     assert rc == 0
     import os
@@ -174,3 +178,9 @@ def test_subband_end_to_end(tmp_path, capsys, tiny_cfg):
 
     sub = tiny_cfg.subband(tiny_cfg.n_chan // 2, tiny_cfg.n_chan // 2)
     assert os.path.getsize(pout) == 2 * int(np.prod(sub.out_block_shape)) * 4
+
+    # --subband + a DADA capture would let the header silently override
+    # the slice; the CLI must reject the combination.
+    with pytest.raises(SystemExit, match="DADA capture"):
+        cli.main(["run", "--config", "tiny", "--subband", "1/2",
+                  "--input-file", out, "--output-file", pout])
