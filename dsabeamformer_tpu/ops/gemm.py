@@ -474,9 +474,12 @@ def beamform_stokes(
 
     The output block is 4x the power path's, so the default DSA-10
     tiles exceed VMEM — use e.g. ``cfg.replace(time_tile=1024,
-    chan_tile=4)`` (measured 0.88x realtime full-band single-chip at
-    1-3e-5 per-plane accuracy; an opt-in product, not the search hot
-    path — see BENCH.md).
+    chan_tile=4)`` (the CLI's ``--products stokes`` adjusts tiles
+    automatically) — and at t_block=8192 two in-flight 4.3 GB Stokes
+    outputs exhaust HBM, so deploy at t_block <= 4096.  Measured 0.99x
+    realtime full-band single-chip (t_block=4096) at 1-3e-5 per-plane
+    accuracy; an opt-in product, not the search hot path — see
+    BENCH.md.
     """
     out = _fused_detect(wire, qw, cfg, interpret, _stokes_epilogue,
                         out_width=4 * cfg.n_beams)
