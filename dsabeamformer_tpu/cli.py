@@ -187,6 +187,12 @@ def _cmd_run_pinned(args) -> int:
             print(f"[dsabf] stokes: tiles -> time_tile={tt} chan_tile={fc} "
                   f"(4x output block must fit VMEM)", file=sys.stderr)
             cfg = cfg.replace(time_tile=tt, chan_tile=fc)
+        if cfg.t_block > 4096:
+            print(f"[dsabf] WARNING: stokes at t_block={cfg.t_block} keeps "
+                  f"~{2 * 4 * np.prod(cfg.out_block_shape) * 4 / 2**30:.1f}"
+                  f" GB of Stokes output in flight and can exhaust HBM "
+                  f"(measured at the dsa10 preset) — use t_block<=4096 "
+                  f"captures or --depth 1", file=sys.stderr)
     qw = _make_weights(cfg, args)
 
     inco_sink = (FileSink(args.incoherent_file, None)
