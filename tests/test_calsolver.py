@@ -3,6 +3,7 @@ per-antenna complex gains from a corrupted calibrator observation and
 restore the beam."""
 
 import numpy as np
+import pytest
 
 from dsabeamformer_tpu.ingest.generator import make_point_source_block
 from dsabeamformer_tpu.models.calibration import CalTable
@@ -123,3 +124,36 @@ def test_cli_calibrate_roundtrip(tmp_path, capsys, tiny_cfg):
     rc = cli.main(["run", "--config", "tiny", "--input-file", cap,
                    "--cal", out, "--output-file", pout, "--blocks", "1"])
     assert rc == 0
+
+
+@pytest.mark.parametrize("i", range(3))
+def test_solver_fuzz_geometry(i):
+    """Random geometry + random instrumental phases: the solver must
+    recover phases tightly whatever the array shape."""
+    from dsabeamformer_tpu.config import ObsConfig
+
+    rng = np.random.default_rng(400 + i)
+    n_ant = int(rng.choice([8, 16, 32]))
+    cfg = ObsConfig(
+        name=f"calfuzz{i}",
+        n_ant=n_ant,
+        n_ant_active=int(rng.integers(3, n_ant + 1)),
+        n_beams=16,
+        n_chan=int(rng.choice([4, 8])),
+        n_chan_total=8,
+        t_block=256,
+        time_tile=64,
+        chan_tile=2,
+        navg_time=16,
+    )
+    act = cfg.n_ant_active
+    g = np.zeros((cfg.n_ant, cfg.n_chan), np.complex128)
+    g[:act] = np.exp(1j * rng.uniform(-np.pi, np.pi, (act, cfg.n_chan)))
+    angle = float(rng.uniform(-0.02, 0.02))
+    wire = make_point_source_block(cfg, angle, amplitude=2.5,
+                                   noise_rms=0.2, seed=i,
+                                   instrumental_gains=g)
+    cal = solve_gains(wire, cfg, angle)
+    prod = cal.gains[:act] * g[:act]
+    rel = prod / prod[0:1]
+    assert np.abs(np.angle(rel)).max() < 0.1, np.abs(np.angle(rel)).max()
