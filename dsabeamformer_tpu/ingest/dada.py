@@ -153,6 +153,39 @@ def read_dada_file(path: str | Path,
     return config_from_dada_header(h, base), h, hdr_size
 
 
+def read_product_file(path: str | Path):
+    """Read a beam-product DADA file written by ``pipeline.FileSink``
+    (``PAYLOAD=BEAM_POWERS`` or ``BEAM_STOKES_IQUV``) — the downstream
+    consumer's view of ``dsabf run --output-file x.dada``.
+
+    Returns ``(header_dict, powers)`` where ``powers`` is a read-only
+    float32 memmap shaped ``[n_blocks, OUT_NCHAN, OUT_NTIME, B]`` for
+    powers or ``[n_blocks, OUT_NCHAN, OUT_NTIME, 4, B]`` for Stokes
+    (partial trailing blocks are dropped).
+    """
+    import numpy as np
+
+    with open(path, "rb") as f:
+        head = f.read(DADA_HDR_SIZE)
+    text = head.split(b"\0", 1)[0].decode("ascii", errors="replace")
+    h = parse_header(text)
+    payload = h.get("PAYLOAD", "")
+    if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV"):
+        raise ValueError(
+            f"{path}: PAYLOAD={payload!r} is not a beam-product file"
+        )
+    hdr_size = int(h.get("HDR_SIZE", DADA_HDR_SIZE))
+    shape = [int(h["OUT_NCHAN"]), int(h["OUT_NTIME"])]
+    if payload == "BEAM_STOKES_IQUV":
+        shape.append(int(h.get("OUT_NSTOKES", 4)))
+    shape.append(int(h["OUT_NBEAM"]))
+    per_block = int(np.prod(shape))
+    data = np.memmap(path, dtype=np.float32, mode="r", offset=hdr_size)
+    n_blocks = data.size // per_block
+    powers = data[: n_blocks * per_block].reshape(n_blocks, *shape)
+    return h, powers
+
+
 def is_dada_file(path: str | Path) -> bool:
     """Sniff: does the file start with a DADA-style ASCII header?"""
     try:

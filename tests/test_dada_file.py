@@ -137,3 +137,53 @@ def test_simulate_to_dada_file_then_run(tmp_path, capsys, tiny_cfg):
     payload = np.frombuffer(out.read_bytes()[off:], np.float32)
     assert payload.size == 3 * int(np.prod(tiny_cfg.out_block_shape))
     assert np.isfinite(payload).all()
+
+
+def test_product_file_roundtrip(tmp_path, tiny_cfg):
+    """run --output-file x.dada -> read_product_file recovers the exact
+    power blocks (and the Stokes variant its 5-D shape)."""
+    import numpy as np
+
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.pipeline import FileSink, SyntheticSource, run_stream
+
+    cfg = tiny_cfg
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(2)]
+    path = str(tmp_path / "prod.dada")
+    sink = FileSink(path, cfg)
+    run_stream(cfg, qw, SyntheticSource(cfg, blocks, n_blocks=2), sink,
+               depth=1)
+    sink.close()
+    h, powers = dada.read_product_file(path)
+    assert h["PAYLOAD"] == "BEAM_POWERS"
+    assert powers.shape == (2, *cfg.out_block_shape)
+    for seq in range(2):
+        expect = np.asarray(beamform_power(blocks[seq], qw, cfg))
+        np.testing.assert_array_equal(powers[seq], expect)
+
+    # Stokes product: 5-D with OUT_NSTOKES.
+    from dsabeamformer_tpu.pipeline import StreamingBeamformer
+
+    spath = str(tmp_path / "stokes.dada")
+    ssink = FileSink(spath, cfg, products="stokes")
+    bf = StreamingBeamformer(cfg, qw, SyntheticSource(cfg, blocks, 1),
+                             ssink, depth=1, products="stokes")
+    bf.run()
+    ssink.close()
+    h, st = dada.read_product_file(spath)
+    assert h["PAYLOAD"] == "BEAM_STOKES_IQUV"
+    f, t, b = cfg.out_block_shape
+    assert st.shape == (1, f, t, 4, b)
+
+    # A voltage capture is rejected.
+    import pytest
+
+    vpath = str(tmp_path / "volt.dada")
+    dada.write_dada_file(vpath, cfg, [blocks[0]])
+    with pytest.raises(ValueError, match="not a beam-product"):
+        dada.read_product_file(vpath)
