@@ -48,6 +48,46 @@ def beam_response(
     return power / cfg.n_ant_active**2
 
 
+def beam_response_lm(
+    cfg: ObsConfig,
+    beam_l: np.ndarray,
+    beam_m: np.ndarray,
+    sweep_l: np.ndarray,
+    sweep_m: np.ndarray,
+    layout: ArrayLayout | None = None,
+    chan: int | None = None,
+) -> np.ndarray:
+    """2-D analog of ``beam_response`` for (l, m) beam grids
+    (``make_weights_lm``): power response of every beam to unit plane
+    waves arriving from the ``(sweep_l[i], sweep_m[i])`` direction
+    cosines.
+
+    Returns ``[n_sweep, n_beams]`` normalized so a matched beam at
+    boresight = 1 (build a 2-D map by passing a flattened meshgrid and
+    reshaping).  No reference counterpart (the reference's beam fan is
+    strictly 1-D east-west).
+    """
+    from dsabeamformer_tpu.models.weights import weights_lm_numpy_golden
+
+    layout = layout if layout is not None else array_for(cfg)
+    w = weights_lm_numpy_golden(cfg, beam_l, beam_m, layout=layout)
+    if chan is not None:
+        w = w[chan : chan + 1]
+        freqs = cfg.freqs_hz()[chan : chan + 1]
+    else:
+        freqs = cfg.freqs_hz()
+    act = cfg.n_ant_active
+    x = layout.positions_m[:act]
+    ns = layout.ns[:act]
+    f = freqs[:, None, None]                                   # [F,1,1]
+    path = (x[None, None, :] * np.asarray(sweep_l)[None, :, None]
+            + ns[None, None, :] * np.asarray(sweep_m)[None, :, None])
+    arrival = np.exp(2j * np.pi * f * path / SPEED_OF_LIGHT_M_S)  # [F,S,a]
+    b = np.einsum("fba,fsa->fsb", w[:, :, :act], arrival)
+    power = (np.abs(b) ** 2).mean(axis=0)
+    return power / act**2
+
+
 def beam_fwhm_rad(cfg: ObsConfig, layout: ArrayLayout | None = None) -> float:
     """Analytic beam width estimate: lambda / (N*d) for the uniform
     line array (sanity anchor for tests)."""

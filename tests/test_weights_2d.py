@@ -97,3 +97,18 @@ def test_layout_2d_roundtrip(tmp_path, layout_2d):
     back = ArrayLayout.load(path)
     np.testing.assert_array_equal(back.positions_m, layout_2d.positions_m)
     np.testing.assert_array_equal(back.ns, layout_2d.ns)
+
+def test_beam_response_lm_peaks(cfg2d, layout_2d):
+    """Each (l, m) beam's response peaks at its own grid direction."""
+    from dsabeamformer_tpu.models.beampattern import beam_response_lm
+
+    n = 6
+    lg = np.linspace(-0.01, 0.01, n)
+    ll, mm = np.meshgrid(lg, lg, indexing="ij")
+    beam_l, beam_m = ll.ravel(), mm.ravel()
+    resp = beam_response_lm(cfg2d, beam_l, beam_m, beam_l, beam_m,
+                            layout=layout_2d, chan=0)
+    assert resp.shape == (cfg2d.n_beams, cfg2d.n_beams)
+    # Sweep point i == beam direction i: the diagonal must dominate.
+    assert (np.argmax(resp, axis=1) == np.arange(cfg2d.n_beams)).all()
+    assert np.abs(np.diag(resp) - 1.0).max() < 1e-6
