@@ -187,12 +187,14 @@ def _cmd_run_pinned(args) -> int:
             print(f"[dsabf] stokes: tiles -> time_tile={tt} chan_tile={fc} "
                   f"(4x output block must fit VMEM)", file=sys.stderr)
             cfg = cfg.replace(time_tile=tt, chan_tile=fc)
-        if cfg.t_block > 4096:
-            print(f"[dsabf] WARNING: stokes at t_block={cfg.t_block} keeps "
-                  f"~{2 * 4 * np.prod(cfg.out_block_shape) * 4 / 2**30:.1f}"
-                  f" GB of Stokes output in flight and can exhaust HBM "
-                  f"(measured at the dsa10 preset) — use t_block<=4096 "
-                  f"captures or --depth 1", file=sys.stderr)
+        inflight_gb = (args.depth * 4 * np.prod(cfg.out_block_shape) * 4
+                       / 2**30)
+        if inflight_gb > 6:
+            print(f"[dsabf] WARNING: stokes at t_block={cfg.t_block} with "
+                  f"--depth {args.depth} keeps ~{inflight_gb:.1f} GB of "
+                  f"Stokes output in flight and can exhaust HBM (measured "
+                  f"at the dsa10 preset) — use t_block<=4096 captures or a "
+                  f"smaller --depth", file=sys.stderr)
     qw = _make_weights(cfg, args)
 
     inco_sink = (FileSink(args.incoherent_file, None)

@@ -160,29 +160,43 @@ def read_product_file(path: str | Path):
 
     Returns ``(header_dict, powers)`` where ``powers`` is a read-only
     float32 memmap shaped ``[n_blocks, OUT_NCHAN, OUT_NTIME, B]`` for
-    powers or ``[n_blocks, OUT_NCHAN, OUT_NTIME, 4, B]`` for Stokes
-    (partial trailing blocks are dropped).
+    powers or ``[n_blocks, OUT_NCHAN, OUT_NTIME, 4, B]`` for Stokes.
+    Partial trailing data (a write interrupted mid-block — the
+    crash-recovery case a product reader exists for) is dropped; a
+    header-only file yields an empty ``[0, ...]`` array.
     """
+    import os
+
     import numpy as np
 
+    # Same extended-header handling as read_dada_file: re-read when the
+    # header declares itself larger than the default 4096.
     with open(path, "rb") as f:
         head = f.read(DADA_HDR_SIZE)
-    text = head.split(b"\0", 1)[0].decode("ascii", errors="replace")
-    h = parse_header(text)
+    h = parse_header(head.split(b"\0", 1)[0].decode("ascii",
+                                                    errors="replace"))
+    hdr_size = int(h.get("HDR_SIZE", DADA_HDR_SIZE))
+    if hdr_size > DADA_HDR_SIZE:
+        with open(path, "rb") as f:
+            h = parse_header(f.read(hdr_size).split(b"\0", 1)[0].decode(
+                "ascii", errors="replace"))
     payload = h.get("PAYLOAD", "")
     if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV"):
         raise ValueError(
             f"{path}: PAYLOAD={payload!r} is not a beam-product file"
         )
-    hdr_size = int(h.get("HDR_SIZE", DADA_HDR_SIZE))
     shape = [int(h["OUT_NCHAN"]), int(h["OUT_NTIME"])]
     if payload == "BEAM_STOKES_IQUV":
         shape.append(int(h.get("OUT_NSTOKES", 4)))
     shape.append(int(h["OUT_NBEAM"]))
     per_block = int(np.prod(shape))
-    data = np.memmap(path, dtype=np.float32, mode="r", offset=hdr_size)
-    n_blocks = data.size // per_block
-    powers = data[: n_blocks * per_block].reshape(n_blocks, *shape)
+    payload_bytes = max(os.path.getsize(path) - hdr_size, 0)
+    n_blocks = payload_bytes // (per_block * 4)
+    if n_blocks == 0:
+        return h, np.empty((0, *shape), np.float32)
+    data = np.memmap(path, dtype=np.uint8, mode="r", offset=hdr_size,
+                     shape=(n_blocks * per_block * 4,))
+    powers = data.view(np.float32).reshape(n_blocks, *shape)
     return h, powers
 
 

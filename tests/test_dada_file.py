@@ -142,8 +142,6 @@ def test_simulate_to_dada_file_then_run(tmp_path, capsys, tiny_cfg):
 def test_product_file_roundtrip(tmp_path, tiny_cfg):
     """run --output-file x.dada -> read_product_file recovers the exact
     power blocks (and the Stokes variant its 5-D shape)."""
-    import numpy as np
-
     from dsabeamformer_tpu.ingest import dada
     from dsabeamformer_tpu.ingest.generator import make_noise_block
     from dsabeamformer_tpu.models.weights import make_weights
@@ -181,9 +179,56 @@ def test_product_file_roundtrip(tmp_path, tiny_cfg):
     assert st.shape == (1, f, t, 4, b)
 
     # A voltage capture is rejected.
-    import pytest
-
     vpath = str(tmp_path / "volt.dada")
     dada.write_dada_file(vpath, cfg, [blocks[0]])
     with pytest.raises(ValueError, match="not a beam-product"):
         dada.read_product_file(vpath)
+
+
+def test_product_file_torn_write_and_extended_header(tmp_path, tiny_cfg):
+    """Crash-recovery + header-size edges of read_product_file: a torn
+    trailing block is dropped, a header-only file yields [0, ...], and
+    an extended (HDR_SIZE > 4096) header parses."""
+    import os
+
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.pipeline import FileSink, SyntheticSource, run_stream
+
+    cfg = tiny_cfg
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(2)]
+    path = str(tmp_path / "torn.dada")
+    sink = FileSink(path, cfg)
+    run_stream(cfg, qw, SyntheticSource(cfg, blocks, n_blocks=2), sink,
+               depth=1)
+    sink.close()
+    # Tear the last block mid-float (interrupted write).
+    full = os.path.getsize(path)
+    per_block = int(np.prod(cfg.out_block_shape)) * 4
+    os.truncate(path, full - per_block // 2 - 1)
+    h, powers = dada.read_product_file(path)
+    assert powers.shape[0] == 1  # torn trailing block dropped
+
+    # Header-only file (interrupted before the first block).
+    os.truncate(path, dada.DADA_HDR_SIZE)
+    h, powers = dada.read_product_file(path)
+    assert powers.shape == (0, *cfg.out_block_shape)
+
+    # Extended header: keys past byte 4096 still parse.
+    big = str(tmp_path / "big.dada")
+    f_out, t_out, b_out = cfg.out_block_shape
+    text = dada.encode_header(
+        cfg, HDR_SIZE=8192, PAYLOAD="BEAM_POWERS", OUT_DTYPE="float32",
+        COMMENT="x" * 5000, OUT_NCHAN=f_out, OUT_NTIME=t_out,
+        OUT_NBEAM=b_out,
+    ).encode("ascii")
+    assert len(text) > 4096
+    with open(big, "wb") as f:
+        f.write(text.ljust(8192, b"\0"))
+        f.write(np.ones(int(np.prod(cfg.out_block_shape)),
+                        np.float32).tobytes())
+    h, powers = dada.read_product_file(big)
+    assert powers.shape == (1, *cfg.out_block_shape)
+    assert float(powers[0].max()) == 1.0

@@ -80,16 +80,3 @@ def test_unsupported_mode_rejected():
     with pytest.raises(ValueError, match="antenna sharding supports"):
         tp_beamformer(cfg, mesh)
 
-
-def test_antenna_sharded_with_calibration():
-    """Cal gains flow through the TP weight build (global scales again)."""
-    cfg = TINY.replace(weight_mode="int8x2")
-    mesh = make_tp_mesh(1, 2)
-    cal = CalTable.random(cfg, seed=21)
-    wire = make_noise_block(cfg, rms=2.0, seed=22)
-    qw = shard_weights_tp(cfg, mesh, cal=cal)
-    step = tp_beamformer(cfg, mesh)
-    wire_sh = jax.device_put(np.asarray(wire), tp_wire_sharding(cfg, mesh))
-    p = np.asarray(step(wire_sh, qw))
-    assert_power_close(p, _golden(cfg, wire, cal=cal), rtol=3e-4,
-                       what="tp with cal")
