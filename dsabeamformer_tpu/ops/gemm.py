@@ -183,16 +183,21 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
     if time_major:
         # x_ref is [time_tile, chan_tile * P*A]: the wire block stayed in
         # its time-major capture order and the per-channel byte tile is a
-        # lane-axis slice at c*PA (statically a multiple of 128).  This IS
-        # the corner-turn — done by the grid/DMA, never materialized.
+        # lane-axis slice.  This IS the corner-turn — done by the
+        # grid/DMA, never materialized.  Mosaic dynamic lane slices must
+        # be 128-aligned: when P*A >= 128 the per-channel slice at c*PA
+        # is aligned directly; for COMPACT wire formats (P*A < 128,
+        # e.g. a 16-slot antenna axis at 8x less PCIe than the padded
+        # 64-slot reference format) channels are sliced in groups of
+        # 128/PA lanes — one aligned dynamic slice per group, static
+        # sub-slices within it.
         tt = x_ref.shape[0]
         fc = x_ref.shape[1] // pa
     else:
         fc = x_ref.shape[0]  # chan_tile
         tt = x_ref.shape[1]  # time_tile
 
-    def chan_body(c, _):
-        xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
+    def process(c, xb):
         x_all = _build_x(xb, n_ant=n_ant, a_compute=a_compute,
                          n_pol=n_pol, x16=x16, x_dup=x_dup)
         acc = _accumulate(x_all, w_refs, chan=c)
@@ -203,6 +208,22 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         # quantized units, so s^2 dequantizes them all.
         s = s_ref[c, 0, n_terms - 1]
         o_ref[c] = out * (s * s)
+
+    if time_major and pa % 128 and 128 % pa == 0 and fc % (128 // pa) == 0:
+        g = 128 // pa  # channels per aligned lane group
+
+        def group_body(cg, _):
+            xg = x_ref[:, pl.ds(cg * 128, 128)]
+            for j in range(g):  # static sub-slices within the group
+                process(cg * g + j, xg[:, j * pa : (j + 1) * pa])
+            return 0
+
+        jax.lax.fori_loop(0, fc // g, group_body, 0)
+        return
+
+    def chan_body(c, _):
+        xb = x_ref[:, pl.ds(c * pa, pa)] if time_major else x_ref[c]
+        process(c, xb)
         return 0
 
     _chan_loop(fc, chan_body)
@@ -405,10 +426,15 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width):
     _check_weights(qw, cfg)
     x, time_major = _prepare_wire(wire, cfg)
     pa = cfg.n_pol * cfg.n_ant
-    if time_major and pa % 128 and not interpret:
-        # Mosaic lane slices must be 128-aligned; for small geometries
-        # (P*A not a lane multiple) fall back to the materialized
-        # corner-turn.  All deployment presets have P*A % 128 == 0.
+    grouped_ok = (
+        pa % 128 == 0
+        or (128 % pa == 0 and (cfg.chan_tile * pa) % 128 == 0)
+    )
+    if time_major and not grouped_ok and not interpret:
+        # Mosaic lane slices must be 128-aligned; the kernel handles
+        # P*A >= 128 directly and P*A < 128 via channel groups (compact
+        # wire formats) — anything else (e.g. chan_tile*P*A not a lane
+        # multiple) falls back to the materialized corner-turn.
         x = jnp.transpose(x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2))
         time_major = False
     n_terms = len(qw.terms)

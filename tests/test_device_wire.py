@@ -70,3 +70,23 @@ def test_bad_wire_shape_rejected(tiny_cfg):
     bad = np.zeros((3, 5), np.uint8)
     with pytest.raises(ValueError, match="neither the canonical"):
         beamform_power(bad, qw, tiny_cfg)
+
+
+def test_compact_wire_grouped_lane_slicing(tiny_cfg):
+    """Compact wire (P*A < 128): the time-major kernel slices channels
+    in aligned groups (one 128-lane dynamic slice + static sub-slices).
+    chan_tile=4 makes P*A*fc = 128 — the grouped path — and must match
+    the channel-major result exactly."""
+    cfg_t = tiny_cfg.replace(input_layout="tfpa", chan_tile=4)  # PA=32, g=4
+    cfg_f = tiny_cfg.replace(input_layout="ftpa", chan_tile=4)
+    wire_t4 = make_noise_block(cfg_t, rms=2.0, seed=91)
+    wire_f4 = np.ascontiguousarray(wire_t4.transpose(1, 0, 2, 3))
+    qw = quantize_weights(make_weights(cfg_f), cfg_f.weight_mode,
+                          cfg_f.a_compute)
+    p_t = np.asarray(
+        beamform_power(device_wire_view(wire_t4, cfg_t), qw, cfg_t)
+    )
+    p_f = np.asarray(
+        beamform_power(device_wire_view(wire_f4, cfg_f), qw, cfg_f)
+    )
+    np.testing.assert_allclose(p_t, p_f, rtol=1e-6)
