@@ -76,7 +76,7 @@ def _load_cfg(args):
 
 def _add_common(p):
     p.add_argument("--config", default="dsa10",
-                   help="config preset: dsa10 | dsa110 | tiny")
+                   help="config preset: dsa10 | dsa10c | dsa110 | tiny")
     p.add_argument("--set", action="append", metavar="KEY=VAL",
                    help="override any ObsConfig field, e.g. --set t_block=512")
     p.add_argument("--subband", metavar="I/N",

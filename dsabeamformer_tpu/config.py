@@ -249,6 +249,15 @@ class ObsConfig:
 #: Pallas grid still tiles time at time_tile, so VMEM use is unchanged.
 DSA10 = ObsConfig(name="dsa10", t_block=8192)
 
+#: DSA-10 with a COMPACT 16-slot wire: same science (10 active dishes,
+#: 256 beams, 2048 chan) but the capture packs antennas into 16 slots
+#: instead of the reference's 64, cutting the full-band wire rate from
+#: 32 GB/s to 8 GB/s — inside a real host's PCIe budget (BENCH.md
+#: "Compact wire"; measured 2.03x realtime, same accuracy).  Use when
+#: the capture stage is ours to configure; `dsa10` remains the
+#: reference-format-compatible preset.
+DSA10_COMPACT = DSA10.replace(name="dsa10c", n_ant=16)
+
 #: DSA-110 scale-out config: 110 ant padded to 128, 512 beams
 #: (BASELINE.json configs[4]); channel-sharded across a v5e-8 mesh.
 DSA110 = ObsConfig(
@@ -283,4 +292,5 @@ TINY = ObsConfig(
 
 
 def presets() -> dict:
-    return {"dsa10": DSA10, "dsa110": DSA110, "tiny": TINY}
+    return {"dsa10": DSA10, "dsa10c": DSA10_COMPACT, "dsa110": DSA110,
+            "tiny": TINY}

@@ -82,3 +82,17 @@ def test_mismatched_cal_rejected(tiny_cfg):
                                               chan_tile=2))
     with pytest.raises(ValueError, match="calibration"):
         make_weights(tiny_cfg, cal=bad_cal)
+
+def test_dsa10_compact_preset():
+    from dsabeamformer_tpu.config import DSA10, DSA10_COMPACT, presets
+
+    c = DSA10_COMPACT
+    assert presets()["dsa10c"] is c
+    assert c.n_ant == 16 and c.n_ant_active == DSA10.n_ant_active
+    assert c.n_beams == DSA10.n_beams and c.n_chan == DSA10.n_chan
+    # 4x less wire than the padded reference format, same sky time.
+    assert c.wire_block_bytes * 4 == DSA10.wire_block_bytes
+    assert c.block_duration_s == DSA10.block_duration_s
+    assert c.a_compute == 16
+    # Grouped time-major slicing stays aligned: chan_tile*P*A % 128 == 0.
+    assert (c.chan_tile * c.n_pol * c.n_ant) % 128 == 0
