@@ -583,7 +583,7 @@ def main(argv=None) -> int:
                         "behavior) or full Stokes I/Q/U/V")
     p.add_argument("--incoherent-file",
                    help="also write the incoherent-sum total power per "
-                        "block ([F, T/navg] float32) to this file")
+                        "block ([F/navg_f, T/navg_t] float32) to this file")
     p.add_argument("--track", action="store_true",
                    help="regenerate weights as the pointing drifts (fringe tracking)")
     p.add_argument("--declination", type=float, default=0.0,

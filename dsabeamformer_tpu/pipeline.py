@@ -273,7 +273,8 @@ class StreamingBeamformer:
         self.products = products
         self._detect = beamform_stokes if products == "stokes" else beamform_power
         # Optional side-channel: incoherent-sum total power per block
-        # ([F, T/navg] float32 -> incoherent_sink.write(seq, arr)).
+        # ([F/navg_freq, T/navg_time] float32 ->
+        # incoherent_sink.write(seq, arr)).
         self.incoherent_sink = incoherent_sink
         # Optional fringe/cal tracker (models/tracking.py): polled once
         # per block with the stream time; a non-None return swaps in new
