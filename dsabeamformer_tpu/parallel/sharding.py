@@ -99,7 +99,8 @@ def shard_weights(
 
 
 def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
-                       with_band_power: bool = False):
+                       with_band_power: bool = False,
+                       products: str = "power"):
     """Build the jitted multi-chip block step.
 
     ``wire`` is the canonical device form (``cfg.device_wire_shape``),
@@ -112,7 +113,11 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
     ``step(wire, qw) -> (powers, band_power)`` where ``band_power``
     ``[T/navg_t]`` is the all-band total power (a psum over the channel
     axis — the single deliberate ICI collective, used for total-power /
-    RFI monitoring)."""
+    RFI monitoring).  ``products="stokes"`` runs the fused I/Q/U/V
+    kernel instead (channel-sharded ``[F/navg_f, T/navg_t, 4, B]``;
+    band power then reduces the Stokes-I plane)."""
+    if products not in ("power", "stokes"):
+        raise ValueError(f"products must be power|stokes, got {products!r}")
     n = mesh.shape[AXIS]
     _check_divisible(cfg, n)
     local_cfg = cfg.replace(n_chan=cfg.n_chan // n)
@@ -126,14 +131,26 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
         terms=tuple(P(AXIS, None, None) for _ in range(cfg.n_weight_terms)),
         scales=P(AXIS, None),
     )
-    out_spec = P(AXIS, None, None)
+    if products == "stokes":
+        from dsabeamformer_tpu.ops.gemm import beamform_stokes
 
-    def local_step(wire, qw):
-        powers = beamform_power(wire, qw, local_cfg)
-        if not with_band_power:
-            return powers
-        band = jax.lax.psum(powers.sum(axis=(0, 2)), AXIS)
-        return powers, band
+        out_spec = P(AXIS, None, None, None)
+
+        def local_step(wire, qw):
+            st = beamform_stokes(wire, qw, local_cfg)
+            if not with_band_power:
+                return st
+            band = jax.lax.psum(st[:, :, 0].sum(axis=(0, 2)), AXIS)
+            return st, band
+    else:
+        out_spec = P(AXIS, None, None)
+
+        def local_step(wire, qw):
+            powers = beamform_power(wire, qw, local_cfg)
+            if not with_band_power:
+                return powers
+            band = jax.lax.psum(powers.sum(axis=(0, 2)), AXIS)
+            return powers, band
 
     shard_fn = jax.shard_map(
         local_step,

@@ -107,3 +107,28 @@ def test_mesh_size_must_divide_channels(mesh, shard_cfg):
     cfg = shard_cfg.replace(n_chan=12, n_chan_total=12, chan_tile=2)
     with pytest.raises(ValueError, match="divisible"):
         sharded_beamformer(cfg, mesh)
+
+
+def test_sharded_stokes_matches_golden(shard_cfg, mesh):
+    """products='stokes' on the channel mesh: I/Q/U/V sharded over
+    channels, every plane matching the golden model."""
+    from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+
+    cfg = shard_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=17)
+    step = sharded_beamformer(cfg, mesh, products="stokes",
+                              with_band_power=True)
+    qw_sh = shard_weights(cfg, mesh)
+    wire_sh = jax.device_put(device_wire_view(wire, cfg),
+                             sharded_wire_sharding(cfg, mesh))
+    st, band = step(wire_sh, qw_sh)
+    st, band = np.asarray(st), np.asarray(band)
+    ref = beamform_stokes_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
+        cfg.navg_freq,
+    )
+    assert st.shape == ref.shape
+    scale = np.abs(ref[:, :, 0]).max()
+    assert np.abs(st - ref).max() / scale < 3e-4
+    # Band power is the Stokes-I psum across channels.
+    np.testing.assert_allclose(band, st[:, :, 0].sum(axis=(0, 2)), rtol=1e-5)
