@@ -147,15 +147,19 @@ def tp_wire_sharding(cfg: ObsConfig, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, CHAN_AXIS, None, ANT_AXIS))
 
 
-def tp_beamformer(cfg: ObsConfig, mesh: Mesh):
+def tp_beamformer(cfg: ObsConfig, mesh: Mesh, *, products: str = "power"):
     """Build the jitted antenna-sharded (optionally x channel-sharded)
-    block step: ``step(wire, qw) -> powers``.
+    block step: ``step(wire, qw) -> powers`` (or Stokes
+    ``[F_l, T/navg, 4, B]`` with ``products="stokes"`` — the detection
+    runs post-psum either way, so full Stokes is the same reduction).
 
     wire: 4-D host-form block sharded per ``tp_wire_sharding`` (the
     antenna axis lives inside the canonical device form's fused lanes,
     so TP uses the explicit 4-D layout).  Output powers are channel-
     sharded, replicated over the antenna axis.
     """
+    if products not in ("power", "stokes"):
+        raise ValueError(f"products must be power|stokes, got {products!r}")
     nc = mesh.shape[CHAN_AXIS]
     na = mesh.shape[ANT_AXIS]
     _check_tp(cfg, nc, na)
@@ -181,20 +185,36 @@ def tp_beamformer(cfg: ObsConfig, mesh: Mesh):
         # Replicated detection + averaging (the reference's detect_sum,
         # here ~1/16th of the FLOPs so replication is cheap).
         b = cfg.n_beams
-        p = bv[..., :b] ** 2 + bv[..., b:] ** 2     # [F_l, T, P, B]
-        p = p.sum(axis=2)
-        f_l, t = p.shape[0], p.shape[1]
-        p = p.reshape(f_l, t // cfg.navg_time, cfg.navg_time, b).sum(axis=2)
-        if cfg.navg_freq > 1:
-            p = p.reshape(f_l // cfg.navg_freq, cfg.navg_freq,
-                          t // cfg.navg_time, b).sum(axis=1)
-        return p
+        f_l, t = bv.shape[0], bv.shape[1]
+        nt = cfg.navg_time
 
+        def avg(z):  # [F_l, T, B] -> time (+freq) accumulated
+            z = z.reshape(f_l, t // nt, nt, b).sum(axis=2)
+            if cfg.navg_freq > 1:
+                z = z.reshape(f_l // cfg.navg_freq, cfg.navg_freq,
+                              t // nt, b).sum(axis=1)
+            return z
+
+        bxr, bxi = bv[:, :, 0, :b], bv[:, :, 0, b:]
+        byr, byi = bv[:, :, 1, :b], bv[:, :, 1, b:]
+        px = bxr * bxr + bxi * bxi
+        py = byr * byr + byi * byi
+        if products == "power":
+            return avg(px + py)
+        cr = bxr * byr + bxi * byi
+        ci = bxi * byr - bxr * byi
+        return jnp.stack(
+            [avg(px + py), avg(px - py), avg(cr + cr), avg(ci + ci)],
+            axis=2,
+        )
+
+    out_spec = (P(CHAN_AXIS, None, None) if products == "power"
+                else P(CHAN_AXIS, None, None, None))
     shard_fn = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(wire_spec, qw_spec),
-        out_specs=P(CHAN_AXIS, None, None),
+        out_specs=out_spec,
         check_vma=False,
     )
     return jax.jit(shard_fn)

@@ -80,3 +80,23 @@ def test_unsupported_mode_rejected():
     with pytest.raises(ValueError, match="antenna sharding supports"):
         tp_beamformer(cfg, mesh)
 
+
+
+def test_antenna_sharded_stokes():
+    """Full Stokes over the TP psum: all planes match the golden."""
+    from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+
+    cfg = TINY.replace(weight_mode="f32")
+    mesh = make_tp_mesh(2, 2)
+    wire = make_noise_block(cfg, rms=2.0, seed=31)
+    qw = shard_weights_tp(cfg, mesh)
+    step = tp_beamformer(cfg, mesh, products="stokes")
+    wire_sh = jax.device_put(np.asarray(wire), tp_wire_sharding(cfg, mesh))
+    st = np.asarray(step(wire_sh, qw))
+    ref = beamform_stokes_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
+        cfg.navg_freq,
+    )
+    assert st.shape == ref.shape
+    scale = np.abs(ref[:, :, 0]).max()
+    assert np.abs(st - ref).max() / scale < 1e-5
