@@ -161,3 +161,32 @@ def test_stokes_accuracy_on_tpu(tpu_backend):
     for k, name in enumerate("IQUV"):
         err = np.abs(st[:, :, k] - ref[:, :, k]).max() / scale
         assert err <= 1e-3, (name, err)  # measured 1-3e-5
+
+
+def test_compact_wire_grouped_path_on_tpu(tpu_backend):
+    """Compact 16-slot wire (dsa10c; P*A=32 < 128): the grouped
+    lane-slicing corner turn must compile on hardware and pass the
+    point-source physics + accuracy gate."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10_COMPACT
+    from dsabeamformer_tpu.ingest.generator import make_point_source_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
+
+    cfg = DSA10_COMPACT.replace(n_chan=128, t_block=1024, time_tile=1024)
+    target = 99
+    wire = make_point_source_block(cfg, cfg.beam_angles_rad()[target],
+                                   noise_rms=0.4, seed=7)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    p = np.asarray(
+        beamform_power(jax.device_put(device_wire_view(wire, cfg)), qw, cfg)
+    )
+    assert int(np.argmax(p.sum(axis=(0, 1)))) == target
+    ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
+    )
+    assert relative_power_error(p, ref) <= POWER_RTOL  # measured 4.0e-4
