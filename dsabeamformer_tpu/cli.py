@@ -49,7 +49,13 @@ def _coerce_field(current, val: str):
 def _load_cfg(args):
     from dsabeamformer_tpu.config import presets
 
-    cfg = presets()[args.config]
+    table = presets()
+    if args.config not in table:
+        raise SystemExit(
+            f"unknown config preset {args.config!r}; choose from "
+            + " | ".join(table)
+        )
+    cfg = table[args.config]
     for kv in args.set or []:
         key, _, val = kv.partition("=")
         field = getattr(cfg, key)  # raises AttributeError for bad key
@@ -91,8 +97,12 @@ def _capture_cfg(args, cfg):
     a live deployment split and CANNOT be combined with a full-band
     capture file — the header would silently override the slice, so
     reject the combination loudly.  Returns (cfg, data_offset)."""
+    import os
+
     from dsabeamformer_tpu.ingest import dada
 
+    if not os.path.exists(args.input_file):
+        raise SystemExit(f"input file not found: {args.input_file}")
     if not dada.is_dada_file(args.input_file):
         return cfg, 0
     if getattr(args, "subband", None):
