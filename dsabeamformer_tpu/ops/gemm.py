@@ -145,8 +145,15 @@ def _accumulate(x_all, w_refs, *, chan):
     acc = None
     for w_ref in w_refs:
         w = w_ref[chan]
+        # f32 is the validation mode: force full-precision MXU passes.
+        # The TPU default silently computes f32 matmuls at bf16 operand
+        # precision (measured 4e-2 vs golden — identical to bf16 mode);
+        # HIGHEST restores ~1e-6.  bf16 operands are unaffected.
+        prec = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         part = jnp.dot(
-            x_all.astype(w.dtype), w, preferred_element_type=jnp.float32
+            x_all.astype(w.dtype), w, preferred_element_type=jnp.float32,
+            precision=prec,
         )
         acc = part if acc is None else acc + part
     return acc

@@ -190,3 +190,31 @@ def test_compact_wire_grouped_path_on_tpu(tpu_backend):
         weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
     )
     assert relative_power_error(p, ref) <= POWER_RTOL  # measured 4.0e-4
+
+
+def test_f32_validation_mode_full_precision_on_tpu(tpu_backend):
+    """The f32 validation mode must request Precision.HIGHEST: the TPU
+    default computes f32 matmuls at bf16 operand precision (measured
+    4e-2 vs golden before the fix; 1.1e-5 after)."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_point_source_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import relative_power_error
+
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024,
+                        weight_mode="f32")
+    wire = make_point_source_block(cfg, cfg.beam_angles_rad()[100],
+                                   noise_rms=0.4, seed=7)
+    qw = quantize_weights(make_weights(cfg), "f32", cfg.a_compute)
+    p = np.asarray(
+        beamform_power(jax.device_put(device_wire_view(wire, cfg)), qw, cfg)
+    )
+    ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
+    )
+    assert relative_power_error(p, ref) <= 1e-4  # bf16 regression = 4e-2
