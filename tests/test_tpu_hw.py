@@ -218,3 +218,31 @@ def test_f32_validation_mode_full_precision_on_tpu(tpu_backend):
         weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
     )
     assert relative_power_error(p, ref) <= 1e-4  # bf16 regression = 4e-2
+
+
+def test_dsa110_geometry_on_tpu(tpu_backend):
+    """DSA-110 geometry on hardware (128 ant -> K=256 two-pass-per-term,
+    512 beams): point-source physics + the 1e-3 bar."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA110
+    from dsabeamformer_tpu.ingest.generator import make_point_source_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
+
+    cfg = DSA110.replace(n_chan=64, t_block=1024)
+    target = 300
+    wire = make_point_source_block(cfg, cfg.beam_angles_rad()[target],
+                                   noise_rms=0.4, seed=7)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    p = np.asarray(
+        beamform_power(jax.device_put(device_wire_view(wire, cfg)), qw, cfg)
+    )
+    assert int(np.argmax(p.sum(axis=(0, 1)))) == target
+    ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
+    )
+    assert relative_power_error(p, ref) <= POWER_RTOL  # measured 2.4e-4
