@@ -10,9 +10,12 @@ all in the fused Pallas kernel.
 
 The measured configuration is the DEPLOYED default: the unmodified
 DSA10 preset — time-major 'tfpa' wire order (what the capture stage
-produces), int8x2 weights (the mode that meets the <=1e-3 accuracy bar
-on every input class, including the point-source sidelobe-floored
-metric), XLA corner-turn, 2048-sample blocks.
+produces) consumed directly by the kernel (the corner-turn happens in
+the Pallas grid/DMA + an in-kernel 128-aligned lane slice; it is never
+materialized), int8x2 weights (the mode that meets the <=1e-3 accuracy
+bar on every input class, including the point-source sidelobe-floored
+metric), t_block=8192 samples (dispatch-overhead amortization,
+BENCH.md).
 
 value = (seconds of telescope data processed) / (wall seconds).
 Timing methodology: blocks resident in HBM, n back-to-back dispatches

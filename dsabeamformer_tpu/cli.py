@@ -197,6 +197,18 @@ def _cmd_run_pinned(args) -> int:
             print(f"[dsabf] stokes: tiles -> time_tile={tt} chan_tile={fc} "
                   f"(4x output block must fit VMEM)", file=sys.stderr)
             cfg = cfg.replace(time_tile=tt, chan_tile=fc)
+        if fc * (tt // cfg.navg_time) * 4 * cfg.n_beams * 4 > 2 ** 20:
+            # Halving blocked (navg_time/divisibility) but tiles still
+            # exceed the VMEM budget: name the constraint now instead
+            # of letting Mosaic fail later with an opaque VMEM error.
+            print(f"[dsabf] WARNING: stokes output tile "
+                  f"({fc}x{tt // cfg.navg_time}x4x{cfg.n_beams} f32) still "
+                  f"exceeds the ~1 MB VMEM budget and cannot be halved "
+                  f"further (time_tile must stay a multiple of "
+                  f"navg_time={cfg.navg_time} and divide t_block; "
+                  f"chan_tile must divide n_chan) — expect a Mosaic VMEM "
+                  f"compile failure; reduce n_beams, navg_time, or tiles "
+                  f"in the config", file=sys.stderr)
         inflight_gb = (args.depth * 4 * np.prod(cfg.out_block_shape) * 4
                        / 2**30)
         if inflight_gb > 6:
@@ -220,12 +232,16 @@ def _cmd_run_pinned(args) -> int:
     else:
         ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
         # Staging pool sized from the pipeline depth (in-flight blocks
-        # + the one being enqueued + one safety slot).  Exactly
-        # depth+2: at t_block=8192 each staging buffer is 2.1 GB of
-        # host RAM, so the pool is no larger than the driver needs.
+        # + the one being enqueued + one safety slot).  Small-block
+        # configs keep the old 8-buffer floor (absorbs consumer stalls
+        # of several block periods); at production block sizes each
+        # staging buffer is up to 2.1 GB of host RAM, so the pool
+        # shrinks to exactly what the driver needs (depth+2).
+        n_host = (args.depth + 2 if cfg.wire_block_bytes >= 512 * 2**20
+                  else max(args.depth + 2, 8))
         source = RingSource(cfg, ring, latest=args.latest,
                             timeout_s=args.timeout,
-                            n_host_buffers=args.depth + 2)
+                            n_host_buffers=n_host)
     out_mult = 4 if args.products == "stokes" else 1
     sink = None
     if args.output_file:
@@ -260,6 +276,10 @@ def _cmd_run_pinned(args) -> int:
     warm.sink = sink
     warm.depth = args.depth
     warm.on_block = on_block
+    # Every exit path — normal completion, operator Ctrl-C, or an
+    # exception out of the loop — must flush and close the product
+    # sinks and the stats file, or the tail blocks of a .dada product
+    # are silently truncated (VERDICT r2 #6).
     try:
         stats = warm.run(max_blocks=args.blocks)
     except KeyboardInterrupt:
@@ -268,6 +288,13 @@ def _cmd_run_pinned(args) -> int:
         # to persist).
         print(warm.current_stats().json_line(cfg))
         return 130
+    finally:
+        if sink is not None:
+            sink.close()
+        if inco_sink is not None:
+            inco_sink.close()
+        if stats_f is not None:
+            stats_f.close()
     print(stats.json_line(cfg))
     return 0
 
@@ -465,7 +492,7 @@ def cmd_calibrate(args) -> int:
     print(json.dumps({
         "out": args.out,
         "blocks": n_seen,
-        "n_ant": act,
+        "n_ant_active": act,
         "n_chan": cfg.n_chan,
         "median_amp": float(np.median(np.abs(cal.gains[:act]))),
         "max_phase_rad": float(

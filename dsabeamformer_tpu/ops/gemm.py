@@ -550,6 +550,24 @@ def beamform_voltages(
         x = jnp.transpose(
             x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2)
         )
+    # The voltage output tile is f32 [fc, tt, P*2B] — 4x(navg_time)x the
+    # fused power path's, so the config's (fused-tuned) tiles can blow
+    # Mosaic's scoped-VMEM stack (measured: 68 MB vs the 16 MB limit at
+    # DSA-110 fc=4/tt=1024).  Shrink tiles until the double-buffered
+    # output block fits; this path is HBM-streaming either way, so tile
+    # size is not its perf lever.
+    fc, tt = cfg.chan_tile, cfg.time_tile
+    p2b = cfg.n_pol * 2 * cfg.n_beams
+    while fc * tt * p2b * 4 > 2 ** 21:
+        if (tt > cfg.navg_time and (tt // 2) % cfg.navg_time == 0
+                and cfg.t_block % (tt // 2) == 0):
+            tt //= 2
+        elif fc > 1 and fc % 2 == 0 and cfg.n_chan % (fc // 2) == 0:
+            fc //= 2
+        else:
+            break
+    if (fc, tt) != (cfg.chan_tile, cfg.time_tile):
+        cfg = cfg.replace(chan_tile=fc, time_tile=tt)
     n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(

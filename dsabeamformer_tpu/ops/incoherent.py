@@ -73,8 +73,16 @@ def wire_level_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
     Returns ``{"rms": [A], "clip_fraction": [A]}`` over the active
     antennas (both pols, all channels/samples): the 4-bit wire
     saturates at -8/+7, so operators level-set to keep rms ~2 and the
-    clip fraction ~0 before science or calibration scans (clipping
+    clip fraction low before science or calibration scans (clipping
     compresses cal amplitude solutions — models/calsolver.py).
+
+    ``clip_fraction`` is the **at-rail fraction** — the share of
+    components sitting exactly on the -8/+7 rails — not a count of
+    true saturation events (unobservable post-quantization; rail
+    occupancy is the standard proxy).  A healthy Gaussian drive at
+    rms~2 legitimately parks ~0.1-0.5% of samples on the rails, so
+    compare against that expected rail fraction, not against zero;
+    a few percent or more means the ADC drive is hot.
     """
     if wire.dtype != jnp.uint8:
         raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")

@@ -73,10 +73,20 @@ def _check_tp(cfg: ObsConfig, nc: int, na: int) -> None:
         raise ValueError(f"n_ant={cfg.n_ant} not divisible by {na}")
     if (cfg.n_ant // na) % 8:
         raise ValueError("per-shard antennas must be a multiple of 8")
-    if cfg.weight_mode not in ("f32", "bf16", "int8x2"):
+    if cfg.weight_mode not in ("f32", "bf16", "bf16x2", "int8x2"):
         raise ValueError(
-            "antenna sharding supports weight_mode f32|bf16|int8x2 (modes "
-            "whose scales are independent of the K rows kept per shard)"
+            "antenna sharding supports weight_mode f32|bf16|bf16x2|int8x2 "
+            "— modes whose terms keep the plain [re | im] K layout and "
+            "whose per-channel scales are independent of which K rows a "
+            "shard keeps (bf16-family scales are constant 1; int8x2 "
+            "scales are computed from the FULL weight table before "
+            "slicing, see shard_weights_tp).  int8 is excluded because "
+            "its single-term accuracy already fails the 1e-3 bar; "
+            "int12/int13 are excluded because their x16 K-folds "
+            "restructure the contraction axis itself (hi/lo row blocks "
+            "matched to a folded data operand with per-channel amax over "
+            "full K), so an antenna split of K would cut across fold "
+            "blocks and desynchronize the data-side fold"
         )
 
 

@@ -173,6 +173,9 @@ class CollectSink:
     def write(self, seq: int, powers: np.ndarray) -> None:
         self.outputs.append((seq, powers))
 
+    def close(self) -> None:
+        pass
+
 
 class FileSink:
     """Appends float32 power blocks to a raw file.
@@ -234,6 +237,12 @@ class RingSink:
 
     def write(self, seq: int, powers: np.ndarray) -> None:
         self.ring.write_block(np.ascontiguousarray(powers, dtype=np.float32))
+
+    def close(self) -> None:
+        """Mark end-of-data for the downstream consumer, then detach.
+        Safe on every exit path (idempotent at the C layer)."""
+        self.ring.set_eod()
+        self.ring.close()
 
 
 # --------------------------------------------------------------------- #

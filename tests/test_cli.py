@@ -54,6 +54,45 @@ def test_run_from_file_with_saved_weights(tmp_path, capsys, tiny_cfg):
     assert len(lines) == 2 and lines[1]["block"] == 1
 
 
+def test_interrupt_flushes_product_file(tmp_path, capsys, tiny_cfg,
+                                        monkeypatch):
+    """Operator Ctrl-C mid-run must not truncate the product file's tail
+    blocks: every exit path closes (and thereby flushes) the FileSink
+    and the stats handle, and the .dada product parses completely."""
+    from dsabeamformer_tpu import pipeline
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+
+    blocks = [make_noise_block(tiny_cfg, rms=2.0, seed=s) for s in range(3)]
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        for b in blocks:
+            f.write(b.tobytes())
+    outpath = tmp_path / "out.dada"
+    statspath = tmp_path / "stats.jsonl"
+
+    orig_run = pipeline.StreamingBeamformer.run
+
+    def run_then_interrupt(self, max_blocks=None):
+        orig_run(self, max_blocks=2)
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(pipeline.StreamingBeamformer, "run",
+                        run_then_interrupt)
+    rc = cli.main([
+        "run", "--config", "tiny", "--input-file", str(inpath),
+        "--output-file", str(outpath), "--stats-file", str(statspath),
+    ])
+    assert rc == 130
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["blocks"] == 2
+    h, powers = read_product_file(outpath)
+    assert h["PAYLOAD"] == "BEAM_POWERS"
+    assert powers.shape[0] == 2  # both processed blocks fully on disk
+    assert np.isfinite(np.asarray(powers)).all()
+    lines = [json.loads(line) for line in open(statspath)]
+    assert len(lines) == 2  # stats handle flushed on the interrupt path
+
+
 def test_config_override(capsys):
     rc = cli.main(["weights", "--config", "tiny", "--set", "n_beams=64",
                    "--out", "/tmp/w-override.npz"])

@@ -28,7 +28,8 @@ def _golden(cfg, wire, cal=None):
     )
 
 
-@pytest.mark.parametrize("mode,rtol", [("f32", 1e-5), ("int8x2", 3e-4)])
+@pytest.mark.parametrize("mode,rtol", [("f32", 1e-5), ("int8x2", 3e-4),
+                                       ("bf16x2", 1e-4)])
 def test_antenna_sharded_matches_golden(mode, rtol):
     cfg = TINY.replace(weight_mode=mode)  # n_ant=16 -> 2 groups of 8
     mesh = make_tp_mesh(1, 2)

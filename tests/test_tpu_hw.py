@@ -220,6 +220,81 @@ def test_f32_validation_mode_full_precision_on_tpu(tpu_backend):
     assert relative_power_error(p, ref) <= 1e-4  # bf16 regression = 4e-2
 
 
+def test_sharded_beamformer_mosaic_on_tpu(tpu_backend):
+    """shard_map-wrapped pallas_call under Mosaic (VERDICT r2 #1): the
+    channel-mesh path has CPU-mesh coverage only; a shard_map around a
+    pallas_call is exactly the composition that can fail only at
+    Mosaic-compile time.  1-device mesh, DSA-110 subband geometry,
+    golden-checked (SURVEY §7 M5 / BASELINE configs[4])."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA110
+    from dsabeamformer_tpu.ingest.generator import make_point_source_block
+    from dsabeamformer_tpu.models.weights import weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import device_wire_view
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.parallel.sharding import (
+        make_mesh,
+        shard_weights,
+        sharded_beamformer,
+        sharded_wire_sharding,
+    )
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
+
+    cfg = DSA110.replace(n_chan=16, t_block=1024)
+    mesh = make_mesh(1)
+    target = 300
+    wire = make_point_source_block(cfg, cfg.beam_angles_rad()[target],
+                                   noise_rms=0.4, seed=7)
+    step = sharded_beamformer(cfg, mesh, with_band_power=True)
+    qw_sh = shard_weights(cfg, mesh)
+    wire_sh = jax.device_put(device_wire_view(wire, cfg),
+                             sharded_wire_sharding(cfg, mesh))
+    powers, band = step(wire_sh, qw_sh)
+    powers, band = np.asarray(powers), np.asarray(band)
+    assert int(np.argmax(powers.sum(axis=(0, 1)))) == target
+    ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
+        cfg.navg_freq,
+    )
+    assert relative_power_error(powers, ref) <= POWER_RTOL
+    # The psum collective must also compile + agree on hardware.
+    np.testing.assert_allclose(band, powers.sum(axis=(0, 2)), rtol=1e-5)
+
+
+def test_tp_beamformer_mosaic_on_tpu(tpu_backend):
+    """Tensor-parallel (antenna-sharded) shard_map path under Mosaic
+    (VERDICT r2 #1): beamform_voltages + psum-of-partials + replicated
+    detection must compile and be golden-accurate on the real chip.
+    1x1 mesh, DSA-110 subband geometry."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA110
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import weights_numpy_golden
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.parallel.tensor import (
+        make_tp_mesh,
+        shard_weights_tp,
+        tp_beamformer,
+        tp_wire_sharding,
+    )
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
+
+    cfg = DSA110.replace(n_chan=16, t_block=1024)
+    mesh = make_tp_mesh(1, 1)
+    wire = make_noise_block(cfg, rms=2.0, seed=11)
+    qw = shard_weights_tp(cfg, mesh)
+    step = tp_beamformer(cfg, mesh)
+    wire_sh = jax.device_put(np.asarray(wire), tp_wire_sharding(cfg, mesh))
+    p = np.asarray(step(wire_sh, qw))
+    ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
+        cfg.navg_freq,
+    )
+    assert relative_power_error(p, ref) <= POWER_RTOL
+
+
 def test_dsa110_geometry_on_tpu(tpu_backend):
     """DSA-110 geometry on hardware (128 ant -> K=256 two-pass-per-term,
     512 beams): point-source physics + the 1e-3 bar."""
