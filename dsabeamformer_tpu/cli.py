@@ -683,9 +683,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="single-chip benchmark (JSON line)")
     _add_common(p)
     p.add_argument("--blocks", type=int, default=16)
-    p.add_argument("--bench-mode", default="stream",
+    p.add_argument("--bench-mode", default="kernel",
                    choices=["stream", "kernel"],
-                   help="stream = end-to-end host->HBM ingest; kernel = device-resident")
+                   help="kernel (default) = device-resident dispatch loop, "
+                        "the chip's honest per-block capability; stream = "
+                        "end-to-end host->HBM ingest, which measures the "
+                        "host link too (on a thin relay link it reports "
+                        "the network, not the chip)")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("trace", help="capture + summarize a device trace")

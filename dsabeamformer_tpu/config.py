@@ -267,9 +267,16 @@ DSA110 = ObsConfig(
     n_beams=512,
     n_chan=2048,
     n_chan_total=2048,
+    # Round-3 sweep (BENCH.md "DSA-110"): t_block=4096 amortizes the
+    # per-dispatch relay cost (0.578x -> 0.617x single chip vs 2048;
+    # 8192 reaches 0.637x but holds 4.3 GB wire + 2.1 GB output per
+    # in-flight block — too tight for depth-2 HBM at full band, fine
+    # per-subband on the 8-chip mesh).
+    t_block=4096,
     # 4x DSA-10's per-channel working set (K=256, 2B=1024): smaller
     # tiles keep the kernel inside VMEM (tile=1024/fc=4 measured best;
-    # fc=8 and tile=2048 variants are VMEM-bound).
+    # fc=8 is neutral, tile=2048 variants blow the scoped-VMEM
+    # accumulator [P*tt, 2B] f32 = 16 MB).
     time_tile=1024,
     chan_tile=4,
 )

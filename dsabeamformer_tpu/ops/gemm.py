@@ -180,12 +180,23 @@ def _chan_loop(fc: int, chan_body):
 
 
 def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
-                   navg_time, x16, x_dup, time_major, epilogue):
+                   navg_time, x16, x_dup, time_major, epilogue,
+                   n_active=0):
     """Shared fused detection kernel: unpack prologue + GEMM + a
     pluggable quadratic epilogue (power or full Stokes), deferred-s^2
     dequantized on the time-averaged output.
+
+    ``n_active > 0`` adds the incoherent-sum product as a SECOND output
+    ref: sum of ``re^2 + im^2`` over the first ``n_active`` antennas
+    and both pols, time-averaged — reusing the unpacked planes already
+    in VMEM so the 4-bit wire bytes are read from HBM exactly once
+    (VERDICT r2 #5; the standalone ``ops.incoherent.incoherent_power``
+    is a second full HBM pass over the wire block).
     """
-    w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
+    if n_active:
+        w_refs, (s_ref, o_ref, i_ref) = refs[:n_terms], refs[n_terms:]
+    else:
+        w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
     pa = n_pol * n_ant
     if time_major:
         # x_ref is [time_tile, chan_tile * P*A]: the wire block stayed in
@@ -215,6 +226,34 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         # quantized units, so s^2 dequantizes them all.
         s = s_ref[c, 0, n_terms - 1]
         o_ref[c] = out * (s * s)
+        if n_active:
+            # The plain [re | im] planes are the LAST 2*a_compute lanes
+            # of every x_all layout (x16 modes prepend the 16x planes;
+            # int13's duplicate block ends with them too).
+            plain = x_all[:, x_all.shape[1] - 2 * a_compute:]
+            # Square in f32 (exact: |x| <= 8 -> x^2 <= 64; bf16/f32
+            # represent integers <= 256 exactly) — Mosaic has no 8-bit
+            # vector multiply (the 8-bit-shift dead-end family,
+            # docs/DESIGN.md §4).  The antenna reduction rides the MXU
+            # as a matvec against a masked ones vector instead of a
+            # cross-lane VPU reduce (measured: the VPU lane-reduce form
+            # cost +14 ms/block at the DSA-10 preset; the matvec is
+            # ~0.1% of the main GEMM's MACs).  The activity mask is
+            # folded into the ones vector — no per-element select.
+            xf = plain.astype(jnp.float32)
+            sq = xf * xf                              # [P*tt, 2a] f32
+            ant = jax.lax.broadcasted_iota(
+                jnp.int32, (2 * a_compute, 1), 0
+            ) % a_compute
+            ones = (ant < n_active).astype(jnp.float32)
+            v = jnp.dot(sq, ones,
+                        preferred_element_type=jnp.float32)  # [P*tt, 1]
+            tot = v[:tt]
+            for q in range(1, n_pol):
+                tot = tot + v[q * tt : (q + 1) * tt]  # pol sum [tt, 1]
+            i_ref[c] = tot.reshape(tt // navg_time, navg_time).sum(
+                axis=1, keepdims=True                 # [tt/navg, 1]
+            )
 
     if time_major and pa % 128 and 128 % pa == 0 and fc % (128 // pa) == 0:
         g = 128 // pa  # channels per aligned lane group
@@ -405,28 +444,40 @@ def _cost(cfg: ObsConfig, n_terms: int, weight_bytes: int, out_bytes: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent"))
 def beamform_power(
     wire: jax.Array,
     qw: QuantWeights,
     cfg: ObsConfig,
     interpret: bool | None = None,
+    incoherent: bool = False,
 ) -> jax.Array:
     """Fused pipeline: 4R4I wire block -> averaged beam powers.
 
     Returns float32 ``[F/navg_freq, T/navg_time, B]`` (sum over
     navg_time samples, both pols, and navg_freq adjacent channels —
     matching ``ops.reference.beamform_block_ref``).
+
+    ``incoherent=True`` additionally returns the incoherent-sum total
+    power ``[F/navg_freq, T/navg_time]`` (semantics of
+    ``ops.incoherent.incoherent_power``) as a second output of the SAME
+    kernel — the wire bytes are read from HBM once for both products.
     """
     out = _fused_detect(wire, qw, cfg, interpret, _power_epilogue,
-                        out_width=cfg.n_beams)
+                        out_width=cfg.n_beams, incoherent=incoherent)
+    if incoherent:
+        out, inco = out
+        inco = inco[:, :, 0]  # drop the kernel's singleton lane axis
     if cfg.navg_freq > 1:
         f, t, b = out.shape
         out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
-    return out
+        if incoherent:
+            inco = inco.reshape(f // cfg.navg_freq, cfg.navg_freq, t).sum(axis=1)
+    return (out, inco) if incoherent else out
 
 
-def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width):
+def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
+                  incoherent=False):
     """Shared fused-kernel invocation for the detection products
     (power: out_width=B; Stokes: out_width=4*B)."""
     interpret = _default_interpret() if interpret is None else interpret
@@ -454,6 +505,42 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width):
         lambda f, t: (f, t, 0),
         memory_space=pltpu.VMEM,
     )
+    if incoherent:
+        if cfg.n_ant_active > cfg.a_compute:
+            raise ValueError(
+                f"fused incoherent product needs n_ant_active="
+                f"{cfg.n_ant_active} <= a_compute={cfg.a_compute}"
+            )
+        # The incoherent side-product adds ~2*P*tt*2a int32 bytes of
+        # in-kernel intermediates; the deployed DSA-10 tiles already
+        # sit ~0.8 MB under Mosaic's 16 MB scoped-VMEM stack (measured:
+        # +2 MB OOMs by 1.16 MB).  Halve time_tile once on big configs
+        # — the grid doubles but per-block cost moves only ~1-2%
+        # (BENCH.md "Incoherent product").
+        big = cfg.n_pol * cfg.time_tile * 2 * cfg.n_beams * 4 >= 2 ** 23
+        tt = cfg.time_tile
+        if (big and tt % 2 == 0 and (tt // 2) % cfg.navg_time == 0
+                and cfg.t_block % (tt // 2) == 0):
+            cfg = cfg.replace(time_tile=tt // 2)
+            grid = (cfg.n_chan // cfg.chan_tile,
+                    cfg.t_block // cfg.time_tile)
+            out_spec = pl.BlockSpec(
+                (cfg.chan_tile, cfg.time_tile // cfg.navg_time, out_width),
+                lambda f, t: (f, t, 0),
+                memory_space=pltpu.VMEM,
+            )
+        # Trailing singleton axis: a 2-D [F, T/navg] output block would
+        # have a non-128 lane dim (Mosaic block rule); with the 1-wide
+        # last dim the block equals the array dim there.  The caller
+        # squeezes it.
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (cfg.n_chan, cfg.t_block // cfg.navg_time, 1), jnp.float32
+        ))
+        out_spec = (out_spec, pl.BlockSpec(
+            (cfg.chan_tile, cfg.time_tile // cfg.navg_time, 1),
+            lambda f, t: (f, t, 0),
+            memory_space=pltpu.VMEM,
+        ))
     kernel = functools.partial(
         _detect_kernel,
         n_ant=cfg.n_ant,
@@ -466,7 +553,10 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width):
         x_dup=cfg.weight_mode == "int13",
         time_major=time_major,
         epilogue=epilogue,
+        n_active=cfg.n_ant_active if incoherent else 0,
     )
+    out_bytes = (out_shape[0].size + out_shape[1].size if incoherent
+                 else out_shape.size) * 4
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -479,7 +569,7 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width):
         cost_estimate=_cost(
             cfg, n_terms,
             weight_bytes=sum(w.size * w.dtype.itemsize for w in qw.terms),
-            out_bytes=out_shape.size * 4,
+            out_bytes=out_bytes,
         ),
         interpret=interpret,
     )(x, *qw.terms, qw.scales[:, None, :])

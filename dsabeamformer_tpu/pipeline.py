@@ -308,6 +308,21 @@ class StreamingBeamformer:
                 f"or lower --depth"
             )
 
+    def _step(self, wire_dev):
+        """One block's device dispatch -> (detect_out, inco_or_None).
+
+        With an incoherent sink on the power path, both products come
+        from ONE fused kernel call (the wire bytes are read from HBM
+        once); the Stokes path keeps the standalone incoherent pass
+        (its fused kernel has no incoherent output)."""
+        if self.incoherent_sink is not None and self.products == "power":
+            return beamform_power(wire_dev, self.weights, self.cfg,
+                                  incoherent=True)
+        out = self._detect(wire_dev, self.weights, self.cfg)
+        inco = (incoherent_power(wire_dev, self.cfg)
+                if self.incoherent_sink is not None else None)
+        return out, inco
+
     def current_stats(self) -> StreamStats:
         """Stats for the in-progress (or completed) run, wall-clocked
         from the loop start — safe to call from an interrupt handler."""
@@ -323,10 +338,10 @@ class StreamingBeamformer:
         the ring)."""
         zero = np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
         zero_dev = jax.device_put(zero)
-        out = self._detect(zero_dev, self.weights, self.cfg)
+        out, inco = self._step(zero_dev)
         np.asarray(out)  # full round trip
-        if self.incoherent_sink is not None:
-            np.asarray(incoherent_power(zero_dev, self.cfg))
+        if inco is not None:
+            np.asarray(inco)
 
     def update_weights(self, weights: QuantWeights) -> None:
         """Swap in new (already-quantized) weights for subsequent blocks
@@ -380,9 +395,7 @@ class StreamingBeamformer:
             wire_dev = jax.device_put(                  # H2D (async)
                 wire_np.reshape(cfg.device_wire_shape)
             )
-            out = self._detect(wire_dev, self.weights, cfg)  # async dispatch
-            inco = (incoherent_power(wire_dev, cfg)
-                    if self.incoherent_sink is not None else None)
+            out, inco = self._step(wire_dev)            # async dispatch
             self._inflight.append((seq, out, inco, time.perf_counter()))
             stats.n_blocks += 1
             stats.bytes_in += cfg.wire_block_bytes

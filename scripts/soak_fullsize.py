@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Full-scale soak (VERDICT r2 #8): the real `dsa10` geometry —
+t_block=8192, 2.1 GB wire blocks — through the real dsaring +
+StreamingBeamformer stack, validating the host-RAM sizing claims in
+`dsabf info` (host_staging_bytes_depth2) and flat RSS at production
+block size.  The TINY-config soak (tests/test_soak.py) proves the
+steady-state logic at 10^4 blocks; this proves the same properties
+hold when every buffer is 2.1 GB.
+
+Run on the TPU (the CI host link is ~0.4 GB/s H2D, so the soak is
+ingest-bound at ~5-6 s/block — the RSS/drop behavior is what matters,
+not the rate):
+
+  PYTHONPATH=/root/.axon_site:/root/repo nohup /opt/venv/bin/python \
+      scripts/soak_fullsize.py > /tmp/soak_full.jsonl 2>/tmp/soak_full.log &
+(the TPU relay registers via sitecustomize on PYTHONPATH — replacing
+PYTHONPATH silently drops to the CPU backend)
+
+Prints one JSON summary line: blocks, drops, rss_mb at start/early/end.
+"""
+
+import json
+import sys
+import threading
+import time
+import uuid
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def main() -> int:
+    import os
+
+    import numpy as np
+
+    import jax
+
+    cache_dir = os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    if jax.default_backend() == "cpu":
+        print("FATAL: landed on the CPU backend — check PYTHONPATH "
+              "includes /root/.axon_site", file=sys.stderr)
+        return 1
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.pipeline import RingSource, StreamingBeamformer
+
+    cfg = DSA10
+    n_blocks = int(os.environ.get("DSABF_SOAK_BLOCKS", "60"))
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    blocks = [make_random_bytes_block(cfg, seed=s) for s in range(2)]
+    rss0 = _rss_mb()
+    print(f"[soak] wire_block={cfg.wire_block_bytes / 2**30:.2f} GiB, "
+          f"rss after sources={rss0:.0f} MB", file=sys.stderr)
+
+    name = f"soakfull-{uuid.uuid4().hex[:8]}"
+    rss = {"start": rss0}
+    with RingBuffer(name, create=True, nbufs=4,
+                    bufsz=cfg.wire_block_bytes) as ring:
+        ring.write_header(dada.encode_header(cfg))
+        source = RingSource(cfg, RingBuffer(name), timeout_s=120.0)
+
+        class NullSink:
+            n = 0
+
+            def write(self, seq, powers):
+                assert np.isfinite(powers[0, 0, 0])
+                NullSink.n += 1
+
+            def close(self):
+                pass
+
+        def on_block(bs):
+            if bs.block_idx == 5:
+                rss["early"] = _rss_mb()
+            if bs.block_idx % 10 == 0:
+                print(f"[soak] block {bs.block_idx} wall={bs.wall_s:.2f}s "
+                      f"rss={_rss_mb():.0f} MB dropped={bs.dropped}",
+                      file=sys.stderr)
+
+        bf = StreamingBeamformer(cfg, qw, source, NullSink(), depth=2,
+                                 on_block=on_block)
+        t0 = time.perf_counter()
+        bf.warmup()
+        print(f"[soak] warmup {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+        # Pace the producer at ~1.3x the measured consumer block time so
+        # the sustained rate is sub-realtime for THIS environment (the
+        # CI link is far below a real capture NIC; drops would only
+        # measure the relay, not the driver).
+        t0 = time.perf_counter()
+        ring.write_block(blocks[0])
+        src_item = None  # first block measured through the full path
+
+        def produce(pace_s):
+            for i in range(1, n_blocks):
+                ring.write_block(blocks[i % 2])
+                time.sleep(pace_s)
+            ring.set_eod()
+
+        # Measure one block end-to-end to calibrate pace.
+        item = source.read_block()
+        assert item is not None
+        seq, wire = item
+        dev = jax.device_put(wire.reshape(cfg.device_wire_shape))
+        out, _ = bf._step(dev)
+        np.asarray(out)
+        pace = max(1.3 * (time.perf_counter() - t0), 0.5)
+        print(f"[soak] calibrated pace {pace:.2f}s/block", file=sys.stderr)
+        NullSink.n += 1
+
+        t = threading.Thread(target=produce, args=(pace,), daemon=True)
+        t.start()
+        stats = bf.run(max_blocks=n_blocks - 1)
+        t.join(timeout=300)
+
+    rss["end"] = _rss_mb()
+    summary = {
+        "config": cfg.name,
+        "wire_gib": round(cfg.wire_block_bytes / 2**30, 2),
+        "blocks": stats.n_blocks + 1,
+        "dropped": stats.dropped,
+        "skipped": stats.skipped,
+        "sink_writes": NullSink.n,
+        "ms_per_block": round(stats.wall_s / max(stats.n_blocks, 1) * 1e3, 1),
+        "rss_mb": {k: round(v, 1) for k, v in rss.items()},
+        "rss_growth_early_to_end_mb": round(rss["end"] - rss.get("early", rss0), 1),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

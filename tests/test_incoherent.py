@@ -28,6 +28,48 @@ def test_incoherent_matches_golden(tiny_cfg, layout):
     np.testing.assert_array_equal(p_dev, p)
 
 
+@pytest.mark.parametrize("mode", ["int8x2", "int12", "int13", "f32"])
+def test_fused_incoherent_matches_golden(tiny_cfg, mode):
+    """beamform_power(incoherent=True): the in-kernel incoherent output
+    (one HBM pass over the wire for both products) must match the
+    float64 oracle exactly, in every weight mode's x_all layout."""
+    import jax
+
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+    cfg = tiny_cfg.replace(weight_mode=mode)
+    wire = make_noise_block(cfg, rms=2.0, seed=7)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    dev = jax.device_put(device_wire_view(wire, cfg))
+    p0 = np.asarray(beamform_power(dev, qw, cfg))
+    p, inco = beamform_power(dev, qw, cfg, incoherent=True)
+    np.testing.assert_allclose(np.asarray(p), p0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(inco),
+                               incoherent_power_golden(wire, cfg),
+                               rtol=1e-12)
+
+
+def test_fused_incoherent_freq_averaging(tiny_cfg):
+    import jax
+
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+    cfg = tiny_cfg.replace(navg_freq=2)
+    wire = make_noise_block(cfg, rms=2.0, seed=9)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    _, inco = beamform_power(jax.device_put(device_wire_view(wire, cfg)),
+                             qw, cfg, incoherent=True)
+    assert np.asarray(inco).shape == (cfg.n_chan // 2,
+                                      cfg.t_block // cfg.navg_time)
+    np.testing.assert_allclose(np.asarray(inco),
+                               incoherent_power_golden(wire, cfg),
+                               rtol=1e-12)
+
+
 def test_incoherent_scales_with_signal(tiny_cfg):
     quiet = make_noise_block(tiny_cfg, rms=0.5, seed=1)
     loud = make_noise_block(tiny_cfg, rms=3.0, seed=1)

@@ -220,6 +220,35 @@ def test_f32_validation_mode_full_precision_on_tpu(tpu_backend):
     assert relative_power_error(p, ref) <= 1e-4  # bf16 regression = 4e-2
 
 
+def test_fused_incoherent_on_tpu(tpu_backend):
+    """beamform_power(incoherent=True): the two-output fused kernel must
+    compile under Mosaic and both products must match their goldens
+    (coherent: 1e-3 bar; incoherent: integer-exact vs float64 oracle)."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import POWER_RTOL, relative_power_error
+
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024)
+    wire = make_noise_block(cfg, rms=2.0, seed=5)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    p, inco = beamform_power(jax.device_put(device_wire_view(wire, cfg)),
+                             qw, cfg, incoherent=True)
+    p, inco = np.asarray(p), np.asarray(inco)
+    ref = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
+    )
+    assert relative_power_error(p, ref) <= POWER_RTOL
+    np.testing.assert_allclose(inco, incoherent_power_golden(wire, cfg),
+                               rtol=1e-12)
+
+
 def test_sharded_beamformer_mosaic_on_tpu(tpu_backend):
     """shard_map-wrapped pallas_call under Mosaic (VERDICT r2 #1): the
     channel-mesh path has CPU-mesh coverage only; a shard_map around a
