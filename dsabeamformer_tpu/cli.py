@@ -439,8 +439,11 @@ def cmd_info(args) -> int:
         "weight_mode": cfg.weight_mode,
         # Deployment sizing at the default --depth 2 (see cmd_run): the
         # driver keeps depth+1 wire blocks on HBM and stages depth+2 in
-        # host RAM; `dsabf simulate` additionally holds an nbufs-deep
-        # ring in /dev/shm.
+        # host RAM (small-block configs, wire < 512 MiB, keep an
+        # 8-buffer staging floor instead — negligible RAM there);
+        # `dsabf simulate` additionally holds an nbufs-deep ring in
+        # /dev/shm.  Validated at full scale by scripts/soak_fullsize.py
+        # (BENCH.md memory-stability table).
         "weight_bytes": cfg.n_chan * cfg.gemm_k * 2 * cfg.n_beams
                         * cfg.n_weight_terms
                         * {"f32": 4, "bf16": 2, "bf16x2": 2}.get(

@@ -575,12 +575,13 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
     )(x, *qw.terms, qw.scales[:, None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent"))
 def beamform_stokes(
     wire: jax.Array,
     qw: QuantWeights,
     cfg: ObsConfig,
     interpret: bool | None = None,
+    incoherent: bool = False,
 ) -> jax.Array:
     """Fused full-Stokes pipeline: wire block -> averaged Stokes spectra.
 
@@ -605,7 +606,12 @@ def beamform_stokes(
     BENCH.md.
     """
     out = _fused_detect(wire, qw, cfg, interpret, _stokes_epilogue,
-                        out_width=4 * cfg.n_beams)
+                        out_width=4 * cfg.n_beams, incoherent=incoherent)
+    if incoherent:
+        # Same fused side-product as beamform_power(incoherent=True):
+        # one HBM pass over the wire bytes for all five planes.
+        out, inco = out
+        inco = inco[:, :, 0]
     out = out.reshape(
         cfg.n_chan, cfg.t_block // cfg.navg_time, 4, cfg.n_beams
     )
@@ -613,6 +619,11 @@ def beamform_stokes(
         f = out.shape[0]
         out = out.reshape(f // cfg.navg_freq, cfg.navg_freq,
                           *out.shape[1:]).sum(axis=1)
+        if incoherent:
+            inco = inco.reshape(f // cfg.navg_freq, cfg.navg_freq,
+                                -1).sum(axis=1)
+    if incoherent:
+        return out, inco
     return out
 
 

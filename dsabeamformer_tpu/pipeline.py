@@ -33,7 +33,6 @@ from dsabeamformer_tpu.config import ObsConfig
 from dsabeamformer_tpu.ingest import dada
 from dsabeamformer_tpu.ingest.ring import RingBuffer
 from dsabeamformer_tpu.ops.gemm import beamform_power, beamform_stokes
-from dsabeamformer_tpu.ops.incoherent import incoherent_power
 from dsabeamformer_tpu.ops.quantize import QuantWeights
 from dsabeamformer_tpu.utils.metrics import BlockStats, StreamStats
 
@@ -311,17 +310,14 @@ class StreamingBeamformer:
     def _step(self, wire_dev):
         """One block's device dispatch -> (detect_out, inco_or_None).
 
-        With an incoherent sink on the power path, both products come
-        from ONE fused kernel call (the wire bytes are read from HBM
-        once); the Stokes path keeps the standalone incoherent pass
-        (its fused kernel has no incoherent output)."""
-        if self.incoherent_sink is not None and self.products == "power":
-            return beamform_power(wire_dev, self.weights, self.cfg,
-                                  incoherent=True)
-        out = self._detect(wire_dev, self.weights, self.cfg)
-        inco = (incoherent_power(wire_dev, self.cfg)
-                if self.incoherent_sink is not None else None)
-        return out, inco
+        With an incoherent sink, both products come from ONE fused
+        kernel call (power or Stokes — the wire bytes are read from HBM
+        once; measured 7.8 ms/block cheaper than the standalone second
+        pass at the DSA-10 preset, BENCH.md "Incoherent product")."""
+        if self.incoherent_sink is not None:
+            return self._detect(wire_dev, self.weights, self.cfg,
+                                incoherent=True)
+        return self._detect(wire_dev, self.weights, self.cfg), None
 
     def current_stats(self) -> StreamStats:
         """Stats for the in-progress (or completed) run, wall-clocked

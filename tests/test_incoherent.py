@@ -70,6 +70,30 @@ def test_fused_incoherent_freq_averaging(tiny_cfg):
                                rtol=1e-12)
 
 
+def test_fused_incoherent_stokes_path(tiny_cfg):
+    """beamform_stokes(incoherent=True): all four Stokes planes AND the
+    incoherent product from one kernel call, both matching goldens."""
+    import jax
+
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_stokes
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=11)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    st, inco = beamform_stokes(jax.device_put(device_wire_view(wire, cfg)),
+                               qw, cfg, incoherent=True)
+    st, inco = np.asarray(st), np.asarray(inco)
+    ref = beamform_stokes_ref(weights_numpy_golden(cfg), wire,
+                              cfg.input_layout, cfg.navg_time, cfg.navg_freq)
+    scale = np.abs(ref[:, :, 0]).max()
+    assert np.abs(st - ref).max() / scale < 3e-4
+    np.testing.assert_allclose(inco, incoherent_power_golden(wire, cfg),
+                               rtol=1e-12)
+
+
 def test_incoherent_scales_with_signal(tiny_cfg):
     quiet = make_noise_block(tiny_cfg, rms=0.5, seed=1)
     loud = make_noise_block(tiny_cfg, rms=3.0, seed=1)

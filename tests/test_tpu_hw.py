@@ -249,6 +249,34 @@ def test_fused_incoherent_on_tpu(tpu_backend):
                                rtol=1e-12)
 
 
+def test_fused_incoherent_stokes_on_tpu(tpu_backend):
+    """beamform_stokes(incoherent=True): the five-plane fused kernel
+    (I/Q/U/V + incoherent) must compile under Mosaic; all planes match
+    their goldens (Stokes: 1e-3 bar; incoherent: integer-exact)."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights, weights_numpy_golden
+    from dsabeamformer_tpu.ops.gemm import beamform_stokes, device_wire_view
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_stokes_ref
+
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024)
+    wire = make_noise_block(cfg, rms=2.0, seed=12)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    st, inco = beamform_stokes(jax.device_put(device_wire_view(wire, cfg)),
+                               qw, cfg, incoherent=True)
+    st, inco = np.asarray(st), np.asarray(inco)
+    ref = beamform_stokes_ref(weights_numpy_golden(cfg), wire,
+                              cfg.input_layout, cfg.navg_time)
+    scale = np.abs(ref[:, :, 0]).max()
+    assert np.abs(st - ref).max() / scale <= 1e-3
+    np.testing.assert_allclose(inco, incoherent_power_golden(wire, cfg),
+                               rtol=1e-12)
+
+
 def test_sharded_beamformer_mosaic_on_tpu(tpu_backend):
     """shard_map-wrapped pallas_call under Mosaic (VERDICT r2 #1): the
     channel-mesh path has CPU-mesh coverage only; a shard_map around a
