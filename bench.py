@@ -41,18 +41,13 @@ import time
 
 
 def main() -> int:
-    import os
-
     import jax
+
+    from dsabeamformer_tpu.utils.hostenv import enable_jax_cache
 
     # Persistent compilation cache: repeated driver/bench runs skip the
     # multi-minute remote Mosaic compile.
-    cache_dir = os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_jax_cache()
 
     from dsabeamformer_tpu.config import DSA10
     from dsabeamformer_tpu.ingest.generator import make_random_bytes_block

@@ -184,25 +184,27 @@ def _cmd_run_pinned(args) -> int:
         # The Stokes output block is 4x the power path's; the deployed
         # DSA-10 tiles exceed VMEM (ops/gemm.beamform_stokes docstring).
         # Halve tiles to the measured-safe shape when they'd overflow.
-        tt, fc = cfg.time_tile, cfg.chan_tile
-        while fc * (tt // cfg.navg_time) * 4 * cfg.n_beams * 4 > 2 ** 20:
-            if (tt > 1024 and (tt // 2) % cfg.navg_time == 0
-                    and cfg.t_block % (tt // 2) == 0):
-                tt //= 2
-            elif fc > 1 and fc % 2 == 0 and cfg.n_chan % (fc // 2) == 0:
-                fc //= 2
-            else:
-                break
-        if (tt, fc) != (cfg.time_tile, cfg.chan_tile):
-            print(f"[dsabf] stokes: tiles -> time_tile={tt} chan_tile={fc} "
-                  f"(4x output block must fit VMEM)", file=sys.stderr)
-            cfg = cfg.replace(time_tile=tt, chan_tile=fc)
-        if fc * (tt // cfg.navg_time) * 4 * cfg.n_beams * 4 > 2 ** 20:
+        from dsabeamformer_tpu.config import shrink_tiles
+
+        budget = 2 ** 20
+
+        def stokes_tile_bytes(fc, tt):
+            return fc * (tt // cfg.navg_time) * 4 * cfg.n_beams * 4
+
+        new_cfg = shrink_tiles(cfg, stokes_tile_bytes, budget,
+                               min_time_tile=1024)
+        if new_cfg is not cfg:
+            cfg = new_cfg
+            print(f"[dsabf] stokes: tiles -> time_tile={cfg.time_tile} "
+                  f"chan_tile={cfg.chan_tile} (4x output block must fit "
+                  f"VMEM)", file=sys.stderr)
+        if stokes_tile_bytes(cfg.chan_tile, cfg.time_tile) > budget:
             # Halving blocked (navg_time/divisibility) but tiles still
             # exceed the VMEM budget: name the constraint now instead
             # of letting Mosaic fail later with an opaque VMEM error.
             print(f"[dsabf] WARNING: stokes output tile "
-                  f"({fc}x{tt // cfg.navg_time}x4x{cfg.n_beams} f32) still "
+                  f"({cfg.chan_tile}x{cfg.time_tile // cfg.navg_time}"
+                  f"x4x{cfg.n_beams} f32) still "
                   f"exceeds the ~1 MB VMEM budget and cannot be halved "
                   f"further (time_tile must stay a multiple of "
                   f"navg_time={cfg.navg_time} and divide t_block; "
@@ -449,7 +451,12 @@ def cmd_info(args) -> int:
                         * {"f32": 4, "bf16": 2, "bf16x2": 2}.get(
                             cfg.weight_mode, 1),
         "hbm_wire_bytes_depth2": 3 * cfg.wire_block_bytes,
-        "host_staging_bytes_depth2": 4 * cfg.wire_block_bytes,
+        "host_staging_bytes_depth2": (
+            # Same sizing rule as cmd_run at --depth 2: big-block
+            # configs get exactly depth+2 buffers, small-block configs
+            # keep the 8-buffer stall-absorbing floor.
+            4 if cfg.wire_block_bytes >= 512 * 2**20 else 8
+        ) * cfg.wire_block_bytes,
     }))
     return 0
 
@@ -495,6 +502,7 @@ def cmd_calibrate(args) -> int:
     print(json.dumps({
         "out": args.out,
         "blocks": n_seen,
+        "n_ant": cfg.n_ant,  # padded slot count, as everywhere in the CLI
         "n_ant_active": act,
         "n_chan": cfg.n_chan,
         "median_amp": float(np.median(np.abs(cal.gains[:act]))),

@@ -301,3 +301,46 @@ TINY = ObsConfig(
 def presets() -> dict:
     return {"dsa10": DSA10, "dsa10c": DSA10_COMPACT, "dsa110": DSA110,
             "tiny": TINY}
+
+
+def shrink_tiles(cfg: ObsConfig, tile_bytes, budget: int, *,
+                 min_time_tile: int | None = None,
+                 allow_chan: bool = True) -> ObsConfig:
+    """Halve ``time_tile`` (then ``chan_tile``) until a kernel variant's
+    VMEM working set fits its budget.
+
+    Every detection-kernel variant whose output/intermediate block is
+    bigger than the fused power path's (Stokes 4x, voltages
+    4*navg_time x, the incoherent side-product) can blow Mosaic's
+    scoped-VMEM stack at the presets' fused-tuned tiles; through round
+    3 each call site hand-rolled this halving loop with drifting
+    conditions (review finding).  One loop, one rule:
+
+    - ``tile_bytes(chan_tile, time_tile)`` returns the variant's
+      budget-relevant bytes for candidate tiles;
+    - ``time_tile`` halves first (it must stay a multiple of
+      ``navg_time``, divide ``t_block``, and stay above
+      ``min_time_tile``, default ``navg_time``);
+    - then ``chan_tile`` (must divide ``n_chan``) unless
+      ``allow_chan=False`` — variants whose working set is
+      chan_tile-independent must not shrink the grid for nothing.
+
+    Returns the adjusted config (`cfg` itself if nothing fit or nothing
+    needed shrinking); the caller decides how to handle a still-over-
+    budget result — e.g. warn with the blocking constraint (cli) or
+    proceed and let Mosaic report (validation paths).
+    """
+    fc, tt = cfg.chan_tile, cfg.time_tile
+    floor_tt = cfg.navg_time if min_time_tile is None else min_time_tile
+    while tile_bytes(fc, tt) > budget:
+        if (tt > floor_tt and (tt // 2) % cfg.navg_time == 0
+                and cfg.t_block % (tt // 2) == 0):
+            tt //= 2
+        elif (allow_chan and fc > 1 and fc % 2 == 0
+                and cfg.n_chan % (fc // 2) == 0):
+            fc //= 2
+        else:
+            break
+    if (fc, tt) != (cfg.chan_tile, cfg.time_tile):
+        cfg = cfg.replace(chan_tile=fc, time_tile=tt)
+    return cfg

@@ -61,7 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.config import ObsConfig, shrink_tiles
 from dsabeamformer_tpu.ops.quantize import QuantWeights
 
 
@@ -514,14 +514,16 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         # The incoherent side-product adds ~2*P*tt*2a int32 bytes of
         # in-kernel intermediates; the deployed DSA-10 tiles already
         # sit ~0.8 MB under Mosaic's 16 MB scoped-VMEM stack (measured:
-        # +2 MB OOMs by 1.16 MB).  Halve time_tile once on big configs
-        # — the grid doubles but per-block cost moves only ~1-2%
-        # (BENCH.md "Incoherent product").
-        big = cfg.n_pol * cfg.time_tile * 2 * cfg.n_beams * 4 >= 2 ** 23
-        tt = cfg.time_tile
-        if (big and tt % 2 == 0 and (tt // 2) % cfg.navg_time == 0
-                and cfg.t_block % (tt // 2) == 0):
-            cfg = cfg.replace(time_tile=tt // 2)
+        # +2 MB OOMs by 1.16 MB).  Halve time_tile below the measured-
+        # safe threshold — the grid doubles but per-block cost moves
+        # only ~1-2% (BENCH.md "Incoherent product").  chan_tile stays:
+        # the intermediates don't scale with it, so shrinking it would
+        # cut the grid for nothing.
+        cfg2 = shrink_tiles(
+            cfg, lambda fc, tt: cfg.n_pol * tt * 2 * cfg.n_beams * 4,
+            2 ** 23 - 1, allow_chan=False)
+        if cfg2 is not cfg:
+            cfg = cfg2
             grid = (cfg.n_chan // cfg.chan_tile,
                     cfg.t_block // cfg.time_tile)
             out_spec = pl.BlockSpec(
@@ -657,18 +659,8 @@ def beamform_voltages(
     # DSA-110 fc=4/tt=1024).  Shrink tiles until the double-buffered
     # output block fits; this path is HBM-streaming either way, so tile
     # size is not its perf lever.
-    fc, tt = cfg.chan_tile, cfg.time_tile
     p2b = cfg.n_pol * 2 * cfg.n_beams
-    while fc * tt * p2b * 4 > 2 ** 21:
-        if (tt > cfg.navg_time and (tt // 2) % cfg.navg_time == 0
-                and cfg.t_block % (tt // 2) == 0):
-            tt //= 2
-        elif fc > 1 and fc % 2 == 0 and cfg.n_chan % (fc // 2) == 0:
-            fc //= 2
-        else:
-            break
-    if (fc, tt) != (cfg.chan_tile, cfg.time_tile):
-        cfg = cfg.replace(chan_tile=fc, time_tile=tt)
+    cfg = shrink_tiles(cfg, lambda fc, tt: fc * tt * p2b * 4, 2 ** 21)
     n_terms = len(qw.terms)
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(

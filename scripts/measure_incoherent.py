@@ -15,21 +15,14 @@ import time
 
 
 def main() -> int:
-    import os
-
     import numpy as np
 
     import jax
 
-    cache_dir = os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    if jax.default_backend() == "cpu":
-        print("FATAL: CPU backend — check PYTHONPATH includes "
-              "/root/.axon_site", file=sys.stderr)
+    from dsabeamformer_tpu.utils.hostenv import enable_jax_cache, require_tpu_backend
+
+    enable_jax_cache()
+    if not require_tpu_backend():
         return 1
 
     from dsabeamformer_tpu.config import DSA10

@@ -40,12 +40,11 @@ import time
 import uuid
 
 
-def _rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
+from dsabeamformer_tpu.utils.hostenv import (  # noqa: E402
+    enable_jax_cache,
+    process_rss_mb as _rss_mb,
+    require_tpu_backend,
+)
 
 
 def main() -> int:
@@ -59,16 +58,8 @@ def main() -> int:
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    cache_dir = os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    if backend == "tpu" and jax.default_backend() == "cpu":
-        print("FATAL: landed on the CPU backend — check PYTHONPATH "
-              "includes /root/.axon_site", file=sys.stderr)
+    enable_jax_cache()
+    if backend == "tpu" and not require_tpu_backend():
         return 1
 
     from dsabeamformer_tpu.config import DSA10
@@ -92,7 +83,11 @@ def main() -> int:
     with RingBuffer(name, create=True, nbufs=4,
                     bufsz=cfg.wire_block_bytes) as ring:
         ring.write_header(dada.encode_header(cfg))
-        source = RingSource(cfg, RingBuffer(name), timeout_s=120.0)
+        # depth+2 = 4 staging buffers — the exact pool cmd_run sizes
+        # for >=512 MiB blocks (the configuration whose RSS this soak
+        # validates; the default 8-buffer pool would double it).
+        source = RingSource(cfg, RingBuffer(name), timeout_s=120.0,
+                            n_host_buffers=4)
 
         # No sink: the driver drains with its jitted scalar-digest fetch
         # (pipeline._drain_one).  A full-output sink would pull 537 MB
@@ -134,34 +129,40 @@ def main() -> int:
         ring.write_block(blocks[0])
 
         def produce(pace_s):
-            for i in range(1, n_blocks):
+            for i in range(2, n_blocks):
                 ring.write_block(blocks[i % 2])
                 time.sleep(pace_s)
             ring.set_eod()
 
-        # Measure one block end-to-end (ring read + H2D + kernel +
-        # digest fence) to calibrate pace.
-        item = source.read_block()
-        assert item is not None
-        seq, wire = item
-        dev = jax.device_put(wire.reshape(cfg.device_wire_shape))
-        out, _ = bf._step(dev)
+        # Measure two blocks end-to-end (ring read + H2D + kernel +
+        # digest fence); calibrate pace on the SECOND — the first pays
+        # one-time page faults on the 2 GiB ring/staging buffers and
+        # over-paces the run by ~10x.
         from dsabeamformer_tpu.pipeline import _digest
 
-        float(_digest(out))
+        for cal_i in range(2):
+            if cal_i:
+                t0 = time.perf_counter()
+                ring.write_block(blocks[1])
+            item = source.read_block()
+            assert item is not None
+            seq, wire = item
+            dev = jax.device_put(wire.reshape(cfg.device_wire_shape))
+            out, _ = bf._step(dev)
+            float(_digest(out))
         pace = max(1.3 * (time.perf_counter() - t0), 0.5)
         print(f"[soak] calibrated pace {pace:.2f}s/block", file=sys.stderr)
 
         t = threading.Thread(target=produce, args=(pace,), daemon=True)
         t.start()
-        stats = bf.run(max_blocks=n_blocks - 1)
+        stats = bf.run(max_blocks=n_blocks - 2)
         t.join(timeout=300)
 
     rss["end"] = _rss_mb()
     summary = {
         "config": cfg.name,
         "wire_gib": round(cfg.wire_block_bytes / 2**30, 2),
-        "blocks": stats.n_blocks + 1,
+        "blocks": stats.n_blocks + 2,  # + the two calibration blocks
         "dropped": stats.dropped,
         "skipped": stats.skipped,
         "ms_per_block": round(stats.wall_s / max(stats.n_blocks, 1) * 1e3, 1),

@@ -23,44 +23,40 @@ import sys
 
 
 def main() -> int:
-    import os
-
-    import jax
-
-    cache_dir = os.environ.get("DSABF_JAX_CACHE", "/tmp/dsabf-jax-cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     from dsabeamformer_tpu.config import DSA110
     from dsabeamformer_tpu.utils.bench import bench_kernel
+    from dsabeamformer_tpu.utils.hostenv import enable_jax_cache, require_tpu_backend
 
-    if jax.default_backend() == "cpu":
-        print("FATAL: landed on the CPU backend — check PYTHONPATH "
-              "includes /root/.axon_site", file=sys.stderr)
+    enable_jax_cache()
+    if not require_tpu_backend():
         return 1
 
+    # Explicit kwargs everywhere (never rely on the preset's current
+    # values — the round-3 sweep moved DSA110 itself to t_block=4096,
+    # which would silently re-point bare-{} variants); labels are
+    # DERIVED from the resolved config so they can't go stale again.
     variants = [
-        # (label, replace-kwargs)
-        ("baseline_t2048_tt1024_fc4", {}),
-        ("t4096_tt1024_fc4", dict(t_block=4096)),
-        ("t4096_tt2048_fc2", dict(t_block=4096, time_tile=2048, chan_tile=2)),
-        ("t4096_tt2048_fc1", dict(t_block=4096, time_tile=2048, chan_tile=1)),
-        ("t2048_tt512_fc8", dict(time_tile=512, chan_tile=8)),
-        ("t2048_tt2048_fc2", dict(time_tile=2048, chan_tile=2)),
-        ("t4096_tt512_fc4", dict(t_block=4096, time_tile=512, chan_tile=4)),
-        ("t8192_tt1024_fc4", dict(t_block=8192)),
-        ("t4096_tt1024_fc4_int12", dict(t_block=4096, weight_mode="int12")),
+        dict(t_block=2048, time_tile=1024, chan_tile=4),  # r2 baseline
+        dict(t_block=4096, time_tile=1024, chan_tile=4),  # now the preset
+        dict(t_block=4096, time_tile=2048, chan_tile=2),
+        dict(t_block=4096, time_tile=2048, chan_tile=1),
+        dict(t_block=2048, time_tile=512, chan_tile=8),
+        dict(t_block=2048, time_tile=2048, chan_tile=2),
+        dict(t_block=4096, time_tile=512, chan_tile=4),
+        dict(t_block=8192, time_tile=1024, chan_tile=4),
+        dict(t_block=4096, time_tile=1024, chan_tile=4, weight_mode="int12"),
     ]
-    for label, kw in variants:
-        cfg = DSA110.replace(**kw) if kw else DSA110
+    for kw in variants:
+        cfg = DSA110.replace(**kw)
+        label = (f"t{cfg.t_block}_tt{cfg.time_tile}_fc{cfg.chan_tile}"
+                 + ("" if cfg.weight_mode == "int8x2"
+                    else f"_{cfg.weight_mode}"))
         try:
             rec = bench_kernel(cfg, n_blocks=8, n_distinct=2, repeats=2)
         except Exception as e:  # VMEM OOM etc: record and continue
             rec = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
         rec["label"] = label
+        rec["t_block"] = cfg.t_block
         print(json.dumps(rec), flush=True)
     return 0
 

@@ -96,3 +96,49 @@ def test_dsa10_compact_preset():
     assert c.a_compute == 16
     # Grouped time-major slicing stays aligned: chan_tile*P*A % 128 == 0.
     assert (c.chan_tile * c.n_pol * c.n_ant) % 128 == 0
+
+
+class TestShrinkTiles:
+    """The shared VMEM tile-shrink rule (config.shrink_tiles) used by
+    the Stokes CLI path, beamform_voltages, and the fused-incoherent
+    variant — one loop, one rule (round-3 consolidation)."""
+
+    def test_noop_when_under_budget(self, tiny_cfg):
+        from dsabeamformer_tpu.config import shrink_tiles
+
+        out = shrink_tiles(tiny_cfg, lambda fc, tt: fc * tt, 10**9)
+        assert out is tiny_cfg  # same object: no pointless replace
+
+    def test_halves_time_tile_first(self, tiny_cfg):
+        from dsabeamformer_tpu.config import shrink_tiles
+
+        # TINY: time_tile=32, navg_time=16 -> one halving allowed (to
+        # 16); the next would break the navg_time multiple, so chan_tile
+        # (2 -> 1) takes over.
+        out = shrink_tiles(tiny_cfg, lambda fc, tt: fc * tt, 16)
+        assert out.time_tile == 16 and out.chan_tile == 1
+
+    def test_respects_min_time_tile(self, tiny_cfg):
+        from dsabeamformer_tpu.config import shrink_tiles
+
+        out = shrink_tiles(tiny_cfg, lambda fc, tt: tt, 16,
+                           min_time_tile=32)
+        # time_tile pinned at its floor; tt-only metric ignores fc, so
+        # halving fc can't help; loop must stop (no infinite loop).
+        assert out.time_tile == 32
+
+    def test_allow_chan_false_never_touches_chan_tile(self, tiny_cfg):
+        from dsabeamformer_tpu.config import shrink_tiles
+
+        out = shrink_tiles(tiny_cfg, lambda fc, tt: fc * 1000, 1,
+                           allow_chan=False)
+        assert out.chan_tile == tiny_cfg.chan_tile
+        # time_tile halved to its navg_time floor trying to fit.
+        assert out.time_tile == 16
+
+    def test_stops_when_nothing_divides(self, tiny_cfg):
+        from dsabeamformer_tpu.config import shrink_tiles
+
+        cfg = tiny_cfg.replace(time_tile=16, chan_tile=1)
+        out = shrink_tiles(cfg, lambda fc, tt: fc * tt, 1)
+        assert out is cfg  # fully blocked: returned unchanged
