@@ -171,6 +171,12 @@ def _cmd_run_pinned(args) -> int:
         FileSink, FileSource, RingSink, RingSource, StreamingBeamformer,
     )
 
+    if args.fil_dir and (args.output_file or args.output_key):
+        # Validate before the (expensive) warmup compile.
+        print("error: --fil-dir is exclusive with --output-file/"
+              "--output-key (one product sink per run)", file=sys.stderr)
+        return 2
+
     cfg = _load_cfg(args)
     dada_offset = 0
     if args.input_file:
@@ -246,7 +252,15 @@ def _cmd_run_pinned(args) -> int:
                             n_host_buffers=n_host)
     out_mult = 4 if args.products == "stokes" else 1
     sink = None
-    if args.output_file:
+    if args.fil_dir:
+        from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
+
+        beams = ([int(b) for b in args.fil_beams.split(",")]
+                 if args.fil_beams else None)
+        sink = FilterbankSink(args.fil_dir, cfg, beams=beams,
+                              products=args.products,
+                              tstart_mjd=args.tstart_mjd)
+    elif args.output_file:
         sink = FileSink(args.output_file, cfg, products=args.products)
     elif args.output_key:
         out_bytes = int(np.prod(cfg.out_block_shape)) * 4 * out_mult
@@ -617,6 +631,16 @@ def main(argv=None) -> int:
     p.add_argument("--input-file", help="read blocks from a raw file instead")
     p.add_argument("--output-key", help="write powers to an output ring")
     p.add_argument("--output-file", help="append powers to a raw float32 file")
+    p.add_argument("--fil-dir",
+                   help="write per-beam SIGPROC filterbank files here "
+                        "(beamNNNN.fil — the FRB search tools' native "
+                        "format; heimdall/PRESTO-ready)")
+    p.add_argument("--fil-beams",
+                   help="comma-separated beam indices for --fil-dir "
+                        "(default: all beams)")
+    p.add_argument("--tstart-mjd", type=float, default=0.0,
+                   help="observation start MJD stamped into --fil-dir "
+                        "headers")
     p.add_argument("--cal", help="calibration .npz (CalTable)")
     p.add_argument("--layout",
                    help="antenna position table (.npz or text: EW [NS] "

@@ -1,0 +1,206 @@
+"""SIGPROC filterbank output — the downstream search stage's native
+on-disk format.
+
+The reference hands averaged beam powers to the FRB search stage
+through a PSRDADA buffer (SURVEY.md §3 step 6, L7); the search tools
+themselves (heimdall, PRESTO, sigproc) natively consume per-beam
+``.fil`` files.  This module closes that last gap: ``dsabf run
+--fil-dir`` writes one filterbank file per (selected) beam, so the
+beamformer's output drops straight into a standard single-pulse /
+dedispersion pipeline with no adapter.  (The DADA-style product file
+and output ring remain the raw-format paths: `pipeline.FileSink` /
+`RingSink`.)
+
+Format (SIGPROC's ``filterbank`` flavor):
+
+- header: ``<i32 len><ascii keyword>`` tokens with little-endian
+  binary values (int32 / float64), bracketed by ``HEADER_START`` /
+  ``HEADER_END``; payload follows immediately.
+- payload: time-major samples, each ``[nifs, nchans]`` float32
+  (``nbits=32``); ``nifs=1`` for power products, ``nifs=4`` for
+  full-Stokes (I,Q,U,V — SIGPROC's IF axis).
+- channels are written in DESCENDING frequency (``fch1`` = highest
+  averaged-channel center, ``foff`` < 0) — the convention the
+  dedispersion tools assume; the writer flips the channel axis.
+
+This is an output/host path (one transpose+copy of the averaged
+product per block, ~1 GB/block at the full dsa10 preset across all 256
+beams) — select beams via ``beams=`` / ``--fil-beams`` when the
+search only wants a subset.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dsabeamformer_tpu.config import ObsConfig
+
+__all__ = ["encode_filterbank_header", "FilterbankSink", "read_filterbank"]
+
+
+def _kw(keyword: str) -> bytes:
+    b = keyword.encode("ascii")
+    return struct.pack("<i", len(b)) + b
+
+
+def _kw_int(keyword: str, v: int) -> bytes:
+    return _kw(keyword) + struct.pack("<i", int(v))
+
+
+def _kw_dbl(keyword: str, v: float) -> bytes:
+    return _kw(keyword) + struct.pack("<d", float(v))
+
+
+def _kw_str(keyword: str, v: str) -> bytes:
+    return _kw(keyword) + _kw(v)
+
+
+def _avg_freqs_mhz(cfg: ObsConfig) -> np.ndarray:
+    """Center frequencies (MHz) of the navg_freq-averaged output
+    channels, ascending — mean of each averaged group's raw centers
+    (matches the kernel epilogue's adjacent-channel sum)."""
+    f = cfg.freqs_hz().reshape(cfg.n_chan // cfg.navg_freq, cfg.navg_freq)
+    return f.mean(axis=1) / 1e6
+
+
+def encode_filterbank_header(
+    cfg: ObsConfig,
+    *,
+    beam: int,
+    nifs: int = 1,
+    tstart_mjd: float = 0.0,
+    source_name: str = "DSABF",
+    telescope_id: int = 0,
+    machine_id: int = 0,
+) -> bytes:
+    """SIGPROC filterbank header for one beam of this config's output.
+
+    ``ibeam``/``nbeams`` record the fan position; ``tsamp`` is the
+    averaged output cadence; ``fch1``/``foff`` describe the DESCENDING
+    channel order the sink writes.
+    """
+    favg = _avg_freqs_mhz(cfg)
+    foff = -(cfg.bandwidth_hz / cfg.n_chan_total * cfg.navg_freq) / 1e6
+    return b"".join([
+        _kw("HEADER_START"),
+        _kw_str("source_name", source_name),
+        _kw_int("telescope_id", telescope_id),
+        _kw_int("machine_id", machine_id),
+        _kw_int("data_type", 1),  # 1 = filterbank
+        _kw_dbl("fch1", favg[-1]),  # highest averaged center first
+        _kw_dbl("foff", foff),
+        _kw_int("nchans", len(favg)),
+        _kw_int("nbits", 32),
+        _kw_int("nifs", nifs),
+        _kw_dbl("tstart", tstart_mjd),
+        _kw_dbl("tsamp", cfg.sample_period_s * cfg.navg_time),
+        _kw_int("ibeam", beam),
+        _kw_int("nbeams", cfg.n_beams),
+        _kw_dbl("src_raj", 0.0),
+        _kw_dbl("src_dej", 0.0),
+        _kw_dbl("az_start", 0.0),
+        _kw_dbl("za_start", 0.0),
+        _kw("HEADER_END"),
+    ])
+
+
+class FilterbankSink:
+    """Per-beam SIGPROC ``.fil`` writer with the pipeline sink API
+    (``write(seq, block)`` / ``close()``).
+
+    ``block`` is the device product fetched by the driver:
+    ``[F', T', B]`` float32 for power, ``[F', T', 4, B]`` for Stokes
+    (``F' = n_chan/navg_freq``, ``T' = t_block/navg_time``).  Each
+    selected beam appends ``T'`` samples of ``[nifs, F']`` with the
+    channel axis flipped to descending frequency.
+    """
+
+    def __init__(
+        self,
+        dir_path: str | Path,
+        cfg: ObsConfig,
+        beams: Optional[Sequence[int]] = None,
+        products: str = "power",
+        tstart_mjd: float = 0.0,
+        source_name: str = "DSABF",
+    ):
+        if products not in ("power", "stokes"):
+            raise ValueError(f"unknown products {products!r}")
+        self.cfg = cfg
+        self.nifs = 4 if products == "stokes" else 1
+        self._stokes = products == "stokes"
+        self.beams = (list(range(cfg.n_beams)) if beams is None
+                      else sorted(set(int(b) for b in beams)))
+        bad = [b for b in self.beams if not 0 <= b < cfg.n_beams]
+        if bad:
+            raise ValueError(
+                f"beam indices {bad} out of range [0, {cfg.n_beams})")
+        d = Path(dir_path)
+        d.mkdir(parents=True, exist_ok=True)
+        self._files = {}
+        for b in self.beams:
+            f = open(d / f"beam{b:04d}.fil", "wb")
+            f.write(encode_filterbank_header(
+                cfg, beam=b, nifs=self.nifs, tstart_mjd=tstart_mjd,
+                source_name=source_name))
+            self._files[b] = f
+
+    def write(self, seq: int, block: np.ndarray) -> None:
+        block = np.asarray(block, dtype=np.float32)
+        if self._stokes:
+            # [F', T', 4, B] -> [B, T', 4, F'], channels descending.
+            arr = np.transpose(block, (3, 1, 2, 0))[..., ::-1]
+        else:
+            # [F', T', B] -> [B, T', F'], channels descending.
+            arr = np.transpose(block, (2, 1, 0))[..., ::-1]
+        for b, f in self._files.items():
+            f.write(np.ascontiguousarray(arr[b]).tobytes())
+
+    def close(self) -> None:
+        for f in self._files.values():
+            f.close()
+
+
+def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
+    """Parse a SIGPROC filterbank file -> (header dict, data).
+
+    Data comes back ``[T, nifs, nchans]`` float32 in the file's own
+    (descending-frequency) channel order.  Validation/analysis path —
+    loads the whole payload.
+    """
+    ints = {"telescope_id", "machine_id", "data_type", "nchans", "nbits",
+            "nifs", "ibeam", "nbeams", "barycentric", "pulsarcentric"}
+    dbls = {"fch1", "foff", "tstart", "tsamp", "src_raj", "src_dej",
+            "az_start", "za_start", "refdm", "period"}
+    strs = {"source_name", "rawdatafile"}
+    hdr: Dict = {}
+    with open(path, "rb") as f:
+        def rd_kw() -> str:
+            (n,) = struct.unpack("<i", f.read(4))
+            if not 0 < n < 64:
+                raise ValueError(f"bad SIGPROC keyword length {n}")
+            return f.read(n).decode("ascii")
+
+        if rd_kw() != "HEADER_START":
+            raise ValueError("not a SIGPROC filterbank file")
+        while True:
+            kw = rd_kw()
+            if kw == "HEADER_END":
+                break
+            if kw in ints:
+                (hdr[kw],) = struct.unpack("<i", f.read(4))
+            elif kw in dbls:
+                (hdr[kw],) = struct.unpack("<d", f.read(8))
+            elif kw in strs:
+                hdr[kw] = rd_kw()
+            else:
+                raise ValueError(f"unknown SIGPROC keyword {kw!r}")
+        if hdr.get("nbits", 32) != 32:
+            raise ValueError("only nbits=32 payloads supported")
+        data = np.frombuffer(f.read(), dtype=np.float32)
+    nifs, nchans = hdr.get("nifs", 1), hdr["nchans"]
+    return hdr, data.reshape(-1, nifs, nchans)

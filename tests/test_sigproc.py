@@ -1,0 +1,133 @@
+"""SIGPROC filterbank output (ingest/sigproc.py): header encoding,
+per-beam payload layout (descending channels), Stokes nifs=4, beam
+selection, multi-block append, and the CLI sink wiring."""
+
+import numpy as np
+import pytest
+
+from dsabeamformer_tpu.ingest.sigproc import (
+    FilterbankSink,
+    encode_filterbank_header,
+    read_filterbank,
+)
+
+
+def _write_blocks(tmp_path, cfg, blocks, **kw):
+    sink = FilterbankSink(tmp_path / "fil", cfg, **kw)
+    for seq, blk in enumerate(blocks):
+        sink.write(seq, blk)
+    sink.close()
+    return tmp_path / "fil"
+
+
+def test_header_roundtrip_and_geometry(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    d = _write_blocks(tmp_path, cfg,
+                      [np.zeros((f_out, t_out, b_out), np.float32)])
+    hdr, data = read_filterbank(d / "beam0000.fil")
+    assert hdr["nchans"] == f_out and hdr["nifs"] == 1
+    assert hdr["nbits"] == 32 and hdr["data_type"] == 1
+    assert hdr["ibeam"] == 0 and hdr["nbeams"] == cfg.n_beams
+    # tsamp = averaged output cadence; fch1 = HIGHEST averaged center,
+    # foff negative (descending — the dedispersion tools' convention).
+    assert hdr["tsamp"] == pytest.approx(
+        cfg.sample_period_s * cfg.navg_time)
+    df_avg = cfg.bandwidth_hz / cfg.n_chan_total * cfg.navg_freq
+    assert hdr["foff"] == pytest.approx(-df_avg / 1e6)
+    favg = cfg.freqs_hz().reshape(-1, cfg.navg_freq).mean(axis=1) / 1e6
+    assert hdr["fch1"] == pytest.approx(favg[-1])
+    assert data.shape == (t_out, 1, f_out)
+
+
+def test_payload_matches_block_with_channel_flip(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(3)
+    blocks = [rng.standard_normal((f_out, t_out, b_out)).astype(np.float32)
+              for _ in range(3)]
+    d = _write_blocks(tmp_path, cfg, blocks)
+    for b in range(b_out):
+        hdr, data = read_filterbank(d / f"beam{b:04d}.fil")
+        assert data.shape == (3 * t_out, 1, f_out)
+        want = np.concatenate(
+            [blk[::-1, :, b].T for blk in blocks], axis=0)
+        np.testing.assert_array_equal(data[:, 0, :], want)
+
+
+def test_stokes_nifs4(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(5)
+    blk = rng.standard_normal((f_out, t_out, 4, b_out)).astype(np.float32)
+    d = _write_blocks(tmp_path, cfg, [blk], products="stokes",
+                      beams=[1])
+    hdr, data = read_filterbank(d / "beam0001.fil")
+    assert hdr["nifs"] == 4
+    assert data.shape == (t_out, 4, f_out)
+    np.testing.assert_array_equal(
+        data, np.transpose(blk[..., 1], (1, 2, 0))[..., ::-1])
+
+
+def test_beam_selection_and_validation(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    d = _write_blocks(tmp_path, cfg,
+                      [np.zeros((f_out, t_out, b_out), np.float32)],
+                      beams=[0, 2])
+    assert sorted(p.name for p in d.iterdir()) == [
+        "beam0000.fil", "beam0002.fil"]
+    with pytest.raises(ValueError, match="out of range"):
+        FilterbankSink(tmp_path / "bad", cfg, beams=[b_out])
+    with pytest.raises(ValueError, match="products"):
+        FilterbankSink(tmp_path / "bad2", cfg, products="voltages")
+
+
+def test_reader_rejects_non_filterbank(tmp_path):
+    p = tmp_path / "x.fil"
+    p.write_bytes(b"\x04\x00\x00\x00junk")
+    with pytest.raises(ValueError):
+        read_filterbank(p)
+
+
+def test_cli_run_writes_filterbank(tiny_cfg, tmp_path):
+    """End-to-end through the CLI: simulate a capture file, dsabf run
+    --fil-dir, check per-beam files parse and match the golden
+    pipeline's per-beam powers."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import weights_numpy_golden
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=8)
+    raw = tmp_path / "capture.raw"
+    raw.write_bytes(wire.tobytes())
+    fil_dir = tmp_path / "fil"
+    rc = cli_main([
+        "run", "--config", "tiny", "--input-file", str(raw),
+        "--fil-dir", str(fil_dir), "--fil-beams", "0,3",
+        "--tstart-mjd", "60000.5",
+    ])
+    assert rc == 0
+    ref = beamform_block_ref(weights_numpy_golden(cfg), wire,
+                             cfg.input_layout, cfg.navg_time,
+                             cfg.navg_freq)
+    for b in (0, 3):
+        hdr, data = read_filterbank(fil_dir / f"beam{b:04d}.fil")
+        assert hdr["tstart"] == pytest.approx(60000.5)
+        want = ref[::-1, :, b].T  # [T', F'], descending channels
+        scale = np.abs(want).max()
+        assert np.abs(data[:, 0, :] - want).max() / scale < 1e-3
+
+
+def test_cli_fil_dir_exclusive_with_output_file(tiny_cfg, tmp_path):
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    rc = cli_main([
+        "run", "--config", "tiny",
+        "--input-file", str(tmp_path / "nope.raw"),
+        "--fil-dir", str(tmp_path / "fil"),
+        "--output-file", str(tmp_path / "out.dat"),
+    ])
+    assert rc == 2
