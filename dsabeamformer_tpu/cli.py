@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -257,9 +258,12 @@ def _cmd_run_pinned(args) -> int:
 
         beams = ([int(b) for b in args.fil_beams.split(",")]
                  if args.fil_beams else None)
+        scale = (args.fil_scale if args.fil_scale == "auto"
+                 else float(args.fil_scale))
         sink = FilterbankSink(args.fil_dir, cfg, beams=beams,
                               products=args.products,
-                              tstart_mjd=args.tstart_mjd)
+                              tstart_mjd=args.tstart_mjd,
+                              nbits=args.fil_bits, scale=scale)
     elif args.output_file:
         sink = FileSink(args.output_file, cfg, products=args.products)
     elif args.output_key:
@@ -528,6 +532,35 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_fil(args) -> int:
+    """Inspect a SIGPROC filterbank product: header + payload stats +
+    bandpass summary (the .fil analog of `dsabf ring`/`levels`
+    observability — sanity-check a product before handing it to the
+    search stage)."""
+    from dsabeamformer_tpu.ingest.sigproc import read_filterbank
+
+    try:
+        hdr, data = read_filterbank(args.path)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    x = data.astype(np.float64)
+    bp = x.mean(axis=(0, 1))  # per-channel mean over time (+IFs)
+    out = dict(
+        hdr,
+        n_samples=int(data.shape[0]),
+        duration_s=data.shape[0] * hdr["tsamp"],
+        mean=float(x.mean()),
+        std=float(x.std()),
+        bandpass_min=float(bp.min()),
+        bandpass_max=float(bp.max()),
+        bandpass_ripple=float(bp.max() / bp.min()) if bp.min() > 0 else None,
+        finite=bool(np.isfinite(x).all()),
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_levels(args) -> int:
     """Per-antenna drive-level report from a capture file: rms and
     4-bit clip fraction (operators level-set before science/cal scans;
@@ -641,6 +674,12 @@ def main(argv=None) -> int:
     p.add_argument("--tstart-mjd", type=float, default=0.0,
                    help="observation start MJD stamped into --fil-dir "
                         "headers")
+    p.add_argument("--fil-bits", type=int, default=32, choices=[8, 32],
+                   help="filterbank sample width; 8 quarters product IO "
+                        "(power only — what search back-ends ingest)")
+    p.add_argument("--fil-scale", default="auto",
+                   help="8-bit counts per unit power (default: "
+                        "auto-calibrate from the first block's median)")
     p.add_argument("--cal", help="calibration .npz (CalTable)")
     p.add_argument("--layout",
                    help="antenna position table (.npz or text: EW [NS] "
@@ -756,6 +795,11 @@ def main(argv=None) -> int:
     p.add_argument("--blocks", type=int, help="use at most N blocks")
     p.set_defaults(fn=cmd_levels)
 
+    p = sub.add_parser("fil",
+                       help="inspect a SIGPROC filterbank product (JSON)")
+    p.add_argument("path", help="beamNNNN.fil file from --fil-dir")
+    p.set_defaults(fn=cmd_fil)
+
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")
     p.add_argument("--key", default="dsa")
     p.add_argument("--timeout", type=float, default=5.0)
@@ -764,7 +808,15 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_ring)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # `dsabf ... | head` closing the pipe is normal operator use,
+        # not an error; suppress the traceback (and the interpreter's
+        # shutdown re-raise on the still-open stdout).
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":

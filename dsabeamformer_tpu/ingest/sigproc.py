@@ -72,6 +72,7 @@ def encode_filterbank_header(
     *,
     beam: int,
     nifs: int = 1,
+    nbits: int = 32,
     tstart_mjd: float = 0.0,
     source_name: str = "DSABF",
     telescope_id: int = 0,
@@ -94,7 +95,7 @@ def encode_filterbank_header(
         _kw_dbl("fch1", favg[-1]),  # highest averaged center first
         _kw_dbl("foff", foff),
         _kw_int("nchans", len(favg)),
-        _kw_int("nbits", 32),
+        _kw_int("nbits", nbits),
         _kw_int("nifs", nifs),
         _kw_dbl("tstart", tstart_mjd),
         _kw_dbl("tsamp", cfg.sample_period_s * cfg.navg_time),
@@ -117,6 +118,17 @@ class FilterbankSink:
     (``F' = n_chan/navg_freq``, ``T' = t_block/navg_time``).  Each
     selected beam appends ``T'`` samples of ``[nifs, F']`` with the
     channel axis flipped to descending frequency.
+
+    ``nbits=8`` quarters the product IO (full-band dsa10 writes
+    ~16 GB/s of float32 across all 256 beams — 8-bit is what real
+    search back-ends ingest): samples are ``clip(round(x * scale), 0,
+    255)`` uint8.  SIGPROC has no per-block scale field, so ``scale``
+    must be constant per file; ``scale="auto"`` calibrates PER BEAM
+    from each file's own first block (median mapped to mid-rail 64 —
+    a pooled scale would rail an on-source beam's file, measured on
+    hardware) and keeps it — fine for the stationary noise floor of a
+    drift search, wrong if the first block is pathological (then pass
+    an explicit float, e.g. from ``dsabf levels``).
     """
 
     def __init__(
@@ -127,27 +139,48 @@ class FilterbankSink:
         products: str = "power",
         tstart_mjd: float = 0.0,
         source_name: str = "DSABF",
+        nbits: int = 32,
+        scale: float | str = "auto",
     ):
         if products not in ("power", "stokes"):
             raise ValueError(f"unknown products {products!r}")
+        if nbits not in (8, 32):
+            raise ValueError(f"nbits must be 8 or 32, got {nbits}")
+        if nbits == 8 and products == "stokes":
+            raise ValueError(
+                "nbits=8 is power-only: Q/U/V are signed and SIGPROC "
+                "8-bit payloads are unsigned with no offset field")
         self.cfg = cfg
         self.nifs = 4 if products == "stokes" else 1
         self._stokes = products == "stokes"
+        self.nbits = nbits
+        explicit = None if scale == "auto" else float(scale)
+        if nbits == 8 and explicit is not None and explicit <= 0:
+            raise ValueError("scale must be positive")
         self.beams = (list(range(cfg.n_beams)) if beams is None
                       else sorted(set(int(b) for b in beams)))
         bad = [b for b in self.beams if not 0 <= b < cfg.n_beams]
         if bad:
             raise ValueError(
                 f"beam indices {bad} out of range [0, {cfg.n_beams})")
+        self._scales: Dict[int, Optional[float]] = {
+            b: explicit for b in self.beams}
         d = Path(dir_path)
         d.mkdir(parents=True, exist_ok=True)
         self._files = {}
         for b in self.beams:
             f = open(d / f"beam{b:04d}.fil", "wb")
             f.write(encode_filterbank_header(
-                cfg, beam=b, nifs=self.nifs, tstart_mjd=tstart_mjd,
-                source_name=source_name))
+                cfg, beam=b, nifs=self.nifs, nbits=nbits,
+                tstart_mjd=tstart_mjd, source_name=source_name))
             self._files[b] = f
+
+    @property
+    def scales(self) -> Dict[int, Optional[float]]:
+        """Per-beam 8-bit counts-per-unit-power scales in effect (a
+        beam's entry is None until auto-calibration sees its first
+        block; empty at 32-bit)."""
+        return dict(self._scales) if self.nbits == 8 else {}
 
     def write(self, seq: int, block: np.ndarray) -> None:
         block = np.asarray(block, dtype=np.float32)
@@ -158,7 +191,14 @@ class FilterbankSink:
             # [F', T', B] -> [B, T', F'], channels descending.
             arr = np.transpose(block, (2, 1, 0))[..., ::-1]
         for b, f in self._files.items():
-            f.write(np.ascontiguousarray(arr[b]).tobytes())
+            out = arr[b]
+            if self.nbits == 8:
+                if self._scales[b] is None:
+                    med = float(np.median(out))
+                    self._scales[b] = 64.0 / med if med > 0 else 1.0
+                out = np.clip(np.rint(out * self._scales[b]),
+                              0, 255).astype(np.uint8)
+            f.write(np.ascontiguousarray(out).tobytes())
 
     def close(self) -> None:
         for f in self._files.values():
@@ -168,9 +208,10 @@ class FilterbankSink:
 def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
     """Parse a SIGPROC filterbank file -> (header dict, data).
 
-    Data comes back ``[T, nifs, nchans]`` float32 in the file's own
-    (descending-frequency) channel order.  Validation/analysis path —
-    loads the whole payload.
+    Data comes back ``[T, nifs, nchans]`` in the file's own
+    (descending-frequency) channel order — float32 for nbits=32, uint8
+    for nbits=8 (raw counts; divide by the writer's scale to recover
+    power units).  Validation/analysis path — loads the whole payload.
     """
     ints = {"telescope_id", "machine_id", "data_type", "nchans", "nbits",
             "nifs", "ibeam", "nbeams", "barycentric", "pulsarcentric"}
@@ -199,8 +240,11 @@ def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
                 hdr[kw] = rd_kw()
             else:
                 raise ValueError(f"unknown SIGPROC keyword {kw!r}")
-        if hdr.get("nbits", 32) != 32:
-            raise ValueError("only nbits=32 payloads supported")
-        data = np.frombuffer(f.read(), dtype=np.float32)
+        nbits = hdr.get("nbits", 32)
+        if nbits not in (8, 32):
+            raise ValueError(f"only nbits 8/32 payloads supported, "
+                             f"got {nbits}")
+        data = np.frombuffer(
+            f.read(), dtype=np.uint8 if nbits == 8 else np.float32)
     nifs, nchans = hdr.get("nifs", 1), hdr["nchans"]
     return hdr, data.reshape(-1, nifs, nchans)

@@ -131,3 +131,62 @@ def test_cli_fil_dir_exclusive_with_output_file(tiny_cfg, tmp_path):
         "--output-file", str(tmp_path / "out.dat"),
     ])
     assert rc == 2
+
+
+def test_8bit_roundtrip_explicit_scale(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(9)
+    blk = rng.uniform(0.0, 10.0,
+                      (f_out, t_out, b_out)).astype(np.float32)
+    sink = FilterbankSink(tmp_path / "f8", cfg, beams=[0], nbits=8,
+                          scale=20.0)
+    sink.write(0, blk)
+    sink.close()
+    hdr, data = read_filterbank(tmp_path / "f8" / "beam0000.fil")
+    assert hdr["nbits"] == 8 and data.dtype == np.uint8
+    want = blk[::-1, :, 0].T
+    np.testing.assert_allclose(data[:, 0, :] / 20.0, want,
+                               atol=0.5 / 20.0 + 1e-6)
+
+
+def test_8bit_auto_scale_constant_across_blocks(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(11)
+    sink = FilterbankSink(tmp_path / "f8a", cfg, beams=[0], nbits=8)
+    assert sink.scales[0] is None  # not calibrated yet
+    quiet = rng.uniform(0.5, 1.5, (f_out, t_out, b_out)).astype(np.float32)
+    sink.write(0, quiet)
+    s0 = sink.scales[0]
+    assert s0 is not None and abs(s0 * np.median(quiet[:, :, 0]) - 64.0) < 1.0
+    sink.write(1, 100.0 * quiet)  # a later loud block must NOT rescale
+    assert sink.scales[0] == s0
+    sink.close()
+    _, data = read_filterbank(tmp_path / "f8a" / "beam0000.fil")
+    # loud block rails at 255 under the frozen scale.
+    assert data[t_out:].max() == 255
+
+
+def test_8bit_stokes_rejected(tiny_cfg, tmp_path):
+    with pytest.raises(ValueError, match="power-only"):
+        FilterbankSink(tmp_path / "x", tiny_cfg, products="stokes",
+                       nbits=8)
+
+
+def test_cmd_fil_inspector(tiny_cfg, tmp_path, capsys):
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    blk = np.full((f_out, t_out, b_out), 3.0, np.float32)
+    d = _write_blocks(tmp_path, cfg, [blk, blk])
+    rc = cli_main(["fil", str(d / "beam0000.fil")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_samples"] == 2 * t_out and out["finite"]
+    assert out["mean"] == pytest.approx(3.0)
+    assert out["bandpass_ripple"] == pytest.approx(1.0)
+    assert cli_main(["fil", str(tmp_path / "missing.fil")]) == 1
