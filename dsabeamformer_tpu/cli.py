@@ -532,6 +532,75 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_launch(args) -> int:
+    """Spawn the one-process-per-subband deployment: N `dsabf run`
+    children, child i owning subband i/N (and device i when
+    --devices is given).  The reference world launches one beamformer
+    process per GPU by hand/scripts; this wraps that as a supervised
+    command with an aggregated exit report.
+
+    Occurrences of ``{i}`` / ``{n}`` in the forwarded run arguments are
+    replaced per child (ring keys, output files, stats files):
+
+        dsabf launch --subbands 8 --devices 0,1,2,3,4,5,6,7 -- \\
+            --config dsa110 --key capture{i} --output-file out{i}.dada
+    """
+    import signal
+    import subprocess
+
+    n = args.subbands
+    if n < 1:
+        print("error: --subbands must be >= 1", file=sys.stderr)
+        return 2
+    devices = None
+    if args.devices:
+        devices = [int(d) for d in args.devices.split(",")]
+        if len(devices) != n:
+            print(f"error: --devices lists {len(devices)} devices for "
+                  f"{n} subbands", file=sys.stderr)
+            return 2
+    rest = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
+    procs = []
+    try:
+        for i in range(n):
+            argv = ["run"]
+            for a in rest:
+                argv.append(a.replace("{i}", str(i)).replace("{n}", str(n)))
+            argv += ["--subband", f"{i}/{n}"]
+            if devices is not None:
+                argv += ["--device", str(devices[i])]
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "dsabeamformer_tpu.cli"] + argv,
+                stdout=subprocess.PIPE, text=True))
+        outs = []
+        for i, p in enumerate(procs):
+            out, _ = p.communicate()
+            last = out.strip().splitlines()[-1] if out.strip() else ""
+            try:
+                rec = json.loads(last)
+            except ValueError:
+                rec = {"raw": last}
+            outs.append({"subband": f"{i}/{n}", "rc": p.returncode, **rec})
+    except KeyboardInterrupt:
+        # Operator stop: forward it and collect the children's own
+        # interrupted-exit reports.
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signal.SIGINT)
+        for p in procs:
+            p.wait(timeout=60)
+        print(json.dumps({"interrupted": True,
+                          "rcs": [p.returncode for p in procs]}))
+        return 130
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+    worst = max((o["rc"] for o in outs), default=0)
+    print(json.dumps({"subbands": outs, "ok": worst == 0}))
+    return worst
+
+
 def cmd_fil(args) -> int:
     """Inspect a SIGPROC filterbank product: header + payload stats +
     bandpass summary (the .fil analog of `dsabf ring`/`levels`
@@ -794,6 +863,20 @@ def main(argv=None) -> int:
     p.add_argument("--input-file", required=True)
     p.add_argument("--blocks", type=int, help="use at most N blocks")
     p.set_defaults(fn=cmd_levels)
+
+    p = sub.add_parser(
+        "launch",
+        help="spawn N per-subband `dsabf run` processes (deployment "
+             "supervisor; {i}/{n} template in forwarded args)")
+    p.add_argument("--subbands", type=int, required=True,
+                   help="number of equal subbands / child processes")
+    p.add_argument("--devices",
+                   help="comma-separated device index per subband "
+                        "(multi-chip host)")
+    p.add_argument("rest", nargs=argparse.REMAINDER,
+                   help="arguments forwarded to each `dsabf run` child "
+                        "(prefix with --)")
+    p.set_defaults(fn=cmd_launch)
 
     p = sub.add_parser("fil",
                        help="inspect a SIGPROC filterbank product (JSON)")

@@ -78,6 +78,50 @@ def main() -> int:
         "standalone_overhead_ms": (t_c - t_a) * 1e3,
         "fused_saving_ms": (t_c - t_b) * 1e3,
     }), flush=True)
+
+    # Full-Stokes at the deployment tiles the CLI derives for this
+    # preset (shrink_tiles -> fc=4/tt=1024): stokes alone vs stokes +
+    # fused incoherent — the full-scale Mosaic proof of the five-plane
+    # kernel.  Each Stokes output is 4.3 GB and this CI chip exposes
+    # roughly half a v5e's HBM (a second in-flight output OOMs,
+    # measured), so: ONE wire block resident, fence per dispatch, and
+    # free each output before the next.  The ~2 ms fence cost is small
+    # against the stokes block time and identical between the two rows
+    # being compared.
+    from dsabeamformer_tpu.config import shrink_tiles
+    from dsabeamformer_tpu.ops.gemm import beamform_stokes
+
+    cfg_st = shrink_tiles(
+        cfg, lambda fc, tt: fc * (tt // cfg.navg_time) * 4 * cfg.n_beams * 4,
+        2 ** 20, min_time_tile=1024)
+    del blocks[1]  # reclaim HBM for the 4.3 GB Stokes output
+
+    def timed_fenced(fn, label, n=4, reps=2):
+        def one():
+            out = fn(blocks[0])
+            for lf in jax.tree_util.tree_leaves(out):
+                float(digest(lf))
+            del out  # free the 4.3 GB output before the next dispatch
+
+        one()  # warm-up/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                one()
+            best = min(best, (time.perf_counter() - t0) / n)
+        print(json.dumps({"label": label, "ms_per_block": best * 1e3,
+                          "realtime": cfg.block_duration_s / best,
+                          "fenced": True}), flush=True)
+        return best
+
+    t_d = timed_fenced(lambda b: beamform_stokes(b, qw, cfg_st),
+                       "stokes_only_fc4_tt1024")
+    t_e = timed_fenced(
+        lambda b: beamform_stokes(b, qw, cfg_st, incoherent=True),
+        "stokes_fused_incoherent")
+    print(json.dumps({"stokes_fused_overhead_ms": (t_e - t_d) * 1e3}),
+          flush=True)
     return 0
 
 

@@ -223,3 +223,48 @@ def test_subband_end_to_end(tmp_path, capsys, tiny_cfg):
     with pytest.raises(SystemExit, match="DADA capture"):
         cli.main(["run", "--config", "tiny", "--subband", "1/2",
                   "--input-file", out, "--output-file", pout])
+
+
+def test_launch_subband_processes(tiny_cfg, tmp_path, monkeypatch, capsys):
+    """dsabf launch: N per-subband run children with {i}/{n} templating,
+    aggregated JSON exit report, per-subband outputs written."""
+    import json
+
+    import numpy as np
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+
+    cfg = tiny_cfg
+    n = 2
+    width = cfg.n_chan // n
+    for i in range(n):
+        sb = cfg.subband(i * width, width)
+        (tmp_path / f"cap{i}.raw").write_bytes(
+            make_noise_block(sb, rms=2.0, seed=20 + i).tobytes())
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    rc = cli_main([
+        "launch", "--subbands", str(n), "--",
+        "--config", "tiny",
+        "--input-file", str(tmp_path / "cap{i}.raw"),
+        "--output-file", str(tmp_path / "out{i}.dat"),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and len(rep["subbands"]) == n
+    for i, sb_rep in enumerate(rep["subbands"]):
+        assert sb_rep["rc"] == 0 and sb_rep["subband"] == f"{i}/{n}"
+        assert sb_rep["blocks"] == 1
+        out = np.fromfile(tmp_path / f"out{i}.dat", dtype=np.float32)
+        f_out, t_out, b_out = cfg.out_block_shape
+        assert out.size == (f_out // n) * t_out * b_out
+        assert np.isfinite(out).all() and out.min() >= 0
+
+
+def test_launch_validates_devices_count(capsys):
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    rc = cli_main(["launch", "--subbands", "2", "--devices", "0",
+                   "--", "--config", "tiny"])
+    assert rc == 2
