@@ -226,10 +226,42 @@ def _cmd_run_pinned(args) -> int:
                   f"Stokes output in flight and can exhaust HBM (measured "
                   f"at the dsa10 preset) — use t_block<=4096 captures or a "
                   f"smaller --depth", file=sys.stderr)
+    # Construct (and thereby validate) every sink BEFORE the expensive
+    # weight generation + warmup compile: a bad --fil-bits/--fil-beams/
+    # --fil-scale/path must fail in milliseconds with a clean error,
+    # not after minutes of Mosaic compile with a raw traceback.
+    out_mult = 4 if args.products == "stokes" else 1
+    sink = None
+    inco_sink = None
+    try:
+        if args.fil_dir:
+            from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
+
+            beams = ([int(b) for b in args.fil_beams.split(",")]
+                     if args.fil_beams else None)
+            scale = (args.fil_scale if args.fil_scale == "auto"
+                     else float(args.fil_scale))
+            sink = FilterbankSink(args.fil_dir, cfg, beams=beams,
+                                  products=args.products,
+                                  tstart_mjd=args.tstart_mjd,
+                                  nbits=args.fil_bits, scale=scale)
+        elif args.output_file:
+            sink = FileSink(args.output_file, cfg, products=args.products)
+        elif args.output_key:
+            out_bytes = int(np.prod(cfg.out_block_shape)) * 4 * out_mult
+            out_ring = RingBuffer(args.output_key, create=True,
+                                  nbufs=args.nbufs, bufsz=out_bytes)
+            sink = RingSink(out_ring, cfg, products=args.products)
+        inco_sink = (FileSink(args.incoherent_file, None)
+                     if args.incoherent_file else None)
+    except ValueError as e:
+        if sink is not None:
+            sink.close()
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
     qw = _make_weights(cfg, args)
 
-    inco_sink = (FileSink(args.incoherent_file, None)
-                 if args.incoherent_file else None)
     # Compile the hot path before attaching to the stream.
     warm = StreamingBeamformer(cfg, qw, source=None,
                                products=args.products,
@@ -240,37 +272,16 @@ def _cmd_run_pinned(args) -> int:
         source = FileSource(cfg, args.input_file, offset=dada_offset)
     else:
         ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
-        # Staging pool sized from the pipeline depth (in-flight blocks
-        # + the one being enqueued + one safety slot).  Small-block
-        # configs keep the old 8-buffer floor (absorbs consumer stalls
-        # of several block periods); at production block sizes each
-        # staging buffer is up to 2.1 GB of host RAM, so the pool
-        # shrinks to exactly what the driver needs (depth+2).
-        n_host = (args.depth + 2 if cfg.wire_block_bytes >= 512 * 2**20
-                  else max(args.depth + 2, 8))
+        # Staging pool sized by the shared rule (pipeline.
+        # staging_pool_size): depth+2 at production block sizes (each
+        # buffer is up to 2.1 GB host RAM), 8-buffer stall-absorbing
+        # floor for small blocks.
+        from dsabeamformer_tpu.pipeline import staging_pool_size
+
         source = RingSource(cfg, ring, latest=args.latest,
                             timeout_s=args.timeout,
-                            n_host_buffers=n_host)
-    out_mult = 4 if args.products == "stokes" else 1
-    sink = None
-    if args.fil_dir:
-        from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
-
-        beams = ([int(b) for b in args.fil_beams.split(",")]
-                 if args.fil_beams else None)
-        scale = (args.fil_scale if args.fil_scale == "auto"
-                 else float(args.fil_scale))
-        sink = FilterbankSink(args.fil_dir, cfg, beams=beams,
-                              products=args.products,
-                              tstart_mjd=args.tstart_mjd,
-                              nbits=args.fil_bits, scale=scale)
-    elif args.output_file:
-        sink = FileSink(args.output_file, cfg, products=args.products)
-    elif args.output_key:
-        out_bytes = int(np.prod(cfg.out_block_shape)) * 4 * out_mult
-        out_ring = RingBuffer(args.output_key, create=True,
-                              nbufs=args.nbufs, bufsz=out_bytes)
-        sink = RingSink(out_ring, cfg, products=args.products)
+                            n_host_buffers=staging_pool_size(
+                                cfg.wire_block_bytes, args.depth))
 
     stats_f = open(args.stats_file, "a") if args.stats_file else None
 
@@ -311,6 +322,13 @@ def _cmd_run_pinned(args) -> int:
     finally:
         if sink is not None:
             sink.close()
+            if getattr(sink, "nbits", 32) == 8:
+                print(f"[dsabf] 8-bit per-beam scales written to "
+                      f"{args.fil_dir}/scales.json", file=sys.stderr)
+            if getattr(sink, "n_splices", 0):
+                print(f"[dsabf] WARNING: {sink.n_splices} stream gap(s) "
+                      f"zero-filled in .fil output "
+                      f"({sink.filled_samples} samples)", file=sys.stderr)
         if inco_sink is not None:
             inco_sink.close()
         if stats_f is not None:
@@ -441,6 +459,7 @@ def cmd_info(args) -> int:
     import jax
 
     from dsabeamformer_tpu import __version__
+    from dsabeamformer_tpu.pipeline import staging_pool_size
     from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
 
     cfg = _load_cfg(args)
@@ -469,12 +488,11 @@ def cmd_info(args) -> int:
                         * {"f32": 4, "bf16": 2, "bf16x2": 2}.get(
                             cfg.weight_mode, 1),
         "hbm_wire_bytes_depth2": 3 * cfg.wire_block_bytes,
-        "host_staging_bytes_depth2": (
-            # Same sizing rule as cmd_run at --depth 2: big-block
-            # configs get exactly depth+2 buffers, small-block configs
-            # keep the 8-buffer stall-absorbing floor.
-            4 if cfg.wire_block_bytes >= 512 * 2**20 else 8
-        ) * cfg.wire_block_bytes,
+        # The exact sizing rule cmd_run uses (shared helper — the two
+        # cannot drift).
+        "host_staging_bytes_depth2":
+            staging_pool_size(cfg.wire_block_bytes, 2)
+            * cfg.wire_block_bytes,
     }))
     return 0
 
@@ -569,9 +587,14 @@ def cmd_launch(args) -> int:
             argv += ["--subband", f"{i}/{n}"]
             if devices is not None:
                 argv += ["--device", str(devices[i])]
+            # New session: the terminal would otherwise deliver its own
+            # SIGINT to every child IN ADDITION to the one we forward —
+            # the second KeyboardInterrupt lands inside the child's
+            # sink-flush cleanup and can truncate product tails.
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "dsabeamformer_tpu.cli"] + argv,
-                stdout=subprocess.PIPE, text=True))
+                stdout=subprocess.PIPE, text=True,
+                start_new_session=True))
         outs = []
         for i, p in enumerate(procs):
             out, _ = p.communicate()
@@ -588,7 +611,14 @@ def cmd_launch(args) -> int:
             if p.poll() is None:
                 p.send_signal(signal.SIGINT)
         for p in procs:
-            p.wait(timeout=60)
+            try:
+                p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                # Wedged child (e.g. a stalled device runtime): don't
+                # let the report die with a traceback — kill and record
+                # the signal rc.
+                p.kill()
+                p.wait()
         print(json.dumps({"interrupted": True,
                           "rcs": [p.returncode for p in procs]}))
         return 130
@@ -596,9 +626,12 @@ def cmd_launch(args) -> int:
         for p in procs:
             if p.poll() is None:
                 p.terminate()
-    worst = max((o["rc"] for o in outs), default=0)
-    print(json.dumps({"subbands": outs, "ok": worst == 0}))
-    return worst
+    # A signal-killed child has a NEGATIVE returncode — any nonzero rc
+    # is a failed subband (max() alone would rank -9 below success).
+    bad = [o["rc"] for o in outs if o["rc"] != 0]
+    print(json.dumps({"subbands": outs, "ok": not bad}))
+    # Shell convention for the exit code: 128+signal for signal deaths.
+    return max((rc if rc > 0 else 128 - rc) for rc in bad) if bad else 0
 
 
 def cmd_fil(args) -> int:
@@ -614,7 +647,10 @@ def cmd_fil(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     x = data.astype(np.float64)
-    bp = x.mean(axis=(0, 1))  # per-channel mean over time (+IFs)
+    # Bandpass from IF 0 only: for Stokes files (nifs=4) IFs 1-3 are
+    # Q/U/V with near-zero/negative means — folding them into the
+    # per-channel mean would make the stats meaningless.
+    bp = x[:, 0, :].mean(axis=0)
     out = dict(
         hdr,
         n_samples=int(data.shape[0]),

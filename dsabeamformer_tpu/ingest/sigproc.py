@@ -128,7 +128,18 @@ class FilterbankSink:
     a pooled scale would rail an on-source beam's file, measured on
     hardware) and keeps it — fine for the stationary noise floor of a
     drift search, wrong if the first block is pathological (then pass
-    an explicit float, e.g. from ``dsabf levels``).
+    an explicit float, e.g. from ``dsabf levels``).  The per-beam
+    scales in effect are written to ``<dir>/scales.json`` on close —
+    SIGPROC headers have no scale field, so that sidecar is the only
+    durable record of the counts-per-unit-power calibration.
+
+    Dropped/skipped stream blocks (``seq`` gaps) are ZERO-FILLED so
+    the file's time axis stays contiguous — SIGPROC consumers
+    (heimdall/PRESTO) assume uninterrupted ``tsamp`` sampling, and a
+    silent splice would shift every later candidate's time/DM.  Zeros
+    are unambiguous flagged data in both payloads (real 8-bit data
+    sits near mid-rail 64).  ``n_splices`` / ``filled_samples`` count
+    what was filled.
     """
 
     def __init__(
@@ -165,8 +176,12 @@ class FilterbankSink:
                 f"beam indices {bad} out of range [0, {cfg.n_beams})")
         self._scales: Dict[int, Optional[float]] = {
             b: explicit for b in self.beams}
+        self._last_seq: Optional[int] = None
+        self.n_splices = 0
+        self.filled_samples = 0
         d = Path(dir_path)
         d.mkdir(parents=True, exist_ok=True)
+        self._dir = d
         self._files = {}
         for b in self.beams:
             f = open(d / f"beam{b:04d}.fil", "wb")
@@ -190,6 +205,19 @@ class FilterbankSink:
         else:
             # [F', T', B] -> [B, T', F'], channels descending.
             arr = np.transpose(block, (2, 1, 0))[..., ::-1]
+        t_out = arr.shape[1]
+        if self._last_seq is not None and seq > self._last_seq + 1:
+            # Stream gap (dropped/skipped blocks): zero-fill to keep
+            # the time axis contiguous for dedispersion consumers.
+            gap = (seq - self._last_seq - 1) * t_out
+            fill = np.zeros(
+                (gap,) + arr.shape[2:],
+                dtype=np.uint8 if self.nbits == 8 else np.float32)
+            for f in self._files.values():
+                f.write(fill)
+            self.n_splices += 1
+            self.filled_samples += gap
+        self._last_seq = seq
         for b, f in self._files.items():
             out = arr[b]
             if self.nbits == 8:
@@ -198,11 +226,21 @@ class FilterbankSink:
                     self._scales[b] = 64.0 / med if med > 0 else 1.0
                 out = np.clip(np.rint(out * self._scales[b]),
                               0, 255).astype(np.uint8)
-            f.write(np.ascontiguousarray(out).tobytes())
+            # write() takes the buffer directly — one contiguous copy
+            # max, no tobytes() duplicate (this is a ~GB/block path).
+            f.write(np.ascontiguousarray(out))
 
     def close(self) -> None:
         for f in self._files.values():
             f.close()
+        if self.nbits == 8:
+            # The only durable record of the 8-bit calibration (no
+            # SIGPROC header field exists for it).
+            import json
+
+            (self._dir / "scales.json").write_text(json.dumps({
+                f"beam{b:04d}.fil": s for b, s in self._scales.items()
+            }, indent=0) + "\n")
 
 
 def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
@@ -220,11 +258,19 @@ def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
     strs = {"source_name", "rawdatafile"}
     hdr: Dict = {}
     with open(path, "rb") as f:
+        def rd(n: int) -> bytes:
+            b = f.read(n)
+            if len(b) != n:  # truncated header -> clean ValueError,
+                raise ValueError(   # not struct.error (dsabf fil path)
+                    f"truncated SIGPROC header (wanted {n} bytes, "
+                    f"got {len(b)})")
+            return b
+
         def rd_kw() -> str:
-            (n,) = struct.unpack("<i", f.read(4))
+            (n,) = struct.unpack("<i", rd(4))
             if not 0 < n < 64:
                 raise ValueError(f"bad SIGPROC keyword length {n}")
-            return f.read(n).decode("ascii")
+            return rd(n).decode("ascii")
 
         if rd_kw() != "HEADER_START":
             raise ValueError("not a SIGPROC filterbank file")
@@ -233,9 +279,9 @@ def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
             if kw == "HEADER_END":
                 break
             if kw in ints:
-                (hdr[kw],) = struct.unpack("<i", f.read(4))
+                (hdr[kw],) = struct.unpack("<i", rd(4))
             elif kw in dbls:
-                (hdr[kw],) = struct.unpack("<d", f.read(8))
+                (hdr[kw],) = struct.unpack("<d", rd(8))
             elif kw in strs:
                 hdr[kw] = rd_kw()
             else:

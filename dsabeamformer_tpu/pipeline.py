@@ -48,6 +48,19 @@ def _digest(x):
 # Sources
 # --------------------------------------------------------------------- #
 
+def staging_pool_size(wire_block_bytes: int, depth: int) -> int:
+    """Host staging-buffer count for a RingSource at pipeline depth
+    ``depth``: the driver needs depth+2 (in-flight + being-enqueued +
+    one safety slot); small-block configs (< 512 MiB wire blocks,
+    where host RAM is not a constraint) keep an 8-buffer floor that
+    absorbs consumer stalls of several block periods.  The single
+    sizing rule shared by `dsabf run` and `dsabf info` — keep the two
+    in lockstep."""
+    if wire_block_bytes >= 512 * 2**20:
+        return depth + 2
+    return max(depth + 2, 8)
+
+
 class RingSource:
     """Blocks from a dsaring shared-memory ring (the PSRDADA client).
 

@@ -190,3 +190,94 @@ def test_cmd_fil_inspector(tiny_cfg, tmp_path, capsys):
     assert out["mean"] == pytest.approx(3.0)
     assert out["bandpass_ripple"] == pytest.approx(1.0)
     assert cli_main(["fil", str(tmp_path / "missing.fil")]) == 1
+
+
+def test_gap_zero_fill_keeps_time_axis_contiguous(tiny_cfg, tmp_path):
+    """seq gaps (dropped/skipped blocks) are zero-filled so SIGPROC
+    consumers' contiguous-tsamp assumption holds across the splice."""
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(11)
+    b0 = rng.uniform(1, 2, (f_out, t_out, b_out)).astype(np.float32)
+    b2 = rng.uniform(1, 2, (f_out, t_out, b_out)).astype(np.float32)
+    sink = FilterbankSink(tmp_path / "fil", cfg, beams=[1])
+    sink.write(0, b0)
+    sink.write(2, b2)  # seq 1 dropped
+    assert sink.n_splices == 1 and sink.filled_samples == t_out
+    sink.close()
+    hdr, data = read_filterbank(tmp_path / "fil" / "beam0001.fil")
+    assert data.shape[0] == 3 * t_out
+    np.testing.assert_array_equal(data[:t_out, 0, :], b0[::-1, :, 1].T)
+    assert (data[t_out:2 * t_out] == 0).all()
+    np.testing.assert_array_equal(data[2 * t_out:, 0, :], b2[::-1, :, 1].T)
+
+
+def test_8bit_scales_sidecar_written_on_close(tiny_cfg, tmp_path):
+    """scales.json records the per-beam counts-per-unit-power scales
+    (no SIGPROC header field exists for them)."""
+    import json
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    blk = np.full((f_out, t_out, b_out), 2.0, np.float32)
+    sink = FilterbankSink(tmp_path / "fil", cfg, beams=[0, 2], nbits=8)
+    sink.write(0, blk)
+    scales = sink.scales
+    sink.close()
+    side = json.loads((tmp_path / "fil" / "scales.json").read_text())
+    assert side == {"beam0000.fil": scales[0], "beam0002.fil": scales[2]}
+    assert side["beam0000.fil"] == pytest.approx(32.0)  # 64/median(2.0)
+
+
+def test_truncated_header_clean_error(tiny_cfg, tmp_path):
+    """A .fil cut off mid-header raises ValueError (not struct.error),
+    so `dsabf fil` reports a clean error."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg
+    hdr = encode_filterbank_header(cfg, beam=0)
+    p = tmp_path / "cut.fil"
+    p.write_bytes(hdr[:len(hdr) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        read_filterbank(p)
+    assert cli_main(["fil", str(p)]) == 1
+
+
+def test_cli_fil_flag_errors_are_clean_and_prewarmup(tiny_cfg, tmp_path,
+                                                     capsys):
+    """Bad --fil-scale / --fil-beams / 8-bit-stokes fail with rc 2 and
+    a clean error BEFORE weight generation + warmup compile."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(make_noise_block(tiny_cfg, rms=2.0, seed=5).tobytes())
+    base = ["run", "--config", "tiny", "--input-file", str(raw),
+            "--fil-dir", str(tmp_path / "fil")]
+    for extra in (["--fil-scale", "bogus"],
+                  ["--fil-scale", "-1", "--fil-bits", "8"],
+                  ["--fil-beams", "0,99"],
+                  ["--fil-bits", "8", "--products", "stokes"]):
+        capsys.readouterr()
+        assert cli_main(base + extra) == 2
+        assert "error:" in capsys.readouterr().err
+
+
+def test_cmd_fil_stokes_bandpass_uses_stokes_i(tiny_cfg, tmp_path, capsys):
+    """The inspector's bandpass stats come from IF 0 (Stokes I) only —
+    Q/U/V near-zero means must not pollute them."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    blk = np.zeros((f_out, t_out, 4, b_out), np.float32)
+    blk[:, :, 0, :] = 5.0   # I
+    blk[:, :, 1, :] = -4.0  # Q strongly negative
+    d = _write_blocks(tmp_path, cfg, [blk], products="stokes")
+    rc = cli_main(["fil", str(d / "beam0000.fil")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bandpass_min"] == pytest.approx(5.0)
+    assert out["bandpass_ripple"] == pytest.approx(1.0)
