@@ -262,8 +262,10 @@ def _cmd_run_pinned(args) -> int:
 
     qw = _make_weights(cfg, args)
 
-    # Compile the hot path before attaching to the stream.
-    warm = StreamingBeamformer(cfg, qw, source=None,
+    # Compile the hot path before attaching to the stream.  The sink
+    # goes in now so its device-side post-transform (8-bit fil
+    # quantizer) compiles during warmup too.
+    warm = StreamingBeamformer(cfg, qw, source=None, sink=sink,
                                products=args.products,
                                incoherent_sink=inco_sink)
     warm.warmup()
@@ -304,7 +306,6 @@ def _cmd_run_pinned(args) -> int:
             declination_rad=args.declination,
         )
     warm.source = source
-    warm.sink = sink
     warm.depth = args.depth
     warm.on_block = on_block
     # Every exit path — normal completion, operator Ctrl-C, or an

@@ -41,6 +41,26 @@ from dsabeamformer_tpu.config import ObsConfig
 
 __all__ = ["encode_filterbank_header", "FilterbankSink", "read_filterbank"]
 
+_quant8 = None
+
+
+def _get_quant8():
+    """Jitted on-device 8-bit quantizer (lazy: this module is
+    otherwise numpy-only).  ``[F', T', B] f32 × [B] scales ->
+    uint8`` — the same clip(rint(x*scale)) the host path applies."""
+    global _quant8
+    if _quant8 is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def q(x, s):
+            return jnp.clip(jnp.rint(x * s[None, None, :]),
+                            0, 255).astype(jnp.uint8)
+
+        _quant8 = q
+    return _quant8
+
 
 def _kw(keyword: str) -> bytes:
     b = keyword.encode("ascii")
@@ -176,6 +196,7 @@ class FilterbankSink:
                 f"beam indices {bad} out of range [0, {cfg.n_beams})")
         self._scales: Dict[int, Optional[float]] = {
             b: explicit for b in self.beams}
+        self._dev_scales = None
         self._last_seq: Optional[int] = None
         self.n_splices = 0
         self.filled_samples = 0
@@ -197,8 +218,49 @@ class FilterbankSink:
         block; empty at 32-bit)."""
         return dict(self._scales) if self.nbits == 8 else {}
 
+    def device_post(self, out_dev, *, warmup: bool = False):
+        """Pipeline hook (StreamingBeamformer calls it at dispatch
+        when present): quantize the power product to uint8 ON DEVICE
+        once per-beam scales are known, so the D2H fetch carries
+        1 byte/sample instead of 4 — the output path's bandwidth is
+        the fil sink's floor at full beam count.  Returns ``out_dev``
+        unchanged at nbits=32 or while auto-calibration still needs a
+        float block (the first); ``warmup=True`` compiles the
+        quantizer at runtime shapes with dummy scales."""
+        if self.nbits != 8:
+            return out_dev
+        q = _get_quant8()
+        if warmup:
+            import jax.numpy as jnp
+
+            return q(out_dev, jnp.ones((out_dev.shape[-1],), jnp.float32))
+        s = self._device_scale_vec(out_dev.shape[-1])
+        if s is None:
+            return out_dev
+        return q(out_dev, s)
+
+    def _device_scale_vec(self, n_beams: int):
+        """[n_beams] f32 scale vector on device, or None until every
+        selected beam's auto scale is known (unselected beams get 1.0
+        — their quantized values are never written)."""
+        if self._dev_scales is None:
+            if any(self._scales[b] is None for b in self.beams):
+                return None
+            import jax
+
+            vec = np.ones(n_beams, np.float32)
+            for b, s in self._scales.items():
+                vec[b] = s
+            self._dev_scales = jax.device_put(vec)
+        return self._dev_scales
+
     def write(self, seq: int, block: np.ndarray) -> None:
-        block = np.asarray(block, dtype=np.float32)
+        block = np.asarray(block)
+        # uint8 means the block was already scaled+clipped on device
+        # (device_post) — only the layout work remains here.
+        pre_quantized = block.dtype == np.uint8
+        if not pre_quantized:
+            block = block.astype(np.float32, copy=False)
         if self._stokes:
             # [F', T', 4, B] -> [B, T', 4, F'], channels descending.
             arr = np.transpose(block, (3, 1, 2, 0))[..., ::-1]
@@ -220,7 +282,7 @@ class FilterbankSink:
         self._last_seq = seq
         for b, f in self._files.items():
             out = arr[b]
-            if self.nbits == 8:
+            if self.nbits == 8 and not pre_quantized:
                 if self._scales[b] is None:
                     med = float(np.median(out))
                     self._scales[b] = 64.0 / med if med > 0 else 1.0

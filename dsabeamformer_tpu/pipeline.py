@@ -351,6 +351,12 @@ class StreamingBeamformer:
         np.asarray(out)  # full round trip
         if inco is not None:
             np.asarray(inco)
+        # Compile the sink's device-side post-transform (e.g. the
+        # FilterbankSink 8-bit quantizer) at its runtime shapes too —
+        # a first-live-block compile would stall the stream.
+        post = getattr(self.sink, "device_post", None)
+        if post is not None:
+            np.asarray(post(out, warmup=True))
 
     def update_weights(self, weights: QuantWeights) -> None:
         """Swap in new (already-quantized) weights for subsequent blocks
@@ -389,6 +395,9 @@ class StreamingBeamformer:
         cfg = self.cfg
         self._check_staging_pool()
         self._stats = stats = StreamStats(cfg_name=cfg.name)
+        # Device-side product transform offered by the sink (e.g.
+        # 8-bit quantization so D2H moves 1 byte/sample, not 4).
+        post = getattr(self.sink, "device_post", None)
         n = 0
         while max_blocks is None or n < max_blocks:
             item = self.source.read_block()
@@ -405,6 +414,8 @@ class StreamingBeamformer:
                 wire_np.reshape(cfg.device_wire_shape)
             )
             out, inco = self._step(wire_dev)            # async dispatch
+            if post is not None:
+                out = post(out)
             self._inflight.append((seq, out, inco, time.perf_counter()))
             stats.n_blocks += 1
             stats.bytes_in += cfg.wire_block_bytes

@@ -281,3 +281,88 @@ def test_cmd_fil_stokes_bandpass_uses_stokes_i(tiny_cfg, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["bandpass_min"] == pytest.approx(5.0)
     assert out["bandpass_ripple"] == pytest.approx(1.0)
+
+
+def test_device_post_quantizes_on_device_after_autocal(tiny_cfg, tmp_path):
+    """The 8-bit sink's device hook: block 0 travels f32 (sets auto
+    scales), every later block is quantized ON DEVICE and written as
+    uint8 — byte-identical to the host quantization path."""
+    import jax
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(17)
+    b0, b1 = (rng.uniform(0.5, 3.0, (f_out, t_out, b_out))
+              .astype(np.float32) for _ in range(2))
+    host = FilterbankSink(tmp_path / "host", cfg, nbits=8)
+    dev = FilterbankSink(tmp_path / "dev", cfg, nbits=8)
+    for s, use_dev in ((host, False), (dev, True)):
+        # block 0: hook passes f32 through (scales unknown)
+        out0 = s.device_post(jax.device_put(b0)) if use_dev else b0
+        assert np.asarray(out0).dtype == np.float32
+        s.write(0, np.asarray(out0))
+        out1 = s.device_post(jax.device_put(b1)) if use_dev else b1
+        if use_dev:
+            assert np.asarray(out1).dtype == np.uint8
+        s.write(1, np.asarray(out1))
+        s.close()
+    assert host.scales == dev.scales
+    for b in range(b_out):
+        _, dh = read_filterbank(tmp_path / "host" / f"beam{b:04d}.fil")
+        _, dd = read_filterbank(tmp_path / "dev" / f"beam{b:04d}.fil")
+        np.testing.assert_array_equal(dh, dd)
+
+
+def test_device_post_explicit_scale_immediate(tiny_cfg, tmp_path):
+    """With an explicit --fil-scale the device path engages from block
+    0; warmup compiles the quantizer with dummy scales."""
+    import jax
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    blk = np.full((f_out, t_out, b_out), 2.0, np.float32)
+    sink = FilterbankSink(tmp_path / "fil", cfg, nbits=8, scale=10.0)
+    warm = sink.device_post(jax.device_put(blk), warmup=True)
+    assert np.asarray(warm).dtype == np.uint8  # compiled, discarded
+    out = sink.device_post(jax.device_put(blk))
+    assert np.asarray(out).dtype == np.uint8
+    sink.write(0, np.asarray(out))
+    sink.close()
+    _, data = read_filterbank(tmp_path / "fil" / "beam0000.fil")
+    assert (data == 20).all()
+    # 32-bit sinks pass through untouched.
+    s32 = FilterbankSink(tmp_path / "f32", cfg)
+    assert s32.device_post(blk) is blk
+
+
+def test_cli_8bit_run_uses_device_path(tiny_cfg, tmp_path):
+    """End-to-end 2-block 8-bit CLI run: the pipeline engages the
+    device quantizer from block 1; payload matches the golden powers
+    quantized with the block-0 auto scale."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import weights_numpy_golden
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (21, 22)]
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(b"".join(w.tobytes() for w in wires))
+    fil_dir = tmp_path / "fil"
+    rc = cli_main(["run", "--config", "tiny", "--input-file", str(raw),
+                   "--fil-dir", str(fil_dir), "--fil-bits", "8",
+                   "--fil-beams", "2"])
+    assert rc == 0
+    scale = json.loads((fil_dir / "scales.json").read_text())["beam0002.fil"]
+    hdr, data = read_filterbank(fil_dir / "beam0002.fil")
+    assert hdr["nbits"] == 8 and data.shape[0] == 2 * cfg.out_block_shape[1]
+    refs = [beamform_block_ref(weights_numpy_golden(cfg), w,
+                               cfg.input_layout, cfg.navg_time,
+                               cfg.navg_freq) for w in wires]
+    want = np.concatenate([r[::-1, :, 2].T for r in refs], axis=0)
+    want_q = np.clip(np.rint(want * scale), 0, 255)
+    # device (block 1) and host (block 0) quantization agree to the
+    # golden within 1 count (f32 kernel vs f64 golden rounding).
+    assert np.abs(data[:, 0, :].astype(np.int32) - want_q).max() <= 1
