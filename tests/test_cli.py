@@ -268,3 +268,34 @@ def test_launch_validates_devices_count(capsys):
     rc = cli_main(["launch", "--subbands", "2", "--devices", "0",
                    "--", "--config", "tiny"])
     assert rc == 2
+
+
+def test_launch_failing_child_fails_aggregate(tiny_cfg, tmp_path,
+                                              monkeypatch, capsys):
+    """One subband child failing (missing input file) must fail the
+    aggregate report and the supervisor exit code, while healthy
+    subbands still complete and report."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    cfg = tiny_cfg
+    width = cfg.n_chan // 2
+    # Only subband 0's capture exists; child 1 exits nonzero.
+    sb = cfg.subband(0, width)
+    (tmp_path / "cap0.raw").write_bytes(
+        make_noise_block(sb, rms=2.0, seed=31).tobytes())
+    rc = cli_main([
+        "launch", "--subbands", "2", "--",
+        "--config", "tiny",
+        "--input-file", str(tmp_path / "cap{i}.raw"),
+        "--output-file", str(tmp_path / "out{i}.dat"),
+    ])
+    assert rc != 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] is False
+    rcs = {s["subband"]: s["rc"] for s in rep["subbands"]}
+    assert rcs["0/2"] == 0 and rcs["1/2"] != 0
