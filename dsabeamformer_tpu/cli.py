@@ -77,6 +77,10 @@ def _load_cfg(args):
             raise SystemExit(
                 f"--subband /{n} does not divide n_chan={cfg.n_chan}")
         width = cfg.n_chan // n
+        # Remember the slice frame so full-band channel specs (--zap)
+        # can be translated into this process's local indices.
+        args._full_n_chan = cfg.n_chan
+        args._chan_offset = i * width
         cfg = cfg.subband(i * width, width)
     return cfg
 
@@ -131,19 +135,42 @@ def _iter_capture_blocks(args, cfg, offset):
         n += 1
 
 
+def _local_zap_chans(cfg, args):
+    """--zap spec (FULL-band raw channel indices, so one spec serves
+    every `dsabf launch` child) -> this process's local channel list.
+    Out-of-subband channels are simply not ours; out-of-band ones are
+    an error."""
+    from dsabeamformer_tpu.models.weights import parse_zap
+
+    chans = parse_zap(args.zap)
+    full_n = getattr(args, "_full_n_chan", cfg.n_chan)
+    bad = [c for c in chans if not 0 <= c < full_n]
+    if bad:
+        raise SystemExit(f"--zap channels {bad} out of range [0, {full_n})")
+    off = getattr(args, "_chan_offset", 0)
+    return [c - off for c in chans if off <= c < off + cfg.n_chan]
+
+
 def _make_weights(cfg, args):
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calibration import CalTable
-    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.models.weights import make_weights, zap_weights
     from dsabeamformer_tpu.ops.quantize import load_quant_weights, prepare_weights
 
     if getattr(args, "weights", None):
+        if getattr(args, "zap", None):
+            raise SystemExit(
+                "--zap edits weights at generation time and cannot be "
+                "applied to pre-quantized --weights; re-run `dsabf "
+                "weights --zap ...`")
         return load_quant_weights(args.weights)
     layout = (ArrayLayout.load(args.layout)
               if getattr(args, "layout", None) else None)
     cal = CalTable.load(args.cal) if getattr(args, "cal", None) else None
     w = make_weights(cfg, layout=layout, cal=cal,
                      pointing_rad=getattr(args, "pointing", 0.0))
+    if getattr(args, "zap", None):
+        w = zap_weights(w, _local_zap_chans(cfg, args), cfg)
     return prepare_weights(cfg, w)
 
 
@@ -254,6 +281,24 @@ def _cmd_run_pinned(args) -> int:
             sink = RingSink(out_ring, cfg, products=args.products)
         inco_sink = (FileSink(args.incoherent_file, None)
                      if args.incoherent_file else None)
+        if inco_sink is not None and getattr(args, "zap", None):
+            # The incoherent product is data-side — weight zapping
+            # can't touch it; mask zapped averaged groups instead
+            # (conservative: any zapped raw channel kills its group).
+            from dsabeamformer_tpu.models.weights import zap_mask_avg
+
+            class _MaskedSink:
+                def __init__(self, inner, mask):
+                    self.inner, self.mask = inner, mask[:, None]
+
+                def write(self, seq, arr):
+                    self.inner.write(seq, np.asarray(arr) * self.mask)
+
+                def close(self):
+                    self.inner.close()
+
+            inco_sink = _MaskedSink(
+                inco_sink, zap_mask_avg(_local_zap_chans(cfg, args), cfg))
     except ValueError as e:
         if sink is not None:
             sink.close()
@@ -791,6 +836,12 @@ def main(argv=None) -> int:
                    help="antenna position table (.npz or text: EW [NS] "
                         "meters, one row per dish)")
     p.add_argument("--weights", help="pre-quantized weights .npz (dsabf weights)")
+    p.add_argument("--zap", metavar="CHANS",
+                   help="RFI channel excision: comma-separated FULL-band "
+                        "raw channel indices/ranges (e.g. 12,100-110) "
+                        "whose weights are zeroed — coherent products "
+                        "read exactly 0 there; with --incoherent-file "
+                        "the matching averaged groups are masked")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
@@ -844,6 +895,8 @@ def main(argv=None) -> int:
                    help="antenna position table (.npz or text: EW [NS] "
                         "meters, one row per dish)")
     p.add_argument("--pointing", type=float, default=0.0)
+    p.add_argument("--zap", metavar="CHANS",
+                   help="RFI channel excision (see `dsabf run --zap`)")
     p.set_defaults(fn=cmd_weights)
 
     p = sub.add_parser("beampattern", help="render the formed-beam response")

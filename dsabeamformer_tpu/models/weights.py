@@ -210,3 +210,58 @@ def weights_numpy_golden(
     tau = x * s / SPEED_OF_LIGHT_M_S + fringe_delay_s
     w = np.exp(-2j * np.pi * f * tau)
     return w * cal.gains.astype(np.complex128).T[:, None, :]
+
+
+def parse_zap(spec: str) -> list:
+    """Parse an RFI channel-zap spec — comma-separated raw channel
+    indices and inclusive ranges, e.g. ``"12,100-110,500"`` — into a
+    sorted duplicate-free index list."""
+    chans: set = set()
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "-" in tok:
+            lo, hi = tok.split("-", 1)
+            lo, hi = int(lo), int(hi)
+            if hi < lo:
+                raise ValueError(f"bad zap range {tok!r}")
+            chans.update(range(lo, hi + 1))
+        else:
+            chans.add(int(tok))
+    return sorted(chans)
+
+
+def zap_weights(w: CVec, channels, cfg: ObsConfig) -> CVec:
+    """Zero the weight rows of RFI channels (standard excision:
+    the CUDA world edits cal files by hand; here it is a flag).
+
+    Zapped channels' beam voltages — and therefore every coherent
+    product (power, Stokes) — are EXACTLY zero: zero weights quantize
+    to zero integers in every mode (the per-channel scale floor keeps
+    the divide finite).  With ``navg_freq > 1``, a zapped raw channel
+    contributes nothing to its averaged output group (partial-group
+    zaps keep the other channels' signal).  The data-side incoherent
+    product is not affected by weights; the CLI masks it at averaged
+    resolution (`--zap` + `--incoherent-file`).
+    """
+    idx = np.asarray(parse_zap(channels) if isinstance(channels, str)
+                     else sorted(set(int(c) for c in channels)))
+    if idx.size == 0:
+        return w
+    if idx.min() < 0 or idx.max() >= cfg.n_chan:
+        raise ValueError(
+            f"zap channels {idx[(idx < 0) | (idx >= cfg.n_chan)].tolist()} "
+            f"out of range [0, {cfg.n_chan})")
+    return CVec(re=w.re.at[idx].set(0.0), im=w.im.at[idx].set(0.0))
+
+
+def zap_mask_avg(channels, cfg: ObsConfig) -> np.ndarray:
+    """``[n_chan/navg_freq]`` float32 mask for the incoherent product:
+    0 for averaged groups containing ANY zapped raw channel, else 1
+    (conservative excision — the incoherent sum is computed from the
+    data, so a partially-contaminated group stays contaminated)."""
+    idx = parse_zap(channels) if isinstance(channels, str) else channels
+    mask = np.ones(cfg.n_chan, np.float32)
+    mask[np.asarray(sorted(set(int(c) for c in idx)), dtype=int)] = 0.0
+    return mask.reshape(-1, cfg.navg_freq).min(axis=1)
