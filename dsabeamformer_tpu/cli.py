@@ -151,18 +151,32 @@ def _local_zap_chans(cfg, args):
     return [c - off for c in chans if off <= c < off + cfg.n_chan]
 
 
+def _flag_ant_list(args):
+    """--flag-ants spec -> sorted antenna index tuple (no subband
+    translation: antennas are not subband-split, one spec serves every
+    launch child verbatim)."""
+    from dsabeamformer_tpu.models.weights import parse_zap
+
+    spec = getattr(args, "flag_ants", None)
+    return tuple(parse_zap(spec)) if spec else ()
+
+
 def _make_weights(cfg, args):
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calibration import CalTable
-    from dsabeamformer_tpu.models.weights import make_weights, zap_weights
+    from dsabeamformer_tpu.models.weights import (
+        flag_antennas, make_weights, zap_weights,
+    )
     from dsabeamformer_tpu.ops.quantize import load_quant_weights, prepare_weights
 
     if getattr(args, "weights", None):
-        if getattr(args, "zap", None):
+        baked = [f for f in ("zap", "flag_ants") if getattr(args, f, None)]
+        if baked:
+            opts = ", ".join("--" + f.replace("_", "-") for f in baked)
             raise SystemExit(
-                "--zap edits weights at generation time and cannot be "
-                "applied to pre-quantized --weights; re-run `dsabf "
-                "weights --zap ...`")
+                f"{opts} edits weights at generation time and cannot be "
+                f"applied to pre-quantized --weights; re-run `dsabf "
+                f"weights {opts} ...`")
         return load_quant_weights(args.weights)
     layout = (ArrayLayout.load(args.layout)
               if getattr(args, "layout", None) else None)
@@ -171,6 +185,12 @@ def _make_weights(cfg, args):
                      pointing_rad=getattr(args, "pointing", 0.0))
     if getattr(args, "zap", None):
         w = zap_weights(w, _local_zap_chans(cfg, args), cfg)
+    flags = _flag_ant_list(args)
+    if flags:
+        try:
+            w = flag_antennas(w, flags, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
     return prepare_weights(cfg, w)
 
 
@@ -312,7 +332,8 @@ def _cmd_run_pinned(args) -> int:
     # quantizer) compiles during warmup too.
     warm = StreamingBeamformer(cfg, qw, source=None, sink=sink,
                                products=args.products,
-                               incoherent_sink=inco_sink)
+                               incoherent_sink=inco_sink,
+                               flag_ants=_flag_ant_list(args))
     warm.warmup()
 
     if args.input_file:
@@ -346,9 +367,27 @@ def _cmd_run_pinned(args) -> int:
         from dsabeamformer_tpu.models.tracking import FringeTracker
 
         cal = CalTable.load(args.cal) if args.cal else None
+        # Excision must survive tracker weight regeneration: re-apply
+        # --zap / --flag-ants to every fresh table.
+        edit = None
+        zap_local = (_local_zap_chans(cfg, args)
+                     if getattr(args, "zap", None) else [])
+        flags = _flag_ant_list(args)
+        if zap_local or flags:
+            from dsabeamformer_tpu.models.weights import (
+                flag_antennas, zap_weights,
+            )
+
+            def edit(w, _z=zap_local, _f=flags):
+                if _z:
+                    w = zap_weights(w, _z, cfg)
+                if _f:
+                    w = flag_antennas(w, _f, cfg)
+                return w
+
         warm.tracker = FringeTracker(
             cfg, cal=cal, pointing0_rad=args.pointing,
-            declination_rad=args.declination,
+            declination_rad=args.declination, edit=edit,
         )
     warm.source = source
     warm.depth = args.depth
@@ -842,6 +881,10 @@ def main(argv=None) -> int:
                         "whose weights are zeroed — coherent products "
                         "read exactly 0 there; with --incoherent-file "
                         "the matching averaged groups are masked")
+    p.add_argument("--flag-ants", metavar="ANTS",
+                   help="bad-antenna excision: comma-separated antenna "
+                        "indices/ranges (e.g. 3,17-19) zeroed in the "
+                        "weights and excluded from the incoherent sum")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
@@ -897,6 +940,8 @@ def main(argv=None) -> int:
     p.add_argument("--pointing", type=float, default=0.0)
     p.add_argument("--zap", metavar="CHANS",
                    help="RFI channel excision (see `dsabf run --zap`)")
+    p.add_argument("--flag-ants", metavar="ANTS",
+                   help="bad-antenna excision (see `dsabf run --flag-ants`)")
     p.set_defaults(fn=cmd_weights)
 
     p = sub.add_parser("beampattern", help="render the formed-beam response")

@@ -41,6 +41,11 @@ class FringeTracker:
     pointing0_rad: float = 0.0
     declination_rad: float = 0.0
     max_phase_error_rad: float = 0.05
+    #: Optional CVec -> CVec edit applied to every regenerated table
+    #: BEFORE quantization (channel zap / antenna flags — without it,
+    #: the first tracker update would silently un-excise a --zap or
+    #: --flag-ants run).
+    edit: Optional[callable] = None
     _last_update_t: float = dataclasses.field(default=None, init=False)  # type: ignore
     _n_updates: int = dataclasses.field(default=0, init=False)
 
@@ -76,6 +81,8 @@ class FringeTracker:
             cal=self.cal,
             pointing_rad=self.pointing_at(t_s),
         )
+        if self.edit is not None:
+            w = self.edit(w)
         return quantize_weights(w, self.cfg.weight_mode, self.cfg.a_compute)
 
     def maybe_update(self, t_s: float) -> Optional[QuantWeights]:

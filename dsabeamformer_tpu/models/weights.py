@@ -256,6 +256,35 @@ def zap_weights(w: CVec, channels, cfg: ObsConfig) -> CVec:
     return CVec(re=w.re.at[idx].set(0.0), im=w.im.at[idx].set(0.0))
 
 
+def flag_antennas(w: CVec, ants, cfg: ObsConfig) -> CVec:
+    """Zero the weight columns of bad antennas (operator excision —
+    the CUDA deployment's analog is hand-editing the cal file to zero
+    a dish's gains; here it is a flag).
+
+    Flagged antennas contribute exactly nothing to every coherent
+    product in every quantization mode (zero weights quantize to zero
+    integers).  No renormalization is applied: the coherent gain drops
+    by the flagged fraction, matching what a zeroed cal gain would do —
+    downstream S/N estimates should use the surviving-antenna count.
+    The data-side incoherent product is masked separately
+    (``flag_ants=`` on ``beamform_power``/``incoherent_power``).
+
+    Accepts a spec string (``"3,17-19"``) or an index iterable; indices
+    are raw antenna slots and must be ``< n_ant_active`` (the padded
+    slots beyond carry zero weights already).
+    """
+    idx = np.asarray(parse_zap(ants) if isinstance(ants, str)
+                     else sorted(set(int(a) for a in ants)))
+    if idx.size == 0:
+        return w
+    if idx.min() < 0 or idx.max() >= cfg.n_ant_active:
+        raise ValueError(
+            f"flagged antennas "
+            f"{idx[(idx < 0) | (idx >= cfg.n_ant_active)].tolist()} out of "
+            f"range [0, n_ant_active={cfg.n_ant_active})")
+    return CVec(re=w.re.at[..., idx].set(0.0), im=w.im.at[..., idx].set(0.0))
+
+
 def zap_mask_avg(channels, cfg: ObsConfig) -> np.ndarray:
     """``[n_chan/navg_freq]`` float32 mask for the incoherent product:
     0 for averaged groups containing ANY zapped raw channel, else 1

@@ -58,6 +58,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -181,7 +182,7 @@ def _chan_loop(fc: int, chan_body):
 
 def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                    navg_time, x16, x_dup, time_major, epilogue,
-                   n_active=0):
+                   n_active=0, flagged=()):
     """Shared fused detection kernel: unpack prologue + GEMM + a
     pluggable quadratic epilogue (power or full Stokes), deferred-s^2
     dequantized on the time-averaged output.
@@ -242,10 +243,16 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
             # folded into the ones vector — no per-element select.
             xf = plain.astype(jnp.float32)
             sq = xf * xf                              # [P*tt, 2a] f32
+            # Built in-kernel from iota (Pallas rejects captured
+            # constant arrays); `flagged` is a static tuple, so the
+            # bad-antenna compares unroll at trace time.
             ant = jax.lax.broadcasted_iota(
                 jnp.int32, (2 * a_compute, 1), 0
             ) % a_compute
-            ones = (ant < n_active).astype(jnp.float32)
+            keep = ant < n_active
+            for fa in flagged:
+                keep = keep & (ant != fa)
+            ones = keep.astype(jnp.float32)
             v = jnp.dot(sq, ones,
                         preferred_element_type=jnp.float32)  # [P*tt, 1]
             tot = v[:tt]
@@ -444,13 +451,15 @@ def _cost(cfg: ObsConfig, n_terms: int, weight_bytes: int, out_bytes: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent",
+                                             "flag_ants"))
 def beamform_power(
     wire: jax.Array,
     qw: QuantWeights,
     cfg: ObsConfig,
     interpret: bool | None = None,
     incoherent: bool = False,
+    flag_ants: tuple = (),
 ) -> jax.Array:
     """Fused pipeline: 4R4I wire block -> averaged beam powers.
 
@@ -462,9 +471,14 @@ def beamform_power(
     power ``[F/navg_freq, T/navg_time]`` (semantics of
     ``ops.incoherent.incoherent_power``) as a second output of the SAME
     kernel — the wire bytes are read from HBM once for both products.
+    ``flag_ants`` (static tuple of raw antenna indices) excludes bad
+    antennas from the incoherent sum; the coherent product is flagged
+    on the weight side instead (``models.weights.flag_antennas``),
+    so the tuple only matters with ``incoherent=True``.
     """
     out = _fused_detect(wire, qw, cfg, interpret, _power_epilogue,
-                        out_width=cfg.n_beams, incoherent=incoherent)
+                        out_width=cfg.n_beams, incoherent=incoherent,
+                        flag_ants=flag_ants)
     if incoherent:
         out, inco = out
         inco = inco[:, :, 0]  # drop the kernel's singleton lane axis
@@ -477,11 +491,16 @@ def beamform_power(
 
 
 def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
-                  incoherent=False):
+                  incoherent=False, flag_ants=()):
     """Shared fused-kernel invocation for the detection products
     (power: out_width=B; Stokes: out_width=4*B)."""
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
+    if flag_ants and (min(flag_ants) < 0
+                      or max(flag_ants) >= cfg.n_ant_active):
+        raise ValueError(
+            f"flag_ants {sorted(flag_ants)} out of range "
+            f"[0, n_ant_active={cfg.n_ant_active})")
     x, time_major = _prepare_wire(wire, cfg)
     pa = cfg.n_pol * cfg.n_ant
     grouped_ok = (
@@ -556,6 +575,7 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         time_major=time_major,
         epilogue=epilogue,
         n_active=cfg.n_ant_active if incoherent else 0,
+        flagged=tuple(sorted(flag_ants)) if incoherent else (),
     )
     out_bytes = (out_shape[0].size + out_shape[1].size if incoherent
                  else out_shape.size) * 4
@@ -577,13 +597,15 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
     )(x, *qw.terms, qw.scales[:, None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent",
+                                             "flag_ants"))
 def beamform_stokes(
     wire: jax.Array,
     qw: QuantWeights,
     cfg: ObsConfig,
     interpret: bool | None = None,
     incoherent: bool = False,
+    flag_ants: tuple = (),
 ) -> jax.Array:
     """Fused full-Stokes pipeline: wire block -> averaged Stokes spectra.
 
@@ -608,7 +630,8 @@ def beamform_stokes(
     BENCH.md.
     """
     out = _fused_detect(wire, qw, cfg, interpret, _stokes_epilogue,
-                        out_width=4 * cfg.n_beams, incoherent=incoherent)
+                        out_width=4 * cfg.n_beams, incoherent=incoherent,
+                        flag_ants=flag_ants)
     if incoherent:
         # Same fused side-product as beamform_power(incoherent=True):
         # one HBM pass over the wire bytes for all five planes.

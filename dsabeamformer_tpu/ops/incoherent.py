@@ -26,8 +26,9 @@ from dsabeamformer_tpu.config import ObsConfig
 from dsabeamformer_tpu.ops.packing import unpack_4r4i
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cfg", "flag_ants"))
+def incoherent_power(wire: jax.Array, cfg: ObsConfig,
+                     flag_ants: tuple = ()) -> jax.Array:
     """4R4I wire block -> incoherent total power
     ``[F/navg_freq, T/navg_time]``.
 
@@ -36,6 +37,8 @@ def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
     adjacent channels — the incoherent analog of ``beamform_power``'s
     detection epilogue, channel axis matching ``out_block_shape``
     (power in raw 4-bit units^2; no weights, no calibration).
+    ``flag_ants`` (static) excludes bad antennas from the sum — the
+    data-side analog of ``models.weights.flag_antennas``.
     """
     if wire.dtype != jnp.uint8:
         raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
@@ -54,7 +57,17 @@ def incoherent_power(wire: jax.Array, cfg: ObsConfig) -> jax.Array:
     re, im = unpack_4r4i(x)
     re = re.astype(jnp.int32)
     im = im.astype(jnp.int32)
-    p = (re * re + im * im).sum(axis=(2, 3))  # over (pol, antenna)
+    p = re * re + im * im
+    if flag_ants:
+        if min(flag_ants) < 0 or max(flag_ants) >= cfg.n_ant_active:
+            raise ValueError(
+                f"flag_ants {sorted(flag_ants)} out of range "
+                f"[0, n_ant_active={cfg.n_ant_active})")
+        import numpy as _np
+        keep = _np.ones(cfg.n_ant_active, _np.int32)
+        keep[list(flag_ants)] = 0
+        p = p * jnp.asarray(keep)
+    p = p.sum(axis=(2, 3))  # over (pol, antenna)
     if cfg.input_layout == "tfpa":
         p = p.T  # [T, F] -> [F, T]
     f, t = p.shape
@@ -109,7 +122,7 @@ def wire_level_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
     }
 
 
-def incoherent_power_golden(wire, cfg: ObsConfig):
+def incoherent_power_golden(wire, cfg: ObsConfig, flag_ants=()):
     """NumPy float64 oracle for ``incoherent_power``."""
     import numpy as np
 
@@ -117,7 +130,10 @@ def incoherent_power_golden(wire, cfg: ObsConfig):
 
     v = unpack_wire_to_complex(np.asarray(wire).reshape(cfg.wire_block_shape),
                                cfg.input_layout)  # [F, T, P, A] complex
-    p = (np.abs(v[..., : cfg.n_ant_active]) ** 2).sum(axis=(2, 3))
+    p = np.abs(v[..., : cfg.n_ant_active]) ** 2
+    if flag_ants:
+        p[..., sorted(flag_ants)] = 0.0
+    p = p.sum(axis=(2, 3))
     f, t = p.shape
     p = p.reshape(f, t // cfg.navg_time, cfg.navg_time).sum(axis=2)
     if cfg.navg_freq > 1:

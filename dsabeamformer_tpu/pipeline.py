@@ -280,6 +280,7 @@ class StreamingBeamformer:
         tracker=None,
         products: str = "power",
         incoherent_sink=None,
+        flag_ants: tuple = (),
     ):
         if products not in ("power", "stokes"):
             raise ValueError(f"products must be power|stokes, got {products!r}")
@@ -297,6 +298,11 @@ class StreamingBeamformer:
         # ([F/navg_freq, T/navg_time] float32 ->
         # incoherent_sink.write(seq, arr)).
         self.incoherent_sink = incoherent_sink
+        # Bad antennas excluded from the incoherent sum (the coherent
+        # products flag on the weight side — models.weights.flag_antennas
+        # is applied before quantization, so `weights` already reflects
+        # the flags there).
+        self.flag_ants = tuple(sorted(flag_ants))
         # Optional fringe/cal tracker (models/tracking.py): polled once
         # per block with the stream time; a non-None return swaps in new
         # weights for subsequent blocks without stalling.
@@ -329,7 +335,7 @@ class StreamingBeamformer:
         pass at the DSA-10 preset, BENCH.md "Incoherent product")."""
         if self.incoherent_sink is not None:
             return self._detect(wire_dev, self.weights, self.cfg,
-                                incoherent=True)
+                                incoherent=True, flag_ants=self.flag_ants)
         return self._detect(wire_dev, self.weights, self.cfg), None
 
     def current_stats(self) -> StreamStats:
