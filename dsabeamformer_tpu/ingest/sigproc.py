@@ -239,6 +239,20 @@ class FilterbankSink:
             return out_dev
         return q(out_dev, s)
 
+    def fused_quant8_scales(self):
+        """Per-beam scale vector for IN-KERNEL 8-bit quantization
+        (``beamform_power(quant8_scales=...)``), or None while
+        auto-calibration still needs a float block / at nbits=32.
+
+        Preferred over ``device_post`` when the pipeline can use it
+        (power products, navg_freq=1): the f32 product then never
+        touches HBM — the epilogue stores uint8 directly (saves ~2.1 GB
+        of HBM round-trip per full dsa10 block vs kernel-writes-f32 +
+        quantizer-pass).  Math and bytes are identical either way."""
+        if self.nbits != 8:
+            return None
+        return self._device_scale_vec(self.cfg.n_beams)
+
     def _device_scale_vec(self, n_beams: int):
         """[n_beams] f32 scale vector on device, or None until every
         selected beam's auto scale is known (unselected beams get 1.0

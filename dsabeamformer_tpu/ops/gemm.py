@@ -182,7 +182,7 @@ def _chan_loop(fc: int, chan_body):
 
 def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                    navg_time, x16, x_dup, time_major, epilogue,
-                   n_active=0, flagged=()):
+                   n_active=0, flagged=(), quant8=False):
     """Shared fused detection kernel: unpack prologue + GEMM + a
     pluggable quadratic epilogue (power or full Stokes), deferred-s^2
     dequantized on the time-averaged output.
@@ -193,11 +193,23 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
     in VMEM so the 4-bit wire bytes are read from HBM exactly once
     (VERDICT r2 #5; the standalone ``ops.incoherent.incoherent_power``
     is a second full HBM pass over the wire block).
+
+    ``quant8`` adds a per-beam scale input ref and stores the detection
+    product as uint8 ``clip(rint(power * scale), 0, 255)`` — the 8-bit
+    filterbank output quantized IN the epilogue, so the f32 product
+    never touches HBM (vs the standalone ``FilterbankSink.device_post``
+    pass: kernel writes 4 B/sample + quantizer reads 4 + writes 1).
     """
-    if n_active:
-        w_refs, (s_ref, o_ref, i_ref) = refs[:n_terms], refs[n_terms:]
-    else:
-        w_refs, (s_ref, o_ref) = refs[:n_terms], refs[n_terms:]
+    idx = n_terms
+    w_refs = refs[:idx]
+    s_ref = refs[idx]
+    idx += 1
+    q_ref = None
+    if quant8:
+        q_ref = refs[idx]
+        idx += 1
+    o_ref = refs[idx]
+    i_ref = refs[idx + 1] if n_active else None
     pa = n_pol * n_ant
     if time_major:
         # x_ref is [time_tile, chan_tile * P*A]: the wire block stayed in
@@ -226,7 +238,17 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         # float modes); every epilogue term is quadratic in the same
         # quantized units, so s^2 dequantizes them all.
         s = s_ref[c, 0, n_terms - 1]
-        o_ref[c] = out * (s * s)
+        if quant8:
+            # Parenthesized to round exactly like the two-pass path
+            # (which stores out*(s*s) to f32, then rints the product
+            # with the beam scale): byte-for-byte identical output.
+            v = (out * (s * s)) * q_ref[0, 0]
+            # Mosaic has no f32->uint8 cast; go through int32 (exact:
+            # the value is already rint'ed and clipped to [0, 255]).
+            o_ref[c] = jnp.clip(jnp.rint(v), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+        else:
+            o_ref[c] = out * (s * s)
         if n_active:
             # The plain [re | im] planes are the LAST 2*a_compute lanes
             # of every x_all layout (x16 modes prepend the 16x planes;
@@ -460,6 +482,7 @@ def beamform_power(
     interpret: bool | None = None,
     incoherent: bool = False,
     flag_ants: tuple = (),
+    quant8_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Fused pipeline: 4R4I wire block -> averaged beam powers.
 
@@ -475,10 +498,24 @@ def beamform_power(
     antennas from the incoherent sum; the coherent product is flagged
     on the weight side instead (``models.weights.flag_antennas``),
     so the tuple only matters with ``incoherent=True``.
+
+    ``quant8_scales`` (``[n_beams]`` float32, counts-per-unit-power)
+    fuses the 8-bit filterbank quantization into the epilogue: the
+    power product comes back uint8 ``clip(rint(p * scale_b), 0, 255)``
+    — byte-identical to quantizing the f32 output after the fact, but
+    the f32 product never round-trips HBM (the fil sink's output path;
+    see ``FilterbankSink.fused_quant8_scales``).  Requires
+    ``navg_freq == 1`` (quantization must follow any channel
+    averaging); the incoherent side-product stays float32.
     """
+    if quant8_scales is not None and cfg.navg_freq != 1:
+        raise ValueError(
+            f"quant8_scales requires navg_freq=1 (got {cfg.navg_freq}): "
+            f"in-epilogue quantization must be the LAST averaging step; "
+            f"use FilterbankSink.device_post for navg_freq > 1")
     out = _fused_detect(wire, qw, cfg, interpret, _power_epilogue,
                         out_width=cfg.n_beams, incoherent=incoherent,
-                        flag_ants=flag_ants)
+                        flag_ants=flag_ants, quant8_scales=quant8_scales)
     if incoherent:
         out, inco = out
         inco = inco[:, :, 0]  # drop the kernel's singleton lane axis
@@ -491,7 +528,7 @@ def beamform_power(
 
 
 def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
-                  incoherent=False, flag_ants=()):
+                  incoherent=False, flag_ants=(), quant8_scales=None):
     """Shared fused-kernel invocation for the detection products
     (power: out_width=B; Stokes: out_width=4*B)."""
     interpret = _default_interpret() if interpret is None else interpret
@@ -515,9 +552,15 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         x = jnp.transpose(x.reshape(cfg.t_block, cfg.n_chan, pa), (1, 0, 2))
         time_major = False
     n_terms = len(qw.terms)
+    quant8 = quant8_scales is not None
+    if quant8 and quant8_scales.shape != (cfg.n_beams,):
+        raise ValueError(
+            f"quant8_scales must be [n_beams]={cfg.n_beams}, "
+            f"got {quant8_scales.shape}")
     grid = (cfg.n_chan // cfg.chan_tile, cfg.t_block // cfg.time_tile)
     out_shape = jax.ShapeDtypeStruct(
-        (cfg.n_chan, cfg.t_block // cfg.navg_time, out_width), jnp.float32
+        (cfg.n_chan, cfg.t_block // cfg.navg_time, out_width),
+        jnp.uint8 if quant8 else jnp.float32,
     )
     out_spec = pl.BlockSpec(
         (cfg.chan_tile, cfg.time_tile // cfg.navg_time, out_width),
@@ -576,13 +619,28 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         epilogue=epilogue,
         n_active=cfg.n_ant_active if incoherent else 0,
         flagged=tuple(sorted(flag_ants)) if incoherent else (),
+        quant8=quant8,
     )
-    out_bytes = (out_shape[0].size + out_shape[1].size if incoherent
-                 else out_shape.size) * 4
+    in_specs = _common_specs(cfg, n_terms, time_major)
+    operands = [x, *qw.terms, qw.scales[:, None, :]]
+    if quant8:
+        # Per-beam 8-bit scale vector as a [1, 1, B] VMEM block,
+        # constant across the grid (fetched once, like the weights).
+        in_specs.append(pl.BlockSpec(
+            (1, 1, cfg.n_beams), lambda f, t: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(
+            quant8_scales.astype(jnp.float32)[None, None, :])
+    if incoherent:
+        out_bytes = out_shape[0].size * out_shape[0].dtype.itemsize \
+            + out_shape[1].size * 4
+    else:
+        out_bytes = out_shape.size * out_shape.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=_common_specs(cfg, n_terms, time_major),
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -594,7 +652,7 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
             out_bytes=out_bytes,
         ),
         interpret=interpret,
-    )(x, *qw.terms, qw.scales[:, None, :])
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent",

@@ -326,17 +326,41 @@ class StreamingBeamformer:
                 f"or lower --depth"
             )
 
-    def _step(self, wire_dev):
+    def _step(self, wire_dev, quant8_scales=None):
         """One block's device dispatch -> (detect_out, inco_or_None).
 
         With an incoherent sink, both products come from ONE fused
         kernel call (power or Stokes — the wire bytes are read from HBM
         once; measured 7.8 ms/block cheaper than the standalone second
-        pass at the DSA-10 preset, BENCH.md "Incoherent product")."""
+        pass at the DSA-10 preset, BENCH.md "Incoherent product").
+
+        ``quant8_scales`` (power products only) fuses the sink's 8-bit
+        quantization into the kernel epilogue — ``detect_out`` comes
+        back uint8 and the f32 product never touches HBM (BENCH.md
+        "Filterbank output path")."""
+        kw = {} if quant8_scales is None else {"quant8_scales": quant8_scales}
         if self.incoherent_sink is not None:
             return self._detect(wire_dev, self.weights, self.cfg,
-                                incoherent=True, flag_ants=self.flag_ants)
-        return self._detect(wire_dev, self.weights, self.cfg), None
+                                incoherent=True, flag_ants=self.flag_ants,
+                                **kw)
+        return self._detect(wire_dev, self.weights, self.cfg, **kw), None
+
+    def _fused_quant8(self):
+        """The sink's in-kernel quantization hook, when usable: power
+        products + navg_freq=1 (the kernel's quantize-last rule) + a
+        sink that offers per-beam scales.  Returns a nullary callable
+        yielding the current device scale vector (None until the
+        sink's auto-calibration has seen a float block) or None if the
+        fused path does not apply — the ``device_post`` two-pass path
+        then covers it."""
+        if self.products != "power" or self.cfg.navg_freq != 1:
+            return None
+        if getattr(self.sink, "nbits", None) != 8:
+            # 32-bit sinks offer the hook too (it returns None forever);
+            # gating here keeps warmup() from compiling a uint8 kernel
+            # variant that would never run.
+            return None
+        return getattr(self.sink, "fused_quant8_scales", None)
 
     def current_stats(self) -> StreamStats:
         """Stats for the in-progress (or completed) run, wall-clocked
@@ -357,6 +381,17 @@ class StreamingBeamformer:
         np.asarray(out)  # full round trip
         if inco is not None:
             np.asarray(inco)
+        if self._fused_quant8() is not None:
+            # The steady-state step is the fused uint8 variant (its
+            # scales only exist after the first live block) — compile
+            # it now with dummy scales so block 1 doesn't stall.
+            out_q, inco_q = self._step(
+                zero_dev,
+                jax.device_put(np.ones(self.cfg.n_beams, np.float32)))
+            np.asarray(out_q)
+            if inco_q is not None:
+                np.asarray(inco_q)
+            return
         # Compile the sink's device-side post-transform (e.g. the
         # FilterbankSink 8-bit quantizer) at its runtime shapes too —
         # a first-live-block compile would stall the stream.
@@ -404,6 +439,10 @@ class StreamingBeamformer:
         # Device-side product transform offered by the sink (e.g.
         # 8-bit quantization so D2H moves 1 byte/sample, not 4).
         post = getattr(self.sink, "device_post", None)
+        # In-kernel variant of the same: once the sink's per-beam
+        # scales exist, the kernel epilogue quantizes and device_post
+        # is bypassed entirely (the f32 product never touches HBM).
+        fused_q8 = self._fused_quant8()
         n = 0
         while max_blocks is None or n < max_blocks:
             item = self.source.read_block()
@@ -419,8 +458,9 @@ class StreamingBeamformer:
             wire_dev = jax.device_put(                  # H2D (async)
                 wire_np.reshape(cfg.device_wire_shape)
             )
-            out, inco = self._step(wire_dev)            # async dispatch
-            if post is not None:
+            q8 = fused_q8() if fused_q8 is not None else None
+            out, inco = self._step(wire_dev, q8)        # async dispatch
+            if q8 is None and post is not None:
                 out = post(out)
             self._inflight.append((seq, out, inco, time.perf_counter()))
             stats.n_blocks += 1

@@ -17,20 +17,29 @@ sink = FilterbankSink('/tmp/fil8m', cfg, beams=[0], nbits=8, scale=0.02)
 np.asarray(beamform_power(dev, qw, cfg))
 np.asarray(sink.device_post(beamform_power(dev, qw, cfg)))
 
-def t_path(post, reps=4):
+q8 = sink.fused_quant8_scales()
+assert q8 is not None
+np.asarray(beamform_power(dev, qw, cfg, quant8_scales=q8))  # compile fused
+
+def t_path(mode, reps=4):
     best = float('inf')
     for _ in range(reps):
         t0 = time.perf_counter()
-        x = beamform_power(dev, qw, cfg)        # fresh dispatch
-        if post:
-            x = sink.device_post(x)
+        if mode == 'fused':
+            x = beamform_power(dev, qw, cfg, quant8_scales=q8)
+        else:
+            x = beamform_power(dev, qw, cfg)    # fresh dispatch
+            if mode == 'post':
+                x = sink.device_post(x)
         np.asarray(x)                            # real D2H of a fresh array
         best = min(best, time.perf_counter() - t0)
     return best
 
-t32 = t_path(False); t8 = t_path(True)
+t32 = t_path('f32'); t8 = t_path('post'); tf = t_path('fused')
 f32_mb = 256*128*256*4/2**20
 print(json.dumps({"f32_mb": f32_mb, "kernel_plus_fetch_f32_ms": t32*1e3,
                   "kernel_plus_fetch_u8_ms": t8*1e3,
-                  "d2h_saving_ms": (t32-t8)*1e3}))
+                  "kernel_plus_fetch_fused_u8_ms": tf*1e3,
+                  "d2h_saving_ms": (t32-t8)*1e3,
+                  "fused_saving_vs_post_ms": (t8-tf)*1e3}))
 sink.close()

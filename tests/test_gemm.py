@@ -144,3 +144,66 @@ def test_freq_averaging(tiny_cfg):
     assert p.shape == cfg.out_block_shape
     p_ref = _golden_power(cfg, wire)
     assert_power_close(p, p_ref, rtol=2e-4, what="navg_freq=2")
+
+
+def test_fused_quant8_byte_equal(tiny_cfg):
+    """In-epilogue 8-bit quantization (quant8_scales): byte-identical
+    to quantizing the f32 output after the fact — same rint/clip, same
+    f32 rounding order (the fil sink's fused output path)."""
+    import jax
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=71)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    p32 = np.asarray(beamform_power(wire, qw, cfg))
+    rng = np.random.default_rng(5)
+    scales = (64.0 / np.median(p32)
+              * rng.uniform(0.5, 2.0, cfg.n_beams)).astype(np.float32)
+    want = np.clip(np.rint(p32 * scales[None, None, :]), 0, 255
+                   ).astype(np.uint8)
+    got = np.asarray(beamform_power(wire, qw, cfg,
+                                    quant8_scales=jax.device_put(scales)))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+    # Rails must actually engage (the clip is load-bearing).
+    assert (got == 255).any() or scales.max() * p32.max() < 255
+
+
+def test_fused_quant8_with_incoherent(tiny_cfg):
+    """quant8 composes with the fused incoherent side-product: uint8
+    coherent plane, float32 incoherent plane, one kernel."""
+    import jax
+
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=72)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    scales = np.full(cfg.n_beams, 0.5, np.float32)
+    p, inco = beamform_power(wire, qw, cfg, incoherent=True,
+                             quant8_scales=jax.device_put(scales))
+    p, inco = np.asarray(p), np.asarray(inco)
+    assert p.dtype == np.uint8 and inco.dtype == np.float32
+    p32 = np.asarray(beamform_power(wire, qw, cfg))
+    np.testing.assert_array_equal(
+        p, np.clip(np.rint(p32 * 0.5), 0, 255).astype(np.uint8))
+    np.testing.assert_allclose(inco, incoherent_power_golden(wire, cfg),
+                               rtol=1e-12)
+
+
+def test_fused_quant8_rejects_navg_freq(tiny_cfg):
+    """Quantization must be the LAST averaging step: navg_freq > 1
+    configs get a clean error pointing at the device_post fallback."""
+    import jax
+
+    cfg = tiny_cfg.replace(navg_freq=2)
+    wire = make_noise_block(cfg, rms=2.0, seed=73)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    with pytest.raises(ValueError, match="navg_freq"):
+        beamform_power(wire, qw, cfg,
+                       quant8_scales=jax.device_put(
+                           np.ones(cfg.n_beams, np.float32)))
+    with pytest.raises(ValueError, match="n_beams"):
+        beamform_power(wire, qw, tiny_cfg,
+                       quant8_scales=jax.device_put(
+                           np.ones(3, np.float32)))

@@ -366,3 +366,64 @@ def test_cli_8bit_run_uses_device_path(tiny_cfg, tmp_path):
     # device (block 1) and host (block 0) quantization agree to the
     # golden within 1 count (f32 kernel vs f64 golden rounding).
     assert np.abs(data[:, 0, :].astype(np.int32) - want_q).max() <= 1
+
+
+def test_fused_quant8_pipeline_byte_equal(tiny_cfg, tmp_path, monkeypatch):
+    """Driver-level equivalence: an 8-bit filterbank run through the
+    fused in-kernel quantizer (quant8_scales) produces byte-identical
+    .fil files to the two-pass device_post path (kernel f32 -> HBM ->
+    quantizer).  Block 0 travels f32 either way (auto-cal); every later
+    block takes the fused path only in the first run."""
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.pipeline import (
+        FileSource,
+        StreamingBeamformer,
+    )
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (31, 32, 33)]
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(b"".join(w.tobytes() for w in wires))
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+
+    def run_one(name, fused):
+        if not fused:
+            monkeypatch.setattr(StreamingBeamformer, "_fused_quant8",
+                                lambda self: None)
+        sink = FilterbankSink(tmp_path / name, cfg, nbits=8)
+        bf = StreamingBeamformer(cfg, qw, FileSource(cfg, raw), sink)
+        if fused:
+            assert bf._fused_quant8() is not None  # hook engaged
+        bf.run()
+        sink.close()
+        monkeypatch.undo()
+        return sink
+
+    s_fused = run_one("fused", True)
+    s_post = run_one("post", False)
+    assert s_fused.scales == s_post.scales
+    for b in range(cfg.n_beams):
+        _, df = read_filterbank(tmp_path / "fused" / f"beam{b:04d}.fil")
+        _, dp = read_filterbank(tmp_path / "post" / f"beam{b:04d}.fil")
+        np.testing.assert_array_equal(df, dp)
+
+
+def test_fused_quant8_hook_gated_to_8bit(tiny_cfg, tmp_path):
+    """A 32-bit sink must NOT engage the fused-quant8 pipeline hook
+    (warmup would compile a uint8 kernel variant that never runs)."""
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.pipeline import StreamingBeamformer, SyntheticSource
+
+    cfg = tiny_cfg
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=41)]
+    s32 = FilterbankSink(tmp_path / "f32", cfg)
+    bf = StreamingBeamformer(cfg, qw, SyntheticSource(cfg, blocks, 1), s32)
+    assert bf._fused_quant8() is None
+    s8 = FilterbankSink(tmp_path / "f8", cfg, nbits=8)
+    bf8 = StreamingBeamformer(cfg, qw, SyntheticSource(cfg, blocks, 1), s8)
+    assert bf8._fused_quant8() is not None

@@ -24,8 +24,13 @@ pytestmark = pytest.mark.skipif(
 def tpu_backend():
     import jax
 
+    from dsabeamformer_tpu.utils.hostenv import enable_jax_cache
+
     if jax.default_backend() == "cpu":
         pytest.skip("no TPU backend in this process")
+    # Persistent compile cache: without it every gate re-pays the
+    # 1-5 min remote Mosaic compile per kernel shape.
+    enable_jax_cache()
     return jax.default_backend()
 
 
@@ -378,3 +383,33 @@ def test_dsa110_geometry_on_tpu(tpu_backend):
         weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time
     )
     assert relative_power_error(p, ref) <= POWER_RTOL  # measured 2.4e-4
+
+
+def test_fused_quant8_byte_equal_on_tpu(tpu_backend):
+    """In-epilogue uint8 quantization under Mosaic: the fused output
+    must be byte-identical to quantizing the f32 kernel output after
+    the fact (the 8-bit filterbank sink's fused path; the f32->int32->
+    uint8 cast chain is TPU-specific, so the CPU test doesn't cover
+    this compile)."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024)
+    wire = make_noise_block(cfg, rms=2.0, seed=11)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    wire_dev = jax.device_put(wire)
+    p32 = np.asarray(beamform_power(wire_dev, qw, cfg))
+    rng = np.random.default_rng(9)
+    scales = (64.0 / np.median(p32)
+              * rng.uniform(0.5, 2.0, cfg.n_beams)).astype(np.float32)
+    got = np.asarray(beamform_power(
+        wire_dev, qw, cfg, quant8_scales=jax.device_put(scales)))
+    want = np.clip(np.rint(p32 * scales[None, None, :]), 0, 255
+                   ).astype(np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
