@@ -751,6 +751,45 @@ def cmd_fil(args) -> int:
     return 0
 
 
+def cmd_waterfall(args) -> int:
+    """ASCII (and optional PGM) time-frequency waterfall of a beam
+    product — the quickest "did the observation work" check.  Reads
+    both product formats this package writes (.fil and .dada); the
+    legend line carries the beam/Stokes/shape provenance so a pasted
+    frame is self-describing."""
+    from dsabeamformer_tpu.utils.quicklook import (
+        downsample_mean,
+        load_dynamic_spectrum,
+        percentile_scale,
+        render_ascii,
+        write_pgm,
+    )
+
+    try:
+        meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
+                                        stokes=args.stokes)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if x.shape[0] == 0:
+        print("error: product file has no complete blocks", file=sys.stderr)
+        return 1
+    small = downsample_mean(x, args.rows, args.cols)
+    lo, hi = args.clip
+    frame = render_ascii(percentile_scale(small, lo, hi))
+    t, f = x.shape
+    print(f"# {args.path}  [{meta['format']}]  beam={meta['beam']}  "
+          f"stokes={meta['stokes']}  {t} samples x {f} chans  "
+          f"(time down, freq right; clip {lo:g}-{hi:g}%)")
+    print(frame)
+    if args.out:
+        img = x if args.full else small
+        write_pgm(args.out, percentile_scale(img, lo, hi))
+        print(f"# wrote {args.out} ({img.shape[0]}x{img.shape[1]})",
+              file=sys.stderr)
+    return 0
+
+
 def cmd_levels(args) -> int:
     """Per-antenna drive-level report from a capture file: rms and
     4-bit clip fraction (operators level-set before science/cal scans;
@@ -1017,6 +1056,29 @@ def main(argv=None) -> int:
                        help="inspect a SIGPROC filterbank product (JSON)")
     p.add_argument("path", help="beamNNNN.fil file from --fil-dir")
     p.set_defaults(fn=cmd_fil)
+
+    p = sub.add_parser(
+        "waterfall",
+        help="quick-look time-frequency waterfall of a product file")
+    p.add_argument("path", help=".fil or .dada beam-product file")
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam index (DADA products; .fil files are "
+                        "already per-beam)")
+    p.add_argument("--stokes", default="I", choices=list("IQUV"),
+                   help="Stokes plane for nifs=4 / Stokes products")
+    p.add_argument("--rows", type=int, default=32,
+                   help="terminal rows (time bins)")
+    p.add_argument("--cols", type=int, default=78,
+                   help="terminal columns (frequency bins)")
+    p.add_argument("--clip", type=float, nargs=2, default=(1.0, 99.0),
+                   metavar=("LO", "HI"),
+                   help="contrast percentiles (robust to RFI pixels)")
+    p.add_argument("--out", help="also write an 8-bit PGM image "
+                                 "(downsampled to --rows x --cols "
+                                 "unless --full)")
+    p.add_argument("--full", action="store_true",
+                   help="PGM at native resolution (no downsample)")
+    p.set_defaults(fn=cmd_waterfall)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")
     p.add_argument("--key", default="dsa")

@@ -1,0 +1,154 @@
+"""Quick-look waterfall rendering for beam products (`dsabf waterfall`).
+
+The operator's first question about any product file — "did the
+observation work?" — is answered by eyeballing a time-frequency
+waterfall: RFI shows as bright channels, a dropped antenna as a level
+step, a slewed beam as a fringe pattern.  The reference ecosystem does
+this with sigproc/presto plotters; a quick-look with ZERO extra
+dependencies belongs in the package itself (SURVEY.md §2 C11 analysis
+tooling), reading both product formats this framework writes:
+
+- SIGPROC filterbank (``dsabf run --fil-dir``; `ingest/sigproc.py`)
+- DADA beam-product files (``dsabf run --output-file x.dada``;
+  `ingest/dada.py:read_product_file`)
+
+Rendering is host-side numpy only: block-mean downsample to the
+terminal/image grid, robust percentile contrast (RFI-tolerant: a 1%
+bright fraction must not flatten the rest of the image), then an ASCII
+luminance ramp for the terminal or a binary 8-bit PGM (P5) for files —
+PGM because it needs no imaging library and every viewer/converter
+understands it.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+
+__all__ = [
+    "load_dynamic_spectrum",
+    "downsample_mean",
+    "percentile_scale",
+    "render_ascii",
+    "write_pgm",
+]
+
+# Dark -> bright luminance ramp (10 levels reads fine on any terminal).
+ASCII_RAMP = " .:-=+*#%@"
+
+_STOKES_INDEX = {"I": 0, "Q": 1, "U": 2, "V": 3}
+
+
+def load_dynamic_spectrum(
+    path: str | Path, beam: int = 0, stokes: str = "I"
+) -> Tuple[Dict, np.ndarray]:
+    """Load one beam's dynamic spectrum ``[T, F]`` (float64, time
+    forward, frequency in the file's own channel order) from either
+    product format, sniffed by magic: SIGPROC files start with the
+    HEADER_START keyword block, DADA files with an ASCII header.
+
+    Returns ``(meta, ts_by_chan)`` where ``meta`` carries whatever
+    axis/provenance info the format offers plus ``format`` and
+    ``beam``.  ``stokes`` selects the IF plane for Stokes products
+    (ignored for power files).
+    """
+    path = Path(path)
+    if stokes not in _STOKES_INDEX:
+        raise ValueError(f"stokes must be one of {list(_STOKES_INDEX)}, "
+                         f"got {stokes!r}")
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:4] == (12).to_bytes(4, "little") and head[4:16] == b"HEADER_START":
+        from dsabeamformer_tpu.ingest.sigproc import read_filterbank
+
+        hdr, data = read_filterbank(path)  # [T, nifs, F]
+        nifs = int(hdr.get("nifs", 1))
+        s = _STOKES_INDEX[stokes] if nifs == 4 else 0
+        if s >= nifs:
+            raise ValueError(f"file has nifs={nifs}, no Stokes {stokes}")
+        meta = dict(hdr, format="sigproc", beam=int(hdr.get("ibeam", beam)),
+                    stokes=stokes if nifs == 4 else "I")
+        return meta, data[:, s, :].astype(np.float64)
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+
+    hdr, powers = read_product_file(path)
+    # powers: [n_blocks, F, T, B] or [n_blocks, F, T, 4, B]
+    n_beams = powers.shape[-1]
+    if not 0 <= beam < n_beams:
+        raise ValueError(f"beam {beam} out of range (file has {n_beams})")
+    if powers.ndim == 5:
+        x = powers[:, :, :, _STOKES_INDEX[stokes], beam]
+        meta_stokes = stokes
+    else:
+        x = powers[..., beam]
+        meta_stokes = "I"
+    # [n_blocks, F, T] -> time-contiguous [T_total, F]
+    x = np.ascontiguousarray(
+        x.transpose(0, 2, 1).reshape(-1, x.shape[1])
+    ).astype(np.float64)
+    meta = dict(hdr, format="dada", beam=beam, stokes=meta_stokes)
+    return meta, x
+
+
+def downsample_mean(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Block-mean ``[T, F]`` down to ``[<=rows, <=cols]``.
+
+    Bin edges come from an even split of each axis (the last bin
+    absorbs the remainder), so every input pixel lands in exactly one
+    output cell — a dropout or RFI spike dims/brightens its cell
+    instead of vanishing to subsampling.  Axes already <= target are
+    left at native resolution.
+    """
+    if x.ndim != 2:
+        raise ValueError(f"expected [T, F], got shape {x.shape}")
+    t, f = x.shape
+    if t == 0 or f == 0:
+        raise ValueError(f"empty dynamic spectrum {x.shape}")
+
+    def _bins(n: int, k: int) -> np.ndarray:
+        k = min(n, k)
+        return np.linspace(0, n, k + 1).astype(np.int64)
+
+    tb, fb = _bins(t, rows), _bins(f, cols)
+    # Two-stage add.reduceat keeps this O(T*F) with no Python loop.
+    s = np.add.reduceat(x, tb[:-1], axis=0)
+    s = np.add.reduceat(s, fb[:-1], axis=1)
+    counts = np.diff(tb)[:, None] * np.diff(fb)[None, :]
+    return s / counts
+
+
+def percentile_scale(x: np.ndarray, lo: float = 1.0, hi: float = 99.0
+                     ) -> np.ndarray:
+    """Map to [0, 1] with percentile clipping: the contrast window is
+    the [lo, hi] percentile range, so a few saturated RFI pixels can't
+    flatten the rest of the image.  Constant input renders mid-gray
+    (0.5) rather than dividing by zero; NaN/inf pixels clip to the
+    window edges."""
+    finite = x[np.isfinite(x)]
+    if finite.size == 0:
+        return np.full(x.shape, 0.5)
+    p_lo, p_hi = np.percentile(finite, [lo, hi])
+    if p_hi <= p_lo:
+        return np.full(x.shape, 0.5)
+    y = (x - p_lo) / (p_hi - p_lo)
+    return np.clip(np.nan_to_num(y, nan=0.0, posinf=1.0, neginf=0.0), 0.0, 1.0)
+
+
+def render_ascii(scaled: np.ndarray, ramp: str = ASCII_RAMP) -> str:
+    """[rows, cols] in [0, 1] -> one terminal frame, time running DOWN
+    (first row = start of observation), one char per cell."""
+    idx = np.minimum((scaled * len(ramp)).astype(np.int64), len(ramp) - 1)
+    lut = np.array(list(ramp))
+    return "\n".join("".join(row) for row in lut[idx])
+
+
+def write_pgm(path: str | Path, scaled: np.ndarray) -> None:
+    """Binary 8-bit PGM (P5): universally readable without an imaging
+    dependency.  Same orientation as the ASCII frame."""
+    g = np.round(scaled * 255).astype(np.uint8)
+    h, w = g.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode("ascii"))
+        f.write(g.tobytes())

@@ -1,0 +1,174 @@
+"""Quick-look waterfall (utils/quicklook.py + `dsabf waterfall`):
+format sniffing over both product formats, block-mean downsampling,
+robust contrast, ASCII/PGM rendering, and the CLI wiring."""
+
+import numpy as np
+import pytest
+
+from dsabeamformer_tpu.utils.quicklook import (
+    ASCII_RAMP,
+    downsample_mean,
+    load_dynamic_spectrum,
+    percentile_scale,
+    render_ascii,
+    write_pgm,
+)
+
+
+def test_downsample_mean_partitions_every_pixel():
+    """Every input pixel lands in exactly one output cell: the grand
+    mean is preserved exactly (weighted by cell counts)."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 5, (37, 53))
+    small = downsample_mean(x, 8, 7)
+    assert small.shape == (8, 7)
+    tb = np.linspace(0, 37, 9).astype(int)
+    fb = np.linspace(0, 53, 8).astype(int)
+    counts = np.diff(tb)[:, None] * np.diff(fb)[None, :]
+    np.testing.assert_allclose((small * counts).sum(), x.sum(), rtol=1e-12)
+    # A single hot pixel brightens its cell, never vanishes.
+    x2 = np.zeros((37, 53))
+    x2[19, 30] = 1000.0
+    s2 = downsample_mean(x2, 8, 7)
+    assert (s2 > 0).sum() == 1
+
+
+def test_downsample_no_upscale_and_errors():
+    x = np.arange(12.0).reshape(3, 4)
+    assert downsample_mean(x, 100, 100).shape == (3, 4)
+    np.testing.assert_allclose(downsample_mean(x, 100, 100), x)
+    with pytest.raises(ValueError):
+        downsample_mean(np.zeros((0, 4)), 8, 8)
+    with pytest.raises(ValueError):
+        downsample_mean(np.zeros(5), 8, 8)
+
+
+def test_percentile_scale_robust_to_rfi_and_degenerate():
+    x = np.ones((10, 10))
+    x[0, 0] = 1e9  # one RFI pixel must not flatten the frame
+    y = percentile_scale(x)
+    assert y[0, 0] == 1.0
+    # the clean pixels keep a defined (clipped) level, not ~0/NaN
+    assert np.isfinite(y).all()
+    # constant input -> mid-gray, no divide-by-zero
+    np.testing.assert_array_equal(percentile_scale(np.full((4, 4), 7.0)), 0.5)
+    # NaN/inf pixels clip to window edges
+    x2 = np.outer(np.arange(10.0), np.ones(10))
+    x2[3, 3] = np.nan
+    x2[4, 4] = np.inf
+    y2 = percentile_scale(x2)
+    assert y2[3, 3] == 0.0 and y2[4, 4] == 1.0
+
+
+def test_render_ascii_ramp_and_shape():
+    scaled = np.array([[0.0, 0.5], [0.999, 1.0]])
+    lines = render_ascii(scaled).split("\n")
+    assert len(lines) == 2 and all(len(l) == 2 for l in lines)
+    assert lines[0][0] == ASCII_RAMP[0]
+    assert lines[1][1] == ASCII_RAMP[-1]
+
+
+def test_write_pgm_roundtrip(tmp_path):
+    scaled = np.linspace(0, 1, 12).reshape(3, 4)
+    p = tmp_path / "x.pgm"
+    write_pgm(p, scaled)
+    raw = p.read_bytes()
+    assert raw.startswith(b"P5\n4 3\n255\n")
+    data = np.frombuffer(raw.split(b"255\n", 1)[1], np.uint8).reshape(3, 4)
+    np.testing.assert_array_equal(data, np.round(scaled * 255))
+
+
+def _write_product(tmp_path, cfg, wires, name="out.dada"):
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.pipeline import FileSink, FileSource, run_stream
+
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(b"".join(w.tobytes() for w in wires))
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    sink = FileSink(tmp_path / name, cfg)
+    run_stream(cfg, qw, FileSource(cfg, raw), sink)
+    sink.close()
+    return tmp_path / name
+
+
+def test_load_dynamic_spectrum_dada(tiny_cfg, tmp_path):
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (51, 52)]
+    path = _write_product(tmp_path, cfg, wires)
+    meta, x = load_dynamic_spectrum(path, beam=1)
+    f_out, t_out, _ = cfg.out_block_shape
+    assert meta["format"] == "dada" and meta["beam"] == 1
+    assert x.shape == (2 * t_out, f_out)
+    _, powers = read_product_file(path)
+    np.testing.assert_allclose(x[:t_out], powers[0, :, :, 1].T)
+    np.testing.assert_allclose(x[t_out:], powers[1, :, :, 1].T)
+    with pytest.raises(ValueError, match="beam"):
+        load_dynamic_spectrum(path, beam=cfg.n_beams)
+    with pytest.raises(ValueError, match="stokes"):
+        load_dynamic_spectrum(path, stokes="X")
+
+
+def test_load_dynamic_spectrum_fil(tiny_cfg, tmp_path):
+    from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(3)
+    blk = rng.uniform(0.5, 2.0, (f_out, t_out, b_out)).astype(np.float32)
+    sink = FilterbankSink(tmp_path / "fil", cfg, beams=[2])
+    sink.write(0, blk)
+    sink.close()
+    meta, x = load_dynamic_spectrum(tmp_path / "fil" / "beam0002.fil")
+    assert meta["format"] == "sigproc"
+    assert x.shape == (t_out, f_out)
+    # .fil channels are descending-frequency (writer flips them)
+    np.testing.assert_allclose(x, blk[::-1, :, 2].T)
+
+
+def test_cmd_waterfall_end_to_end(tiny_cfg, tmp_path, capsys):
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (61, 62)]
+    path = _write_product(tmp_path, cfg, wires)
+    pgm = tmp_path / "wf.pgm"
+    rc = cli_main(["waterfall", str(path), "--beam", "1",
+                   "--rows", "8", "--cols", "16", "--out", str(pgm)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = out.rstrip("\n").split("\n")
+    assert lines[0].startswith("#") and "beam=1" in lines[0]
+    f_out, t_out, _ = cfg.out_block_shape
+    rows = min(8, 2 * t_out)
+    cols = min(16, f_out)
+    assert len(lines) == 1 + rows and len(lines[1]) == cols
+    assert pgm.read_bytes().startswith(
+        f"P5\n{cols} {rows}\n255\n".encode())
+    # missing file -> clean error
+    assert cli_main(["waterfall", str(tmp_path / "nope.fil")]) == 1
+
+
+def test_cmd_waterfall_full_pgm_and_fil(tiny_cfg, tmp_path, capsys):
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    blk = np.full((f_out, t_out, b_out), 3.0, np.float32)
+    sink = FilterbankSink(tmp_path / "fil", cfg, beams=[0])
+    sink.write(0, blk)
+    sink.close()
+    pgm = tmp_path / "native.pgm"
+    rc = cli_main(["waterfall", str(tmp_path / "fil" / "beam0000.fil"),
+                   "--out", str(pgm), "--full"])
+    assert rc == 0
+    assert pgm.read_bytes().startswith(
+        f"P5\n{f_out} {t_out}\n255\n".encode())
+    # constant product renders the mid-gray ramp char, not a crash
+    frame = capsys.readouterr().out.split("\n")[1]
+    assert set(frame) == {ASCII_RAMP[len(ASCII_RAMP) // 2]}
