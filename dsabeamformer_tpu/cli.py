@@ -765,6 +765,11 @@ def cmd_waterfall(args) -> int:
         write_pgm,
     )
 
+    lo, hi = args.clip
+    if not 0.0 <= lo < hi <= 100.0:
+        print(f"error: --clip wants 0 <= LO < HI <= 100, got {lo:g} {hi:g}",
+              file=sys.stderr)
+        return 1
     try:
         meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
                                         stokes=args.stokes)
@@ -775,12 +780,13 @@ def cmd_waterfall(args) -> int:
         print("error: product file has no complete blocks", file=sys.stderr)
         return 1
     small = downsample_mean(x, args.rows, args.cols)
-    lo, hi = args.clip
     frame = render_ascii(percentile_scale(small, lo, hi))
     t, f = x.shape
+    band = (f"{meta['f_lo_mhz']:.1f}-{meta['f_hi_mhz']:.1f} MHz"
+            if "f_lo_mhz" in meta else "ascending")
     print(f"# {args.path}  [{meta['format']}]  beam={meta['beam']}  "
           f"stokes={meta['stokes']}  {t} samples x {f} chans  "
-          f"(time down, freq right; clip {lo:g}-{hi:g}%)")
+          f"(time down, freq right: {band}; clip {lo:g}-{hi:g}%)")
     print(frame)
     if args.out:
         img = x if args.full else small

@@ -469,6 +469,14 @@ class StreamingBeamformer:
             n += 1
             while len(self._inflight) > self.depth:
                 self._drain_one()
+            if fused_q8 is not None and q8 is None:
+                # Auto-cal scales are learned at drain time (the sink
+                # sees the f32 block in write()).  Drain synchronously
+                # until they exist so the fused uint8 kernel engages at
+                # block 1, not block depth+1 — a one-time startup
+                # stall, after which the pipeline refills.
+                while self._inflight and fused_q8() is None:
+                    self._drain_one()
         while self._inflight:
             self._drain_one()
         stats.dropped = getattr(self.source, "dropped", 0)

@@ -45,14 +45,20 @@ def load_dynamic_spectrum(
     path: str | Path, beam: int = 0, stokes: str = "I"
 ) -> Tuple[Dict, np.ndarray]:
     """Load one beam's dynamic spectrum ``[T, F]`` (float64, time
-    forward, frequency in the file's own channel order) from either
-    product format, sniffed by magic: SIGPROC files start with the
-    HEADER_START keyword block, DADA files with an ASCII header.
+    forward, frequency ASCENDING) from either product format, sniffed
+    by magic: SIGPROC files start with the HEADER_START keyword block,
+    DADA files with an ASCII header.
 
-    Returns ``(meta, ts_by_chan)`` where ``meta`` carries whatever
-    axis/provenance info the format offers plus ``format`` and
-    ``beam``.  ``stokes`` selects the IF plane for Stokes products
-    (ignored for power files).
+    Both formats come back in the same channel orientation (``.fil``
+    files store descending frequency and are flipped here) so the two
+    renderings of one observation agree — an RFI channel sits at the
+    same edge either way.
+
+    Returns ``(meta, ts_by_chan)``; ``meta`` carries the format's own
+    header plus ``format``, ``beam``, ``stokes``, and — when the
+    header gives the band — ``f_lo_mhz``/``f_hi_mhz`` channel-center
+    edges.  ``stokes`` selects the IF plane for Stokes products
+    (power-only files reject Q/U/V requests).
     """
     path = Path(path)
     if stokes not in _STOKES_INDEX:
@@ -65,30 +71,49 @@ def load_dynamic_spectrum(
 
         hdr, data = read_filterbank(path)  # [T, nifs, F]
         nifs = int(hdr.get("nifs", 1))
+        if stokes != "I" and nifs != 4:
+            raise ValueError(f"file has nifs={nifs}, no Stokes {stokes} "
+                             f"(power-only product)")
         s = _STOKES_INDEX[stokes] if nifs == 4 else 0
-        if s >= nifs:
-            raise ValueError(f"file has nifs={nifs}, no Stokes {stokes}")
+        x = data[:, s, :].astype(np.float64)
         meta = dict(hdr, format="sigproc", beam=int(hdr.get("ibeam", beam)),
-                    stokes=stokes if nifs == 4 else "I")
-        return meta, data[:, s, :].astype(np.float64)
+                    stokes=stokes)
+        fch1, foff = hdr.get("fch1"), hdr.get("foff")
+        if fch1 is not None and foff is not None:
+            edges = (fch1, fch1 + foff * (x.shape[1] - 1))
+            meta["f_lo_mhz"], meta["f_hi_mhz"] = min(edges), max(edges)
+        if foff is not None and foff < 0:
+            x = x[:, ::-1]  # file is descending; normalize to ascending
+        return meta, x
     from dsabeamformer_tpu.ingest.dada import read_product_file
 
     hdr, powers = read_product_file(path)
-    # powers: [n_blocks, F, T, B] or [n_blocks, F, T, 4, B]
+    # powers: [n_blocks, F, T, B] or [n_blocks, F, T, 4, B], channels
+    # already ascending (kernel order).
     n_beams = powers.shape[-1]
     if not 0 <= beam < n_beams:
         raise ValueError(f"beam {beam} out of range (file has {n_beams})")
     if powers.ndim == 5:
         x = powers[:, :, :, _STOKES_INDEX[stokes], beam]
-        meta_stokes = stokes
+    elif stokes != "I":
+        raise ValueError(f"no Stokes {stokes}: {hdr.get('PAYLOAD')} is a "
+                         f"power-only product")
     else:
         x = powers[..., beam]
-        meta_stokes = "I"
     # [n_blocks, F, T] -> time-contiguous [T_total, F]
     x = np.ascontiguousarray(
         x.transpose(0, 2, 1).reshape(-1, x.shape[1])
     ).astype(np.float64)
-    meta = dict(hdr, format="dada", beam=beam, stokes=meta_stokes)
+    meta = dict(hdr, format="dada", beam=beam, stokes=stokes)
+    try:
+        f0 = float(hdr["FREQ_START_HZ"])
+        df = float(hdr["BW_HZ"]) / int(hdr["NCHAN_TOTAL"])
+        navg = int(hdr.get("NAVG_FREQ", 1))
+        # averaged-channel centers, ascending
+        meta["f_lo_mhz"] = (f0 + df * navg * 0.5) / 1e6
+        meta["f_hi_mhz"] = (f0 + df * navg * (x.shape[1] - 0.5)) / 1e6
+    except (KeyError, ValueError):
+        pass
     return meta, x
 
 

@@ -125,8 +125,41 @@ def test_load_dynamic_spectrum_fil(tiny_cfg, tmp_path):
     meta, x = load_dynamic_spectrum(tmp_path / "fil" / "beam0002.fil")
     assert meta["format"] == "sigproc"
     assert x.shape == (t_out, f_out)
-    # .fil channels are descending-frequency (writer flips them)
-    np.testing.assert_allclose(x, blk[::-1, :, 2].T)
+    # .fil stores descending frequency; the loader flips back to the
+    # kernel's ascending order so both formats render identically
+    np.testing.assert_allclose(x, blk[:, :, 2].T)
+    assert meta["f_lo_mhz"] < meta["f_hi_mhz"]
+    # Q/U/V from a power-only (nifs=1) file must error, not render I
+    with pytest.raises(ValueError, match="nifs=1"):
+        load_dynamic_spectrum(tmp_path / "fil" / "beam0002.fil", stokes="V")
+
+
+def test_formats_agree_on_orientation(tiny_cfg, tmp_path):
+    """The same observation rendered from .fil and .dada output is the
+    SAME image: equal dynamic spectra and band edges (the .fil flip is
+    undone by the loader)."""
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.pipeline import FileSource, run_stream
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=91)]
+    dada = _write_product(tmp_path, cfg, wires)
+    raw = tmp_path / "cap.raw"
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    fsink = FilterbankSink(tmp_path / "fil", cfg, beams=[1])
+    run_stream(cfg, qw, FileSource(cfg, raw), fsink)
+    fsink.close()
+    m_f, x_f = load_dynamic_spectrum(tmp_path / "fil" / "beam0001.fil")
+    m_d, x_d = load_dynamic_spectrum(dada, beam=1)
+    np.testing.assert_allclose(x_f, x_d, rtol=1e-6)
+    assert m_f["f_lo_mhz"] == pytest.approx(m_d["f_lo_mhz"])
+    assert m_f["f_hi_mhz"] == pytest.approx(m_d["f_hi_mhz"])
+    # power-only DADA products reject Q/U/V too
+    with pytest.raises(ValueError, match="power-only"):
+        load_dynamic_spectrum(dada, stokes="Q")
 
 
 def test_cmd_waterfall_end_to_end(tiny_cfg, tmp_path, capsys):
@@ -172,3 +205,18 @@ def test_cmd_waterfall_full_pgm_and_fil(tiny_cfg, tmp_path, capsys):
     # constant product renders the mid-gray ramp char, not a crash
     frame = capsys.readouterr().out.split("\n")[1]
     assert set(frame) == {ASCII_RAMP[len(ASCII_RAMP) // 2]}
+
+
+def test_cmd_waterfall_clip_validation(tiny_cfg, tmp_path, capsys):
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    sink = FilterbankSink(tmp_path / "fil", cfg, beams=[0])
+    sink.write(0, np.ones((f_out, t_out, b_out), np.float32))
+    sink.close()
+    fil = str(tmp_path / "fil" / "beam0000.fil")
+    for bad in (["1", "101"], ["-2", "99"], ["60", "40"]):
+        assert cli_main(["waterfall", fil, "--clip", *bad]) == 1
+        assert "error: --clip" in capsys.readouterr().err

@@ -394,9 +394,17 @@ def test_fused_quant8_pipeline_byte_equal(tiny_cfg, tmp_path, monkeypatch):
                                 lambda self: None)
         sink = FilterbankSink(tmp_path / name, cfg, nbits=8)
         bf = StreamingBeamformer(cfg, qw, FileSource(cfg, raw), sink)
+        # Prove the fused kernel actually runs (a depth-2 pipeline
+        # could otherwise dispatch every block before block 0's drain
+        # sets the auto-cal scales, making this comparison vacuous).
+        engaged = []
+        orig_step = bf._step
+        bf._step = lambda w, q8=None: (engaged.append(q8 is not None),
+                                       orig_step(w, q8))[1]
         if fused:
             assert bf._fused_quant8() is not None  # hook engaged
         bf.run()
+        assert engaged == [False] + [fused] * (len(wires) - 1), engaged
         sink.close()
         monkeypatch.undo()
         return sink
