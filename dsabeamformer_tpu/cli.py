@@ -796,6 +796,53 @@ def cmd_waterfall(args) -> int:
     return 0
 
 
+def cmd_rfi(args) -> int:
+    """Spectral-kurtosis RFI scan of a capture file: per-channel SK
+    accumulated over all blocks, robust cross-channel flagging, and a
+    ready-to-paste ``--zap`` spec (full-band raw indices, matching
+    what ``dsabf run --zap`` consumes).  SK ~= 1 for Gaussian noise;
+    CW carriers pull it far below 1, impulsive RFI far above."""
+    from dsabeamformer_tpu.ops.incoherent import (
+        format_zap_spec,
+        sk_block_stats,
+        sk_estimate,
+        sk_flags,
+        sk_samples_per_block,
+    )
+
+    cfg = _load_cfg(args)
+    cfg, offset = _capture_cfg(args, cfg)
+    s1 = np.zeros(cfg.n_chan, np.float64)
+    s2 = np.zeros(cfg.n_chan, np.float64)
+    n = 0
+    for blk in _iter_capture_blocks(args, cfg, offset):
+        st = sk_block_stats(blk, cfg)
+        s1 += np.asarray(st["s1"], np.float64)
+        s2 += np.asarray(st["s2"], np.float64)
+        n += 1
+    if n == 0:
+        print("no blocks in input file", file=sys.stderr)
+        return 1
+    m = n * sk_samples_per_block(cfg)
+    sk = sk_estimate(s1, s2, m)
+    flagged, med, sigma = sk_flags(sk, m, threshold=args.threshold)
+    chan0 = getattr(args, "_chan_offset", 0)
+    out = {
+        "blocks": n,
+        "n_chan": cfg.n_chan,
+        "m_per_chan": m,
+        "sk_median": round(med, 5),
+        "sk_sigma": round(sigma, 6),
+        "threshold": args.threshold,
+        "flagged": [chan0 + c for c in flagged],
+        "zap": format_zap_spec(chan0 + c for c in flagged),
+    }
+    if args.sk_values:
+        out["sk"] = [round(float(v), 5) for v in sk]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_levels(args) -> int:
     """Per-antenna drive-level report from a capture file: rms and
     4-bit clip fraction (operators level-set before science/cal scans;
@@ -1043,6 +1090,19 @@ def main(argv=None) -> int:
     p.add_argument("--input-file", required=True)
     p.add_argument("--blocks", type=int, help="use at most N blocks")
     p.set_defaults(fn=cmd_levels)
+
+    p = sub.add_parser(
+        "rfi",
+        help="spectral-kurtosis RFI scan of a capture -> --zap spec")
+    _add_common(p)
+    p.add_argument("--input-file", required=True)
+    p.add_argument("--blocks", type=int, help="use at most N blocks")
+    p.add_argument("--threshold", type=float, default=5.0,
+                   help="robust z-score beyond which a channel is "
+                        "flagged (null = cross-channel median/MAD)")
+    p.add_argument("--sk-values", action="store_true",
+                   help="include the full per-channel SK vector")
+    p.set_defaults(fn=cmd_rfi)
 
     p = sub.add_parser(
         "launch",

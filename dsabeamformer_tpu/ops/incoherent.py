@@ -139,3 +139,101 @@ def incoherent_power_golden(wire, cfg: ObsConfig, flag_ants=()):
     if cfg.navg_freq > 1:
         p = p.reshape(f // cfg.navg_freq, cfg.navg_freq, -1).sum(axis=1)
     return p
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sk_block_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
+    """Per-channel spectral-kurtosis accumulators from one wire block.
+
+    Returns ``{"s1": [n_chan], "s2": [n_chan]}`` — the sum and
+    sum-of-squares of the per-sample powers ``p = re^2 + im^2`` over
+    all (time, pol, active-antenna) samples of each channel, float32.
+    Callers accumulate these across blocks (in float64 on the host)
+    and form the SK estimator with :func:`sk_estimate`; splitting the
+    reduction this way keeps the device pass a single cheap
+    memory-bound sweep (like ``incoherent_power`` — XLA fuses unpack,
+    square, and both reductions into one read of the wire bytes).
+
+    Per-sample powers (rather than per-timestep incoherent sums) make
+    the estimator sensitive to both RFI morphologies: a CW carrier
+    concentrates ``p`` near a constant (SK << 1), impulsive/bursty
+    interference spreads it (SK >> 1); Gaussian noise gives SK ~= 1.
+    """
+    if wire.dtype != jnp.uint8:
+        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
+    if cfg.input_layout == "tfpa":
+        x = wire.reshape(cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+        chan_axis = 1
+    else:
+        x = wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+        chan_axis = 0
+    x = x[..., : cfg.n_ant_active]
+    re, im = unpack_4r4i(x)
+    re = re.astype(jnp.int32)
+    im = im.astype(jnp.int32)
+    p = (re * re + im * im).astype(jnp.float32)
+    axes = tuple(a for a in range(4) if a != chan_axis)
+    return {"s1": p.sum(axis=axes), "s2": (p * p).sum(axis=axes)}
+
+
+def sk_samples_per_block(cfg: ObsConfig) -> int:
+    """M contributed to each channel's SK accumulators per block."""
+    return cfg.t_block * cfg.n_pol * cfg.n_ant_active
+
+
+def sk_estimate(s1, s2, m: int):
+    """Generalized spectral-kurtosis estimator from accumulated sums.
+
+    ``SK = (M+1)/(M-1) * (M*S2/S1^2 - 1)`` — expectation 1 for
+    Gaussian (chi^2_2 power) noise, variance ~ 4/M.  4-bit
+    quantization biases the expectation slightly away from 1, the
+    SAME way in every channel — which is why :func:`sk_flags` uses a
+    robust cross-channel null (median/MAD) rather than the theoretical
+    1 +- k*2/sqrt(M) window.  Dead channels (S1 == 0) return NaN.
+    """
+    import numpy as np
+
+    s1 = np.asarray(s1, np.float64)
+    s2 = np.asarray(s2, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (m + 1.0) / (m - 1.0) * (m * s2 / (s1 * s1) - 1.0)
+
+
+def sk_flags(sk, m: int, threshold: float = 5.0):
+    """Robust outlier channels from an SK vector.
+
+    The null is the cross-channel median; scale is the larger of the
+    MAD-derived sigma and the theoretical ``2/sqrt(M)`` (so a
+    perfectly clean band, whose MAD -> 0, does not flag everything).
+    Returns ``(flagged_indices, median, sigma)``; NaN channels (dead:
+    zero power) are always flagged.
+    """
+    import numpy as np
+
+    sk = np.asarray(sk, np.float64)
+    good = np.isfinite(sk)
+    if not good.any():
+        return list(range(sk.size)), float("nan"), float("nan")
+    med = float(np.median(sk[good]))
+    mad_sigma = 1.4826 * float(np.median(np.abs(sk[good] - med)))
+    sigma = max(mad_sigma, 2.0 / np.sqrt(m))
+    bad = ~good | (np.abs(sk - med) > threshold * sigma)
+    return [int(i) for i in np.nonzero(bad)[0]], med, sigma
+
+
+def format_zap_spec(channels) -> str:
+    """Inverse of ``models.weights.parse_zap``: a sorted index list ->
+    the compact ``"12,100-110"`` spec accepted by ``--zap``."""
+    chans = sorted(set(int(c) for c in channels))
+    if not chans:
+        return ""
+    runs = []
+    start = prev = chans[0]
+    for c in chans[1:]:
+        if c == prev + 1:
+            prev = c
+            continue
+        runs.append((start, prev))
+        start = prev = c
+    runs.append((start, prev))
+    return ",".join(f"{a}-{b}" if b > a else f"{a}" for a, b in runs)

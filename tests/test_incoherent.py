@@ -135,3 +135,123 @@ def test_cli_levels(tmp_path, capsys, tiny_cfg):
     assert len(rec["rms"]) == tiny_cfg.n_ant_active
     assert all(abs(v - 2.0) < 0.25 for v in rec["rms"])
     assert rec["worst_clip"] < 0.05
+
+
+def _sk_golden(wire, cfg):
+    """f64 oracle: per-channel SK over per-sample powers."""
+    from dsabeamformer_tpu.ops.packing import unpack_wire_to_complex
+
+    v = unpack_wire_to_complex(np.asarray(wire).reshape(cfg.wire_block_shape),
+                               cfg.input_layout)[..., : cfg.n_ant_active]
+    p = np.abs(v).astype(np.float64) ** 2  # [F, T, P, A]
+    m = p[0].size
+    s1 = p.sum(axis=(1, 2, 3))
+    s2 = (p * p).sum(axis=(1, 2, 3))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (m + 1) / (m - 1) * (m * s2 / s1**2 - 1), m
+
+
+def test_sk_matches_golden(tiny_cfg):
+    from dsabeamformer_tpu.ops.incoherent import (
+        sk_block_stats,
+        sk_estimate,
+        sk_samples_per_block,
+    )
+
+    wire = make_noise_block(tiny_cfg, rms=2.0, seed=9)
+    st = sk_block_stats(wire, tiny_cfg)
+    m = sk_samples_per_block(tiny_cfg)
+    sk = sk_estimate(st["s1"], st["s2"], m)
+    want, m_want = _sk_golden(wire, tiny_cfg)
+    assert m == m_want
+    np.testing.assert_allclose(sk, want, rtol=1e-5)
+    # clean noise: every channel's SK sits near 1
+    assert np.all(np.abs(sk - 1.0) < 0.5)
+
+
+def test_sk_flags_tone_and_impulse(tiny_cfg):
+    """A CW carrier (constant-modulus power) drives SK far below 1; an
+    impulsive burst drives it far above; both get flagged, the clean
+    channels don't."""
+    from dsabeamformer_tpu.ingest.generator import make_tone_block
+    from dsabeamformer_tpu.ops.incoherent import (
+        sk_block_stats,
+        sk_estimate,
+        sk_flags,
+        sk_samples_per_block,
+    )
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=10).reshape(
+        cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant).copy()
+    tone = make_tone_block(cfg, chan=2, amplitude=6.0).reshape(
+        cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+    wire[:, 2] = tone[:, 2]                 # CW carrier in channel 2
+    wire[: cfg.t_block - 4, 5] = 0          # channel 5: 4-sample burst
+    st = sk_block_stats(wire.reshape(cfg.wire_block_shape), cfg)
+    m = sk_samples_per_block(cfg)
+    sk = sk_estimate(st["s1"], st["s2"], m)
+    assert sk[2] < 0.3                      # carrier: concentrated power
+    assert sk[5] > 3.0                      # burst: heavy tail
+    flagged, med, sigma = sk_flags(sk, m)
+    assert 2 in flagged and 5 in flagged
+    assert all(c in (2, 5) for c in flagged)
+    assert abs(med - 1.0) < 0.3 and sigma > 0
+
+
+def test_sk_dead_channel_flagged(tiny_cfg):
+    from dsabeamformer_tpu.ops.incoherent import (
+        sk_block_stats,
+        sk_estimate,
+        sk_flags,
+        sk_samples_per_block,
+    )
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=11).reshape(
+        cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant).copy()
+    wire[:, 3] = 0  # dead channel: S1 == 0 -> NaN SK
+    st = sk_block_stats(wire.reshape(cfg.wire_block_shape), cfg)
+    sk = sk_estimate(st["s1"], st["s2"], sk_samples_per_block(cfg))
+    assert np.isnan(sk[3])
+    flagged, _, _ = sk_flags(sk, sk_samples_per_block(cfg))
+    assert 3 in flagged
+
+
+def test_format_zap_spec_roundtrip():
+    from dsabeamformer_tpu.models.weights import parse_zap
+    from dsabeamformer_tpu.ops.incoherent import format_zap_spec
+
+    for chans in ([], [5], [1, 2, 3], [0, 2, 3, 4, 9], [7, 7, 6]):
+        spec = format_zap_spec(chans)
+        assert parse_zap(spec) == sorted(set(chans))
+    assert format_zap_spec([1, 2, 3, 10]) == "1-3,10"
+
+
+def test_cli_rfi(tmp_path, capsys, tiny_cfg):
+    import json
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.generator import make_tone_block
+    from dsabeamformer_tpu.models.weights import parse_zap
+
+    cfg = tiny_cfg
+
+    def rfi_block(seed):
+        w = make_noise_block(cfg, rms=2.0, seed=seed).reshape(
+            cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant).copy()
+        tone = make_tone_block(cfg, chan=6, amplitude=6.0).reshape(
+            cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+        w[:, 6] = tone[:, 6]
+        return w.reshape(cfg.wire_block_shape)
+
+    cap = str(tmp_path / "cap.dada")
+    dada.write_dada_file(cap, cfg, (rfi_block(s) for s in range(3)))
+    assert cli.main(["rfi", "--config", "tiny", "--input-file", cap,
+                     "--sk-values"]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["blocks"] == 3
+    assert 6 in rec["flagged"]
+    assert parse_zap(rec["zap"]) == rec["flagged"]
+    assert len(rec["sk"]) == cfg.n_chan and rec["sk"][6] < 0.5
