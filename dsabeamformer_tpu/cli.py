@@ -161,7 +161,10 @@ def _flag_ant_list(args):
     return tuple(parse_zap(spec)) if spec else ()
 
 
-def _make_weights(cfg, args):
+def _make_weights(cfg, args, extra_zap=()):
+    """Generate + quantize the run's weights from the CLI flags.
+    ``extra_zap`` (LOCAL channel indices) unions with ``--zap`` — the
+    streaming RFI monitor's regeneration path (``--rfi-auto``)."""
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calibration import CalTable
     from dsabeamformer_tpu.models.weights import (
@@ -183,8 +186,11 @@ def _make_weights(cfg, args):
     cal = CalTable.load(args.cal) if getattr(args, "cal", None) else None
     w = make_weights(cfg, layout=layout, cal=cal,
                      pointing_rad=getattr(args, "pointing", 0.0))
+    zap = set(extra_zap)
     if getattr(args, "zap", None):
-        w = zap_weights(w, _local_zap_chans(cfg, args), cfg)
+        zap |= set(_local_zap_chans(cfg, args))
+    if zap:
+        w = zap_weights(w, sorted(zap), cfg)
     flags = _flag_ant_list(args)
     if flags:
         try:
@@ -334,6 +340,53 @@ def _cmd_run_pinned(args) -> int:
                                products=args.products,
                                incoherent_sink=inco_sink,
                                flag_ants=_flag_ant_list(args))
+
+    rfi_monitor = None
+    if args.rfi_auto:
+        if args.weights:
+            print("error: --rfi-auto regenerates weights on excision and "
+                  "cannot edit pre-quantized --weights; drop one of the "
+                  "two flags", file=sys.stderr)
+            if sink is not None:
+                sink.close()
+            return 2
+        from dsabeamformer_tpu.ops.rfi import RFIMonitor
+
+        chan0 = getattr(args, "_chan_offset", 0)
+
+        def _rfi_event(ev):
+            # Log in the FULL-band frame (what --zap speaks).
+            shown = dict(ev)
+            for k in ("new", "zapped", "flagged"):
+                if k in shown:
+                    shown[k] = [chan0 + c for c in shown[k]]
+            print(f"[dsabf] rfi {json.dumps(shown)}", file=sys.stderr)
+            if ev["type"] == "excise":
+                # Regenerate with the full sticky zap set and swap in
+                # asynchronously — same no-stall path as cal/pointing
+                # updates (pipeline.update_weights).  The incoherent
+                # product is data-side and keeps its startup mask.
+                warm.update_weights(
+                    _make_weights(cfg, args, extra_zap=ev["zapped"]))
+
+        try:
+            rfi_monitor = RFIMonitor(
+                cfg,
+                interval=args.rfi_interval,
+                sample=args.rfi_sample,
+                threshold=args.rfi_threshold,
+                max_fraction=args.rfi_max_fraction,
+                on_event=_rfi_event,
+                seed_zapped=(_local_zap_chans(cfg, args)
+                             if getattr(args, "zap", None) else ()),
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            if sink is not None:
+                sink.close()
+            return 2
+        warm.rfi_monitor = rfi_monitor
+
     warm.warmup()
 
     if args.input_file:
@@ -368,19 +421,24 @@ def _cmd_run_pinned(args) -> int:
 
         cal = CalTable.load(args.cal) if args.cal else None
         # Excision must survive tracker weight regeneration: re-apply
-        # --zap / --flag-ants to every fresh table.
+        # --zap / --flag-ants — plus any channels the RFI monitor has
+        # excised since (its zap set is sticky and grows) — to every
+        # fresh table.
         edit = None
         zap_local = (_local_zap_chans(cfg, args)
                      if getattr(args, "zap", None) else [])
         flags = _flag_ant_list(args)
-        if zap_local or flags:
+        if zap_local or flags or rfi_monitor is not None:
             from dsabeamformer_tpu.models.weights import (
                 flag_antennas, zap_weights,
             )
 
             def edit(w, _z=zap_local, _f=flags):
-                if _z:
-                    w = zap_weights(w, _z, cfg)
+                z = set(_z)
+                if rfi_monitor is not None:
+                    z |= rfi_monitor.zapped
+                if z:
+                    w = zap_weights(w, sorted(z), cfg)
                 if _f:
                     w = flag_antennas(w, _f, cfg)
                 return w
@@ -977,6 +1035,22 @@ def main(argv=None) -> int:
                    help="bad-antenna excision: comma-separated antenna "
                         "indices/ranges (e.g. 3,17-19) zeroed in the "
                         "weights and excluded from the incoherent sum")
+    p.add_argument("--rfi-auto", action="store_true",
+                   help="streaming spectral-kurtosis monitor: excise "
+                        "channels whose SK leaves the robust null "
+                        "mid-run (sticky; weights regenerate through "
+                        "the async update path)")
+    p.add_argument("--rfi-interval", type=int, default=8,
+                   help="observed blocks pooled per excision decision")
+    p.add_argument("--rfi-sample", type=int, default=1,
+                   help="observe every Nth block (the SK pass costs "
+                        "~10%% of a block period; sample=4 -> ~2.5%%)")
+    p.add_argument("--rfi-threshold", type=float, default=5.0,
+                   help="robust z-score for flagging (dsabf rfi's "
+                        "--threshold)")
+    p.add_argument("--rfi-max-fraction", type=float, default=0.25,
+                   help="refuse to auto-zap beyond this fraction of "
+                        "the band (a broken null is not RFI)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")

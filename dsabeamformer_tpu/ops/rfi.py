@@ -1,0 +1,151 @@
+"""Streaming RFI monitor: in-band spectral kurtosis with automatic
+channel excision (``dsabf run --rfi-auto``).
+
+The offline scan (``dsabf rfi``, `ops/incoherent.py`) tells an
+operator what to ``--zap`` before a run; this monitor closes the loop
+DURING a run: it samples wire blocks already sitting in HBM, folds
+their per-channel SK accumulators into a rolling window, and — when a
+channel's SK walks out of the robust cross-channel null — reports it
+for excision through the pipeline's asynchronous weight-update path
+(SURVEY.md §3.3; the reference has no equivalent — its weights change
+only on external cal/pointing updates [K]).
+
+Cost model: one ``sk_block_stats`` pass is memory-bound over the wire
+bytes (~10% of a full-scale block period), so sampling is a knob —
+``sample=4`` observes every 4th block for ~2.5% overhead.  Decisions
+are made every ``interval`` OBSERVED blocks on the pooled
+accumulators, so sparser sampling widens the decision cadence rather
+than weakening the statistic.
+
+Excision is sticky (a channel, once zapped, stays zapped for the run
+— weight regeneration re-applies the full set) and capped: if the
+flagged set would exceed ``max_fraction`` of the band the monitor
+reports a ``cap`` event instead of excising, because "most of the
+band looks like RFI" means the null is broken (wrong levels, dead
+feed), not that the band should be silently deleted.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from dsabeamformer_tpu.config import ObsConfig
+from dsabeamformer_tpu.ops.incoherent import (
+    sk_block_stats,
+    sk_estimate,
+    sk_flags,
+    sk_samples_per_block,
+)
+
+__all__ = ["RFIMonitor"]
+
+
+class RFIMonitor:
+    """Rolling spectral-kurtosis monitor over the streaming wire blocks.
+
+    The pipeline calls :meth:`observe` at dispatch time (the stats
+    reduction rides the same async queue as the block's beamform) and
+    :meth:`poll` at drain time (fetching a tiny ``[n_chan]`` pair, by
+    which point the device work is long done).  ``on_event`` receives
+    dicts::
+
+        {"type": "excise", "new": [...], "zapped": [...],
+         "sk_median": ..., "sk_sigma": ..., "blocks": N}
+        {"type": "cap",    "flagged": [...], "max_channels": ...}
+
+    with channel indices in the config's LOCAL frame (callers owning a
+    subband translate, as with ``--zap``).  ``seed_zapped`` pre-loads
+    channels already excised at startup so they are not re-reported.
+    """
+
+    def __init__(
+        self,
+        cfg: ObsConfig,
+        *,
+        interval: int = 8,
+        sample: int = 1,
+        threshold: float = 5.0,
+        max_fraction: float = 0.25,
+        on_event: Optional[Callable[[dict], None]] = None,
+        seed_zapped: Iterable[int] = (),
+    ):
+        if interval < 1 or sample < 1:
+            raise ValueError(
+                f"interval/sample must be >= 1, got {interval}/{sample}")
+        if not 0.0 < max_fraction <= 1.0:
+            raise ValueError(f"max_fraction must be in (0, 1], "
+                             f"got {max_fraction}")
+        self.cfg = cfg
+        self.interval = interval
+        self.sample = sample
+        self.threshold = threshold
+        self.max_channels = max(1, int(max_fraction * cfg.n_chan))
+        self.on_event = on_event
+        self.zapped: set = set(int(c) for c in seed_zapped)
+        self.events: list = []  # every emitted event, for post-run stats
+        self._seen = 0
+        self._pending: deque = deque()
+        self._s1 = np.zeros(cfg.n_chan, np.float64)
+        self._s2 = np.zeros(cfg.n_chan, np.float64)
+        self._n = 0
+
+    def observe(self, wire_dev) -> None:
+        """Dispatch the SK reduction for this block if it falls on the
+        sampling grid (device-side, async — do not fetch here)."""
+        take = self._seen % self.sample == 0
+        self._seen += 1
+        if take:
+            self._pending.append(sk_block_stats(wire_dev, self.cfg))
+
+    def poll(self) -> None:
+        """Fetch completed stats and decide when a window is full.
+        Called at drain time, after the corresponding block's product
+        fetch — the stats arrays are ready, so this never stalls."""
+        while self._pending:
+            st = self._pending.popleft()
+            self._s1 += np.asarray(st["s1"], np.float64)
+            self._s2 += np.asarray(st["s2"], np.float64)
+            self._n += 1
+            if self._n >= self.interval:
+                self._decide()
+
+    def flush(self) -> None:
+        """End-of-stream: decide on any partial window (>= 2 blocks,
+        else the estimator is too noisy to act on)."""
+        self.poll()
+        if self._n >= 2:
+            self._decide()
+
+    def _decide(self) -> None:
+        m = self._n * sk_samples_per_block(self.cfg)
+        sk = sk_estimate(self._s1, self._s2, m)
+        flagged, med, sigma = sk_flags(sk, m, threshold=self.threshold)
+        self._s1[:] = 0.0
+        self._s2[:] = 0.0
+        blocks, self._n = self._n, 0
+        new = sorted(set(flagged) - self.zapped)
+        if not new:
+            return
+        total = self.zapped | set(new)
+        if len(total) > self.max_channels:
+            self._emit({"type": "cap", "flagged": new,
+                        "zapped": sorted(self.zapped),
+                        "max_channels": self.max_channels})
+            return
+        self.zapped = total
+        self._emit({
+            "type": "excise",
+            "new": new,
+            "zapped": sorted(self.zapped),
+            "sk_median": round(float(med), 5),
+            "sk_sigma": round(float(sigma), 6),
+            "blocks": blocks,
+        })
+
+    def _emit(self, event: dict) -> None:
+        self.events.append(event)
+        if self.on_event is not None:
+            self.on_event(event)

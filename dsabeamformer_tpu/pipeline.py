@@ -307,6 +307,10 @@ class StreamingBeamformer:
         # per block with the stream time; a non-None return swaps in new
         # weights for subsequent blocks without stalling.
         self.tracker = tracker
+        # Optional streaming RFI monitor (ops/rfi.py): observed at
+        # dispatch, polled at drain; its on_event callback typically
+        # regenerates weights and calls update_weights.
+        self.rfi_monitor = None
         self._inflight: collections.deque = collections.deque()
         self._block_idx = 0
         self._stream_t = 0.0
@@ -419,6 +423,8 @@ class StreamingBeamformer:
             # fictional.  A jitted sum + scalar fetch is a true fence
             # and costs ~one pass over the (small) averaged output.
             float(_digest(out))
+        if self.rfi_monitor is not None:
+            self.rfi_monitor.poll()
         wall = time.perf_counter() - t_enq
         bs = BlockStats(
             block_idx=self._block_idx,
@@ -460,6 +466,11 @@ class StreamingBeamformer:
             )
             q8 = fused_q8() if fused_q8 is not None else None
             out, inco = self._step(wire_dev, q8)        # async dispatch
+            if self.rfi_monitor is not None:
+                # SK stats ride the same async queue; fetched at drain
+                # (ops/rfi.py — the monitor may excise channels through
+                # update_weights mid-stream).
+                self.rfi_monitor.observe(wire_dev)
             if q8 is None and post is not None:
                 out = post(out)
             self._inflight.append((seq, out, inco, time.perf_counter()))
@@ -479,6 +490,8 @@ class StreamingBeamformer:
                     self._drain_one()
         while self._inflight:
             self._drain_one()
+        if self.rfi_monitor is not None:
+            self.rfi_monitor.flush()
         stats.dropped = getattr(self.source, "dropped", 0)
         stats.skipped = getattr(self.source, "skipped", 0)
         return stats.finish()
