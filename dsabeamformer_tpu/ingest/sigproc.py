@@ -42,6 +42,7 @@ from dsabeamformer_tpu.config import ObsConfig
 __all__ = ["encode_filterbank_header", "FilterbankSink", "read_filterbank"]
 
 _quant8 = None
+_quant8_stokes = None
 
 
 def _get_quant8():
@@ -60,6 +61,39 @@ def _get_quant8():
 
         _quant8 = q
     return _quant8
+
+
+# Signed Q/U/V planes ride the unsigned 8-bit payload at this fixed
+# midpoint offset (recorded in scales.json; SIGPROC has no field for
+# it).  I keeps offset 0 so power-only consumers read it unchanged.
+STOKES_QUV_OFFSET = 128.0
+_QUV_OFF = None  # [4] f32 per-IF offsets, device-lazy
+
+
+def _quv_offsets_np():
+    import numpy as _np
+
+    return _np.array([0.0] + [STOKES_QUV_OFFSET] * 3, _np.float32)
+
+
+def _get_quant8_stokes():
+    """Stokes variant: ``[F', T', 4, B] f32 × [B] scales -> uint8``
+    with the per-IF midpoint offset applied before clipping."""
+    global _quant8_stokes
+    if _quant8_stokes is None:
+        import jax
+        import jax.numpy as jnp
+
+        off = jnp.asarray(_quv_offsets_np())
+
+        @jax.jit
+        def q(x, s):
+            return jnp.clip(
+                jnp.rint(x * s[None, None, None, :] + off[None, None, :, None]),
+                0, 255).astype(jnp.uint8)
+
+        _quant8_stokes = q
+    return _quant8_stokes
 
 
 def _kw(keyword: str) -> bytes:
@@ -153,13 +187,21 @@ class FilterbankSink:
     SIGPROC headers have no scale field, so that sidecar is the only
     durable record of the counts-per-unit-power calibration.
 
+    8-bit **Stokes** (nifs=4) stores the signed Q/U/V planes at the
+    fixed midpoint offset ``STOKES_QUV_OFFSET`` (=128; recorded in the
+    sidecar as ``__quv_offset__``): ``counts = x*scale + offset``,
+    with I at offset 0 so intensity-only consumers read it exactly
+    like a power file.  The scale is auto-calibrated from the I plane
+    — ``|Q|,|U|,|V| <= I`` per sample bounds the signed planes, so
+    rails only engage on strongly-polarized bright pixels.
+
     Dropped/skipped stream blocks (``seq`` gaps) are ZERO-FILLED so
     the file's time axis stays contiguous — SIGPROC consumers
     (heimdall/PRESTO) assume uninterrupted ``tsamp`` sampling, and a
     silent splice would shift every later candidate's time/DM.  Zeros
-    are unambiguous flagged data in both payloads (real 8-bit data
-    sits near mid-rail 64).  ``n_splices`` / ``filled_samples`` count
-    what was filled.
+    are unambiguous flagged data in every payload (real 8-bit data
+    sits near mid-rail 64, Q/U/V near their 128 midpoint).
+    ``n_splices`` / ``filled_samples`` count what was filled.
     """
 
     def __init__(
@@ -177,10 +219,6 @@ class FilterbankSink:
             raise ValueError(f"unknown products {products!r}")
         if nbits not in (8, 32):
             raise ValueError(f"nbits must be 8 or 32, got {nbits}")
-        if nbits == 8 and products == "stokes":
-            raise ValueError(
-                "nbits=8 is power-only: Q/U/V are signed and SIGPROC "
-                "8-bit payloads are unsigned with no offset field")
         self.cfg = cfg
         self.nifs = 4 if products == "stokes" else 1
         self._stokes = products == "stokes"
@@ -229,7 +267,7 @@ class FilterbankSink:
         quantizer at runtime shapes with dummy scales."""
         if self.nbits != 8:
             return out_dev
-        q = _get_quant8()
+        q = _get_quant8_stokes() if self._stokes else _get_quant8()
         if warmup:
             import jax.numpy as jnp
 
@@ -298,10 +336,18 @@ class FilterbankSink:
             out = arr[b]
             if self.nbits == 8 and not pre_quantized:
                 if self._scales[b] is None:
-                    med = float(np.median(out))
+                    # Auto-cal from the Stokes-I plane either way:
+                    # |Q|,|U|,|V| <= I per sample, so the I-derived
+                    # scale bounds the signed planes too (mid-rail 64
+                    # for I; Q/U/V sit near their 128 midpoint at the
+                    # usual small polarization fractions).
+                    med = float(np.median(out[:, 0, :] if self._stokes
+                                          else out))
                     self._scales[b] = 64.0 / med if med > 0 else 1.0
-                out = np.clip(np.rint(out * self._scales[b]),
-                              0, 255).astype(np.uint8)
+                scaled = out * self._scales[b]
+                if self._stokes:
+                    scaled = scaled + _quv_offsets_np()[None, :, None]
+                out = np.clip(np.rint(scaled), 0, 255).astype(np.uint8)
             # write() takes the buffer directly — one contiguous copy
             # max, no tobytes() duplicate (this is a ~GB/block path).
             f.write(np.ascontiguousarray(out))
@@ -314,9 +360,12 @@ class FilterbankSink:
             # SIGPROC header field exists for it).
             import json
 
-            (self._dir / "scales.json").write_text(json.dumps({
-                f"beam{b:04d}.fil": s for b, s in self._scales.items()
-            }, indent=0) + "\n")
+            rec = {f"beam{b:04d}.fil": s for b, s in self._scales.items()}
+            if self._stokes:
+                # counts = x*scale + offset (I: 0; Q/U/V: midpoint).
+                rec["__quv_offset__"] = STOKES_QUV_OFFSET
+            (self._dir / "scales.json").write_text(
+                json.dumps(rec, indent=0) + "\n")
 
 
 def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:

@@ -168,10 +168,73 @@ def test_8bit_auto_scale_constant_across_blocks(tiny_cfg, tmp_path):
     assert data[t_out:].max() == 255
 
 
-def test_8bit_stokes_rejected(tiny_cfg, tmp_path):
-    with pytest.raises(ValueError, match="power-only"):
-        FilterbankSink(tmp_path / "x", tiny_cfg, products="stokes",
-                       nbits=8)
+def test_8bit_stokes_offset_encoding(tiny_cfg, tmp_path):
+    """8-bit Stokes: I at offset 0 (reads like a power file), Q/U/V at
+    the 128 midpoint, one I-derived scale per beam, offset recorded in
+    the sidecar."""
+    import json
+
+    from dsabeamformer_tpu.ingest.sigproc import STOKES_QUV_OFFSET
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(8)
+    blk = np.zeros((f_out, t_out, 4, b_out), np.float32)
+    blk[:, :, 0] = rng.uniform(1.0, 3.0, (f_out, t_out, b_out))  # I
+    for s in (1, 2, 3):  # |Q/U/V| < I
+        blk[:, :, s] = blk[:, :, 0] * rng.uniform(-0.4, 0.4,
+                                                  (f_out, t_out, b_out))
+    sink = FilterbankSink(tmp_path / "s8", cfg, products="stokes", nbits=8)
+    sink.write(0, blk)
+    sink.close()
+    scale = sink.scales[0]
+    hdr, data = read_filterbank(tmp_path / "s8" / "beam0000.fil")
+    assert hdr["nifs"] == 4 and hdr["nbits"] == 8
+    want = blk[::-1, :, :, 0] * scale  # descending channels
+    want[:, :, 1:] += STOKES_QUV_OFFSET
+    want = np.clip(np.rint(want), 0, 255)
+    # data: [T, 4, F'] -> compare against [F', T, 4]
+    np.testing.assert_array_equal(np.transpose(data, (2, 0, 1)), want)
+    # I plane median sits at mid-rail 64, Q/U/V near the 128 midpoint
+    assert abs(np.median(data[:, 0, :]) - 64) <= 2
+    assert abs(np.median(data[:, 1, :].astype(float)) - 128) <= 8
+    side = json.loads((tmp_path / "s8" / "scales.json").read_text())
+    assert side["__quv_offset__"] == STOKES_QUV_OFFSET
+    assert side["beam0000.fil"] == scale
+
+
+def test_8bit_stokes_device_post_matches_host(tiny_cfg, tmp_path):
+    """The on-device Stokes quantizer is byte-identical to the host
+    path once scales exist (same scale, same per-IF offsets)."""
+    import jax
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(12)
+    def mk():
+        b = np.zeros((f_out, t_out, 4, b_out), np.float32)
+        b[:, :, 0] = rng.uniform(1.0, 3.0, (f_out, t_out, b_out))
+        for s in (1, 2, 3):
+            b[:, :, s] = b[:, :, 0] * rng.uniform(-0.5, 0.5,
+                                                  (f_out, t_out, b_out))
+        return b
+    b0, b1 = mk(), mk()
+    host = FilterbankSink(tmp_path / "h", cfg, products="stokes", nbits=8)
+    dev = FilterbankSink(tmp_path / "d", cfg, products="stokes", nbits=8)
+    for s, use_dev in ((host, False), (dev, True)):
+        out0 = s.device_post(jax.device_put(b0)) if use_dev else b0
+        assert np.asarray(out0).dtype == np.float32  # autocal pass
+        s.write(0, np.asarray(out0))
+        out1 = s.device_post(jax.device_put(b1)) if use_dev else b1
+        if use_dev:
+            assert np.asarray(out1).dtype == np.uint8
+        s.write(1, np.asarray(out1))
+        s.close()
+    assert host.scales == dev.scales
+    for b in range(cfg.n_beams):
+        _, dh = read_filterbank(tmp_path / "h" / f"beam{b:04d}.fil")
+        _, dd = read_filterbank(tmp_path / "d" / f"beam{b:04d}.fil")
+        np.testing.assert_array_equal(dh, dd)
 
 
 def test_cmd_fil_inspector(tiny_cfg, tmp_path, capsys):
@@ -245,8 +308,8 @@ def test_truncated_header_clean_error(tiny_cfg, tmp_path):
 
 def test_cli_fil_flag_errors_are_clean_and_prewarmup(tiny_cfg, tmp_path,
                                                      capsys):
-    """Bad --fil-scale / --fil-beams / 8-bit-stokes fail with rc 2 and
-    a clean error BEFORE weight generation + warmup compile."""
+    """Bad --fil-scale / --fil-beams fail with rc 2 and a clean error
+    BEFORE weight generation + warmup compile."""
     from dsabeamformer_tpu.cli import main as cli_main
     from dsabeamformer_tpu.ingest.generator import make_noise_block
 
@@ -256,8 +319,7 @@ def test_cli_fil_flag_errors_are_clean_and_prewarmup(tiny_cfg, tmp_path,
             "--fil-dir", str(tmp_path / "fil")]
     for extra in (["--fil-scale", "bogus"],
                   ["--fil-scale", "-1", "--fil-bits", "8"],
-                  ["--fil-beams", "0,99"],
-                  ["--fil-bits", "8", "--products", "stokes"]):
+                  ["--fil-beams", "0,99"]):
         capsys.readouterr()
         assert cli_main(base + extra) == 2
         assert "error:" in capsys.readouterr().err
@@ -435,3 +497,35 @@ def test_fused_quant8_hook_gated_to_8bit(tiny_cfg, tmp_path):
     s8 = FilterbankSink(tmp_path / "f8", cfg, nbits=8)
     bf8 = StreamingBeamformer(cfg, qw, SyntheticSource(cfg, blocks, 1), s8)
     assert bf8._fused_quant8() is not None
+
+
+def test_cli_8bit_stokes_run(tiny_cfg, tmp_path):
+    """End-to-end 8-bit Stokes .fil run: device quantizer engages from
+    block 1, nifs=4 uint8 payload, sidecar carries the Q/U/V offset."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.ingest.sigproc import STOKES_QUV_OFFSET
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (25, 26)]
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(b"".join(w.tobytes() for w in wires))
+    fil_dir = tmp_path / "fil"
+    rc = cli_main(["run", "--config", "tiny", "--input-file", str(raw),
+                   "--products", "stokes",
+                   "--fil-dir", str(fil_dir), "--fil-bits", "8",
+                   "--fil-beams", "1"])
+    assert rc == 0
+    hdr, data = read_filterbank(fil_dir / "beam0001.fil")
+    assert hdr["nifs"] == 4 and hdr["nbits"] == 8
+    assert data.dtype == np.uint8
+    f_out, t_out, _ = cfg.out_block_shape
+    assert data.shape == (2 * t_out, 4, f_out)
+    # I near mid-rail 64; Q/U/V near the midpoint (noise: pol ~ 0)
+    assert abs(float(np.median(data[:, 0, :])) - 64) < 12
+    for s in (1, 2, 3):
+        assert abs(float(np.median(data[:, s, :])) - 128) < 8
+    side = json.loads((fil_dir / "scales.json").read_text())
+    assert side["__quv_offset__"] == STOKES_QUV_OFFSET
