@@ -361,13 +361,26 @@ def _cmd_run_pinned(args) -> int:
                 if k in shown:
                     shown[k] = [chan0 + c for c in shown[k]]
             print(f"[dsabf] rfi {json.dumps(shown)}", file=sys.stderr)
-            if ev["type"] == "excise":
-                # Regenerate with the full sticky zap set and swap in
-                # asynchronously — same no-stall path as cal/pointing
-                # updates (pipeline.update_weights).  The incoherent
-                # product is data-side and keeps its startup mask.
-                warm.update_weights(
-                    _make_weights(cfg, args, extra_zap=ev["zapped"]))
+            if ev["type"] != "excise" or ev.get("final"):
+                # Cap refusals are log-only; flush-time excisions have
+                # no blocks left to apply to (skip the multi-second
+                # regeneration entirely).
+                return
+            if warm.tracker is not None:
+                # A tracked run must regenerate at the CURRENT stream
+                # pointing, not the startup one — invalidating the
+                # tracker makes its next per-block poll rebuild at
+                # pointing_at(t) with the monitor's grown zap set (the
+                # tracker's edit hook folds it in).
+                warm.tracker.invalidate()
+                return
+            # Untracked: regenerate with the full sticky zap set and
+            # swap in asynchronously — same no-stall path as
+            # cal/pointing updates (pipeline.update_weights).  The
+            # incoherent product is data-side and keeps its startup
+            # mask.
+            warm.update_weights(
+                _make_weights(cfg, args, extra_zap=ev["zapped"]))
 
         try:
             rfi_monitor = RFIMonitor(
@@ -790,21 +803,26 @@ def cmd_fil(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     x = data.astype(np.float64)
-    # Bandpass from IF 0 only: for Stokes files (nifs=4) IFs 1-3 are
-    # Q/U/V with near-zero/negative means — folding them into the
-    # per-channel mean would make the stats meaningless.
+    # All level stats from IF 0 (Stokes I) only: Q/U/V planes have
+    # near-zero means (f32) or ride the fixed 128 midpoint offset
+    # (8-bit) — folding them in would make mean/std read as nonsense
+    # for exactly the level check this inspector exists for.  The
+    # per-IF means are reported separately for Stokes files.
     bp = x[:, 0, :].mean(axis=0)
     out = dict(
         hdr,
         n_samples=int(data.shape[0]),
         duration_s=data.shape[0] * hdr["tsamp"],
-        mean=float(x.mean()),
-        std=float(x.std()),
+        mean=float(x[:, 0, :].mean()),
+        std=float(x[:, 0, :].std()),
         bandpass_min=float(bp.min()),
         bandpass_max=float(bp.max()),
         bandpass_ripple=float(bp.max() / bp.min()) if bp.min() > 0 else None,
         finite=bool(np.isfinite(x).all()),
     )
+    if data.shape[1] > 1:
+        out["if_means"] = [round(float(x[:, s, :].mean()), 3)
+                           for s in range(data.shape[1])]
     print(json.dumps(out))
     return 0
 
@@ -885,18 +903,24 @@ def cmd_rfi(args) -> int:
     sk = sk_estimate(s1, s2, m)
     flagged, med, sigma = sk_flags(sk, m, threshold=args.threshold)
     chan0 = getattr(args, "_chan_offset", 0)
+
+    def fin(v, nd):
+        # Dead channels give NaN SK; bare NaN is invalid JSON (breaks
+        # jq/strict parsers), so emit null instead.
+        return round(float(v), nd) if np.isfinite(v) else None
+
     out = {
         "blocks": n,
         "n_chan": cfg.n_chan,
         "m_per_chan": m,
-        "sk_median": round(med, 5),
-        "sk_sigma": round(sigma, 6),
+        "sk_median": fin(med, 5),
+        "sk_sigma": fin(sigma, 6),
         "threshold": args.threshold,
         "flagged": [chan0 + c for c in flagged],
         "zap": format_zap_spec(chan0 + c for c in flagged),
     }
     if args.sk_values:
-        out["sk"] = [round(float(v), 5) for v in sk]
+        out["sk"] = [fin(v, 5) for v in sk]
     print(json.dumps(out))
     return 0
 

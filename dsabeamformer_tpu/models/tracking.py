@@ -106,3 +106,11 @@ class FringeTracker:
         (the reference's cal-update trigger)."""
         self.cal = cal
         self._last_update_t = None
+
+    def invalidate(self) -> None:
+        """Force regeneration at the next per-block poll — at the
+        CURRENT stream pointing.  The RFI monitor's excision path uses
+        this instead of building weights itself, which would rewind
+        the pointing to t=0 (the monitor's zap set reaches the fresh
+        table through ``edit``)."""
+        self._last_update_t = None

@@ -26,6 +26,33 @@ from dsabeamformer_tpu.config import ObsConfig
 from dsabeamformer_tpu.ops.packing import unpack_4r4i
 
 
+def _unpack_active_power(wire, cfg: ObsConfig):
+    """Shared preamble for the wire-block diagnostics: validate the
+    wire form (canonical device shape or 4-D host block), reshape to
+    the layout's [.., P, A] axes, slice the active antennas, unpack
+    4R4I, and square — returns ``(p int32 [T,F,P,A'] or [F,T,P,A'],
+    chan_axis)``.  One reader, kept in sync for every consumer."""
+    if wire.dtype != jnp.uint8:
+        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
+    if wire.shape == cfg.device_wire_shape or wire.shape == cfg.wire_block_shape:
+        if cfg.input_layout == "tfpa":
+            x = wire.reshape(cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+            chan_axis = 1
+        else:
+            x = wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+            chan_axis = 0
+    else:
+        raise ValueError(
+            f"wire shape {wire.shape} is neither {cfg.device_wire_shape} "
+            f"nor {cfg.wire_block_shape} for layout {cfg.input_layout!r}"
+        )
+    x = x[..., : cfg.n_ant_active]
+    re, im = unpack_4r4i(x)
+    re = re.astype(jnp.int32)
+    im = im.astype(jnp.int32)
+    return re * re + im * im, chan_axis
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "flag_ants"))
 def incoherent_power(wire: jax.Array, cfg: ObsConfig,
                      flag_ants: tuple = ()) -> jax.Array:
@@ -40,24 +67,7 @@ def incoherent_power(wire: jax.Array, cfg: ObsConfig,
     ``flag_ants`` (static) excludes bad antennas from the sum — the
     data-side analog of ``models.weights.flag_antennas``.
     """
-    if wire.dtype != jnp.uint8:
-        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
-    pa = cfg.n_pol * cfg.n_ant
-    if wire.shape == cfg.device_wire_shape or wire.shape == cfg.wire_block_shape:
-        if cfg.input_layout == "tfpa":
-            x = wire.reshape(cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
-        else:
-            x = wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
-    else:
-        raise ValueError(
-            f"wire shape {wire.shape} is neither {cfg.device_wire_shape} "
-            f"nor {cfg.wire_block_shape} for layout {cfg.input_layout!r}"
-        )
-    x = x[..., : cfg.n_ant_active]
-    re, im = unpack_4r4i(x)
-    re = re.astype(jnp.int32)
-    im = im.astype(jnp.int32)
-    p = re * re + im * im
+    p, _ = _unpack_active_power(wire, cfg)
     if flag_ants:
         if min(flag_ants) < 0 or max(flag_ants) >= cfg.n_ant_active:
             raise ValueError(
@@ -159,19 +169,8 @@ def sk_block_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
     concentrates ``p`` near a constant (SK << 1), impulsive/bursty
     interference spreads it (SK >> 1); Gaussian noise gives SK ~= 1.
     """
-    if wire.dtype != jnp.uint8:
-        raise ValueError(f"wire must be uint8 4R4I bytes, got {wire.dtype}")
-    if cfg.input_layout == "tfpa":
-        x = wire.reshape(cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
-        chan_axis = 1
-    else:
-        x = wire.reshape(cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
-        chan_axis = 0
-    x = x[..., : cfg.n_ant_active]
-    re, im = unpack_4r4i(x)
-    re = re.astype(jnp.int32)
-    im = im.astype(jnp.int32)
-    p = (re * re + im * im).astype(jnp.float32)
+    p, chan_axis = _unpack_active_power(wire, cfg)
+    p = p.astype(jnp.float32)
     axes = tuple(a for a in range(4) if a != chan_axis)
     return {"s1": p.sum(axis=axes), "s2": (p * p).sum(axis=axes)}
 

@@ -85,27 +85,47 @@ class RFIMonitor:
         self.max_channels = max(1, int(max_fraction * cfg.n_chan))
         self.on_event = on_event
         self.zapped: set = set(int(c) for c in seed_zapped)
-        self.events: list = []  # every emitted event, for post-run stats
+        # Emitted events for post-run stats, bounded (a broken null
+        # could otherwise emit one event per window for hours).
+        self.events: list = []
+        self.events_dropped = 0
+        self._max_events = 256
         self._seen = 0
-        self._pending: deque = deque()
+        self._pending: deque = deque()  # (dispatch_index, stats)
         self._s1 = np.zeros(cfg.n_chan, np.float64)
         self._s2 = np.zeros(cfg.n_chan, np.float64)
         self._n = 0
+        self._final = False
+        self._last_cap: Optional[frozenset] = None
+
+    def warmup(self, wire_dev) -> None:
+        """Compile the SK reduction before the stream attaches (the
+        pipeline calls this from its own warmup) — a first-live-block
+        jit compile would stall the ring.  Fetches and discards."""
+        st = sk_block_stats(wire_dev, self.cfg)
+        np.asarray(st["s1"])
+        np.asarray(st["s2"])
 
     def observe(self, wire_dev) -> None:
         """Dispatch the SK reduction for this block if it falls on the
         sampling grid (device-side, async — do not fetch here)."""
         take = self._seen % self.sample == 0
+        idx = self._seen
         self._seen += 1
         if take:
-            self._pending.append(sk_block_stats(wire_dev, self.cfg))
+            self._pending.append((idx, sk_block_stats(wire_dev, self.cfg)))
 
-    def poll(self) -> None:
-        """Fetch completed stats and decide when a window is full.
-        Called at drain time, after the corresponding block's product
-        fetch — the stats arrays are ready, so this never stalls."""
-        while self._pending:
-            st = self._pending.popleft()
+    def poll(self, n_drained: Optional[int] = None) -> None:
+        """Fetch stats for blocks the pipeline has already drained and
+        decide when a window is full.  ``n_drained`` gates the fetch:
+        only stats whose block (dispatch order) has been drained are
+        touched — fetching a just-dispatched block's stats would block
+        on the whole device queue and serialize the depth-pipelining.
+        ``None`` fetches everything (end of stream)."""
+        while self._pending and (
+            n_drained is None or self._pending[0][0] < n_drained
+        ):
+            _, st = self._pending.popleft()
             self._s1 += np.asarray(st["s1"], np.float64)
             self._s2 += np.asarray(st["s2"], np.float64)
             self._n += 1
@@ -114,7 +134,10 @@ class RFIMonitor:
 
     def flush(self) -> None:
         """End-of-stream: decide on any partial window (>= 2 blocks,
-        else the estimator is too noisy to act on)."""
+        else the estimator is too noisy to act on).  Events emitted
+        here carry ``"final": True`` — there are no further blocks to
+        apply an excision to, so callers should log but not act."""
+        self._final = True
         self.poll()
         if self._n >= 2:
             self._decide()
@@ -131,21 +154,34 @@ class RFIMonitor:
             return
         total = self.zapped | set(new)
         if len(total) > self.max_channels:
-            self._emit({"type": "cap", "flagged": new,
-                        "zapped": sorted(self.zapped),
-                        "max_channels": self.max_channels})
+            # Refuse, but do not re-spam an unchanged refusal every
+            # window (a broken null re-flags the same set for hours).
+            if self._last_cap != frozenset(new):
+                self._last_cap = frozenset(new)
+                self._emit({"type": "cap", "flagged": new,
+                            "zapped": sorted(self.zapped),
+                            "max_channels": self.max_channels})
             return
+        self._last_cap = None
         self.zapped = total
-        self._emit({
+        def _fin(v, nd):
+            return round(float(v), nd) if np.isfinite(v) else None
+        ev = {
             "type": "excise",
             "new": new,
             "zapped": sorted(self.zapped),
-            "sk_median": round(float(med), 5),
-            "sk_sigma": round(float(sigma), 6),
+            "sk_median": _fin(med, 5),
+            "sk_sigma": _fin(sigma, 6),
             "blocks": blocks,
-        })
+        }
+        if self._final:
+            ev["final"] = True
+        self._emit(ev)
 
     def _emit(self, event: dict) -> None:
-        self.events.append(event)
+        if len(self.events) < self._max_events:
+            self.events.append(event)
+        else:
+            self.events_dropped += 1
         if self.on_event is not None:
             self.on_event(event)

@@ -385,6 +385,9 @@ class StreamingBeamformer:
         np.asarray(out)  # full round trip
         if inco is not None:
             np.asarray(inco)
+        if self.rfi_monitor is not None:
+            # Compile the SK reduction too (it runs per sampled block).
+            self.rfi_monitor.warmup(zero_dev)
         if self._fused_quant8() is not None:
             # The steady-state step is the fused uint8 variant (its
             # scales only exist after the first live block) — compile
@@ -423,8 +426,6 @@ class StreamingBeamformer:
             # fictional.  A jitted sum + scalar fetch is a true fence
             # and costs ~one pass over the (small) averaged output.
             float(_digest(out))
-        if self.rfi_monitor is not None:
-            self.rfi_monitor.poll()
         wall = time.perf_counter() - t_enq
         bs = BlockStats(
             block_idx=self._block_idx,
@@ -435,6 +436,11 @@ class StreamingBeamformer:
             skipped=getattr(self.source, "skipped", 0),
         )
         self._block_idx += 1
+        if self.rfi_monitor is not None:
+            # Fetch only stats for blocks already drained: touching a
+            # just-dispatched block's stats would block on the whole
+            # device queue and serialize the depth-pipelining.
+            self.rfi_monitor.poll(self._block_idx)
         if self.on_block is not None:
             self.on_block(bs)
 
