@@ -10,12 +10,14 @@ for excision through the pipeline's asynchronous weight-update path
 (SURVEY.md §3.3; the reference has no equivalent — its weights change
 only on external cal/pointing updates [K]).
 
-Cost model: one ``sk_block_stats`` pass is memory-bound over the wire
-bytes (~10% of a full-scale block period), so sampling is a knob —
-``sample=4`` observes every 4th block for ~2.5% overhead.  Decisions
-are made every ``interval`` OBSERVED blocks on the pooled
-accumulators, so sparser sampling widens the decision cadence rather
-than weakening the statistic.
+Cost model (measured at the dsa10 preset, BENCH.md "RFI monitor"):
+one ``sk_block_stats`` pass costs ~13.7 ms against the 33.6 ms block
+step — 41% if observed every block, dominated by the unpacked-int32
+intermediates' HBM traffic, not the wire read itself.  Sampling
+amortizes it: the CLI default ``sample=4`` costs ~10%.  Decisions are
+made every ``interval`` OBSERVED blocks on the pooled accumulators,
+so sparser sampling widens the decision cadence rather than weakening
+the statistic.
 
 Excision is sticky (a channel, once zapped, stays zapped for the run
 — weight regeneration re-applies the full set) and capped: if the

@@ -413,3 +413,37 @@ def test_fused_quant8_byte_equal_on_tpu(tpu_backend):
                    ).astype(np.uint8)
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+def test_spectral_kurtosis_on_tpu(tpu_backend):
+    """SK scan on hardware: clean noise sits at SK~1, an injected CW
+    carrier and a dead channel are the only flags (the estimator's
+    XLA reduction path compiles and is numerically sane on TPU)."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import (
+        make_noise_block,
+        make_tone_block,
+    )
+    from dsabeamformer_tpu.ops.incoherent import (
+        sk_block_stats,
+        sk_estimate,
+        sk_flags,
+        sk_samples_per_block,
+    )
+
+    cfg = DSA10.replace(n_chan=128, t_block=1024, time_tile=1024)
+    wire = make_noise_block(cfg, rms=2.0, seed=21).reshape(
+        cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant).copy()
+    tone = make_tone_block(cfg, chan=33, amplitude=6.0).reshape(
+        cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant)
+    wire[:, 33] = tone[:, 33]
+    wire[:, 90] = 0
+    st = sk_block_stats(jax.device_put(wire.reshape(cfg.wire_block_shape)),
+                        cfg)
+    m = sk_samples_per_block(cfg)
+    sk = sk_estimate(np.asarray(st["s1"]), np.asarray(st["s2"]), m)
+    flagged, med, sigma = sk_flags(sk, m)
+    assert sorted(flagged) == [33, 90]
+    assert abs(med - 1.0) < 0.1
