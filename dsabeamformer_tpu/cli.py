@@ -17,6 +17,10 @@ subcommands:
   dsabf ring        — inspect a ring's counters (dada_dbmonitor analog)
   dsabf calibrate   — solve per-antenna gains from a calibrator capture
   dsabf levels      — per-antenna rms + 4-bit clip report from a capture
+  dsabf rfi         — spectral-kurtosis RFI scan -> --zap/--flag-ants specs
+  dsabf launch      — supervised one-process-per-subband deployment
+  dsabf fil         — inspect a SIGPROC filterbank product
+  dsabf waterfall   — ASCII/PGM time-frequency quick-look of a product
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
@@ -305,7 +309,8 @@ def _cmd_run_pinned(args) -> int:
             out_ring = RingBuffer(args.output_key, create=True,
                                   nbufs=args.nbufs, bufsz=out_bytes)
             sink = RingSink(out_ring, cfg, products=args.products)
-        inco_sink = (FileSink(args.incoherent_file, None)
+        inco_sink = (FileSink(args.incoherent_file, cfg,
+                              products="incoherent")
                      if args.incoherent_file else None)
         if inco_sink is not None and getattr(args, "zap", None):
             # The incoherent product is data-side — weight zapping
@@ -890,11 +895,17 @@ def cmd_rfi(args) -> int:
     cfg, offset = _capture_cfg(args, cfg)
     s1 = np.zeros(cfg.n_chan, np.float64)
     s2 = np.zeros(cfg.n_chan, np.float64)
+    a1 = np.zeros(cfg.n_ant_active, np.float64)
+    a2 = np.zeros(cfg.n_ant_active, np.float64)
     n = 0
     for blk in _iter_capture_blocks(args, cfg, offset):
         st = sk_block_stats(blk, cfg)
         s1 += np.asarray(st["s1"], np.float64)
         s2 += np.asarray(st["s2"], np.float64)
+        if args.per_ant:
+            sa = sk_block_stats(blk, cfg, axis="ant")
+            a1 += np.asarray(sa["s1"], np.float64)
+            a2 += np.asarray(sa["s2"], np.float64)
         n += 1
     if n == 0:
         print("no blocks in input file", file=sys.stderr)
@@ -921,6 +932,21 @@ def cmd_rfi(args) -> int:
     }
     if args.sk_values:
         out["sk"] = [fin(v, 5) for v in sk]
+    if args.per_ant:
+        # Antenna-axis SK: broadband/self-generated RFI localizes to
+        # the offending antenna (the --flag-ants analog of --zap).
+        m_a = n * sk_samples_per_block(cfg, axis="ant")
+        sk_a = sk_estimate(a1, a2, m_a)
+        flag_a, med_a, sig_a = sk_flags(sk_a, m_a,
+                                        threshold=args.threshold)
+        out.update(
+            ant_sk_median=fin(med_a, 5),
+            ant_sk_sigma=fin(sig_a, 6),
+            flagged_ants=flag_a,
+            flag_ants=format_zap_spec(flag_a),
+        )
+        if args.sk_values:
+            out["ant_sk"] = [fin(v, 5) for v in sk_a]
     print(json.dumps(out))
     return 0
 
@@ -1066,9 +1092,10 @@ def main(argv=None) -> int:
                         "the async update path)")
     p.add_argument("--rfi-interval", type=int, default=8,
                    help="observed blocks pooled per excision decision")
-    p.add_argument("--rfi-sample", type=int, default=1,
+    p.add_argument("--rfi-sample", type=int, default=4,
                    help="observe every Nth block (the SK pass costs "
-                        "~10%% of a block period; sample=4 -> ~2.5%%)")
+                        "~41%% of a block period at the dsa10 preset, "
+                        "measured; the default 4 amortizes to ~10%%)")
     p.add_argument("--rfi-threshold", type=float, default=5.0,
                    help="robust z-score for flagging (dsabf rfi's "
                         "--threshold)")
@@ -1200,6 +1227,10 @@ def main(argv=None) -> int:
                         "flagged (null = cross-channel median/MAD)")
     p.add_argument("--sk-values", action="store_true",
                    help="include the full per-channel SK vector")
+    p.add_argument("--per-ant", action="store_true",
+                   help="also resolve SK per ANTENNA and emit a "
+                        "--flag-ants spec (localizes broadband/"
+                        "self-generated RFI to the offending dish)")
     p.set_defaults(fn=cmd_rfi)
 
     p = sub.add_parser(

@@ -160,7 +160,9 @@ def read_product_file(path: str | Path):
 
     Returns ``(header_dict, powers)`` where ``powers`` is a read-only
     float32 memmap shaped ``[n_blocks, OUT_NCHAN, OUT_NTIME, B]`` for
-    powers or ``[n_blocks, OUT_NCHAN, OUT_NTIME, 4, B]`` for Stokes.
+    powers, ``[n_blocks, OUT_NCHAN, OUT_NTIME, 4, B]`` for Stokes, or
+    ``[n_blocks, OUT_NCHAN, OUT_NTIME]`` for the beam-axis-free
+    incoherent product (``PAYLOAD=INCOHERENT_POWER``).
     Partial trailing data (a write interrupted mid-block — the
     crash-recovery case a product reader exists for) is dropped; a
     header-only file yields an empty ``[0, ...]`` array.
@@ -181,14 +183,16 @@ def read_product_file(path: str | Path):
             h = parse_header(f.read(hdr_size).split(b"\0", 1)[0].decode(
                 "ascii", errors="replace"))
     payload = h.get("PAYLOAD", "")
-    if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV"):
+    if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV",
+                       "INCOHERENT_POWER"):
         raise ValueError(
             f"{path}: PAYLOAD={payload!r} is not a beam-product file"
         )
     shape = [int(h["OUT_NCHAN"]), int(h["OUT_NTIME"])]
     if payload == "BEAM_STOKES_IQUV":
         shape.append(int(h.get("OUT_NSTOKES", 4)))
-    shape.append(int(h["OUT_NBEAM"]))
+    if payload != "INCOHERENT_POWER":  # incoherent has no beam axis
+        shape.append(int(h["OUT_NBEAM"]))
     per_block = int(np.prod(shape))
     payload_bytes = max(os.path.getsize(path) - hdr_size, 0)
     n_blocks = payload_bytes // (per_block * 4)

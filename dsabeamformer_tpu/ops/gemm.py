@@ -182,7 +182,7 @@ def _chan_loop(fc: int, chan_body):
 
 def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                    navg_time, x16, x_dup, time_major, epilogue,
-                   n_active=0, flagged=(), quant8=False):
+                   n_active=0, flagged=(), quant8=False, sk_active=0):
     """Shared fused detection kernel: unpack prologue + GEMM + a
     pluggable quadratic epilogue (power or full Stokes), deferred-s^2
     dequantized on the time-averaged output.
@@ -199,6 +199,16 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
     filterbank output quantized IN the epilogue, so the f32 product
     never touches HBM (vs the standalone ``FilterbankSink.device_post``
     pass: kernel writes 4 B/sample + quantizer reads 4 + writes 1).
+
+    ``sk_active > 0`` adds a THIRD output ref with the per-channel
+    spectral-kurtosis accumulators (lane 0: S1 = sum p, lane 1:
+    S2 = sum p^2 over every (time, pol, antenna < sk_active) sample,
+    raw 4-bit units) — the streaming RFI monitor's statistic computed
+    from the planes already in VMEM, replacing the standalone
+    ``sk_block_stats`` pass that costs a second 13.7 ms HBM sweep of
+    the wire block (BENCH.md "RFI monitor overhead").  The block is
+    revisited across the sequential time-grid axis (zeroed at t==0,
+    accumulated after), the canonical Pallas accumulator pattern.
     """
     idx = n_terms
     w_refs = refs[:idx]
@@ -209,7 +219,16 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
         q_ref = refs[idx]
         idx += 1
     o_ref = refs[idx]
-    i_ref = refs[idx + 1] if n_active else None
+    idx += 1
+    i_ref = None
+    if n_active:
+        i_ref = refs[idx]
+        idx += 1
+    sk_ref = refs[idx] if sk_active else None
+    if sk_active:
+        @pl.when(pl.program_id(1) == 0)
+        def _zero_sk():
+            sk_ref[...] = jnp.zeros_like(sk_ref)
     pa = n_pol * n_ant
     if time_major:
         # x_ref is [time_tile, chan_tile * P*A]: the wire block stayed in
@@ -283,6 +302,28 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
             i_ref[c] = tot.reshape(tt // navg_time, navg_time).sum(
                 axis=1, keepdims=True                 # [tt/navg, 1]
             )
+        if sk_active:
+            # SK accumulators from the same plain planes (all active
+            # antennas — detection must SEE flagged/RFI antennas, so
+            # no exclusion here, matching ops.incoherent.sk_block_stats
+            # exactly).  Per-sample power p then p^2; the antenna
+            # reduction rides the MXU as a masked-ones matvec like the
+            # incoherent sum; the time reduction is a sublane sum.
+            plain = x_all[:, x_all.shape[1] - 2 * a_compute:]
+            xf = plain.astype(jnp.float32)
+            sq = xf * xf
+            p_mat = sq[:, :a_compute] + sq[:, a_compute:]  # [P*tt, a]
+            ant = jax.lax.broadcasted_iota(jnp.int32, (a_compute, 1), 0)
+            ones = (ant < sk_active).astype(jnp.float32)
+            s1v = jnp.dot(p_mat, ones,
+                          preferred_element_type=jnp.float32)
+            s2v = jnp.dot(p_mat * p_mat, ones,
+                          preferred_element_type=jnp.float32)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, sk_ref.shape[2]), 1)
+            row = jnp.where(lane == 0, s1v.sum(), 0.0) \
+                + jnp.where(lane == 1, s2v.sum(), 0.0)
+            sk_ref[c] = sk_ref[c] + row
 
     if time_major and pa % 128 and 128 % pa == 0 and fc % (128 // pa) == 0:
         g = 128 // pa  # channels per aligned lane group
@@ -474,7 +515,7 @@ def _cost(cfg: ObsConfig, n_terms: int, weight_bytes: int, out_bytes: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent",
-                                             "flag_ants"))
+                                             "flag_ants", "sk_stats"))
 def beamform_power(
     wire: jax.Array,
     qw: QuantWeights,
@@ -483,6 +524,7 @@ def beamform_power(
     incoherent: bool = False,
     flag_ants: tuple = (),
     quant8_scales: jax.Array | None = None,
+    sk_stats: bool = False,
 ) -> jax.Array:
     """Fused pipeline: 4R4I wire block -> averaged beam powers.
 
@@ -507,6 +549,12 @@ def beamform_power(
     see ``FilterbankSink.fused_quant8_scales``).  Requires
     ``navg_freq == 1`` (quantization must follow any channel
     averaging); the incoherent side-product stays float32.
+
+    ``sk_stats=True`` appends the per-RAW-channel spectral-kurtosis
+    accumulators ``[n_chan, 2]`` (S1, S2 — the semantics of
+    ``ops.incoherent.sk_block_stats``) as the LAST output, computed in
+    the same kernel so the streaming RFI monitor costs no second HBM
+    pass over the wire bytes (BENCH.md "RFI monitor overhead").
     """
     if quant8_scales is not None and cfg.navg_freq != 1:
         raise ValueError(
@@ -515,7 +563,13 @@ def beamform_power(
             f"use FilterbankSink.device_post for navg_freq > 1")
     out = _fused_detect(wire, qw, cfg, interpret, _power_epilogue,
                         out_width=cfg.n_beams, incoherent=incoherent,
-                        flag_ants=flag_ants, quant8_scales=quant8_scales)
+                        flag_ants=flag_ants, quant8_scales=quant8_scales,
+                        sk_stats=sk_stats)
+    sk = None
+    if sk_stats:
+        *rest, sk = out
+        out = tuple(rest) if len(rest) > 1 else rest[0]
+        sk = sk[:, 0, :2]  # [n_chan, 2]: lanes 0/1 = S1/S2
     if incoherent:
         out, inco = out
         inco = inco[:, :, 0]  # drop the kernel's singleton lane axis
@@ -524,13 +578,22 @@ def beamform_power(
         out = out.reshape(f // cfg.navg_freq, cfg.navg_freq, t, b).sum(axis=1)
         if incoherent:
             inco = inco.reshape(f // cfg.navg_freq, cfg.navg_freq, t).sum(axis=1)
-    return (out, inco) if incoherent else out
+    parts = [out]
+    if incoherent:
+        parts.append(inco)
+    if sk_stats:
+        parts.append(sk)
+    return tuple(parts) if len(parts) > 1 else out
 
 
 def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
-                  incoherent=False, flag_ants=(), quant8_scales=None):
+                  incoherent=False, flag_ants=(), quant8_scales=None,
+                  sk_stats=False):
     """Shared fused-kernel invocation for the detection products
-    (power: out_width=B; Stokes: out_width=4*B)."""
+    (power: out_width=B; Stokes: out_width=4*B).  Optional extra
+    outputs, in order after the detection product: the incoherent sum
+    (``incoherent``) and the per-channel SK accumulators
+    (``sk_stats``)."""
     interpret = _default_interpret() if interpret is None else interpret
     _check_weights(qw, cfg)
     if flag_ants and (min(flag_ants) < 0
@@ -605,6 +668,26 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
             lambda f, t: (f, t, 0),
             memory_space=pltpu.VMEM,
         ))
+    if sk_stats:
+        if cfg.n_ant_active > cfg.a_compute:
+            raise ValueError(
+                f"fused SK stats need n_ant_active={cfg.n_ant_active} "
+                f"<= a_compute={cfg.a_compute}")
+        # [n_chan, 1, 128] f32, revisited across the sequential time
+        # axis (index_map constant in t): lane 0 = S1, lane 1 = S2,
+        # rest padding to the 128-lane block rule.  Tiny (1 KB/channel
+        # tile), so no tile shrink needed.
+        shapes = list(out_shape) if isinstance(out_shape, tuple) \
+            else [out_shape]
+        specs = list(out_spec) if isinstance(out_spec, tuple) \
+            else [out_spec]
+        shapes.append(jax.ShapeDtypeStruct((cfg.n_chan, 1, 128),
+                                           jnp.float32))
+        specs.append(pl.BlockSpec((cfg.chan_tile, 1, 128),
+                                  lambda f, t: (f, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = tuple(shapes)
+        out_spec = tuple(specs)
     kernel = functools.partial(
         _detect_kernel,
         n_ant=cfg.n_ant,
@@ -620,6 +703,7 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         n_active=cfg.n_ant_active if incoherent else 0,
         flagged=tuple(sorted(flag_ants)) if incoherent else (),
         quant8=quant8,
+        sk_active=cfg.n_ant_active if sk_stats else 0,
     )
     in_specs = _common_specs(cfg, n_terms, time_major)
     operands = [x, *qw.terms, qw.scales[:, None, :]]
@@ -632,9 +716,8 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         ))
         operands.append(
             quant8_scales.astype(jnp.float32)[None, None, :])
-    if incoherent:
-        out_bytes = out_shape[0].size * out_shape[0].dtype.itemsize \
-            + out_shape[1].size * 4
+    if isinstance(out_shape, tuple):
+        out_bytes = sum(s.size * s.dtype.itemsize for s in out_shape)
     else:
         out_bytes = out_shape.size * out_shape.dtype.itemsize
     return pl.pallas_call(
@@ -656,7 +739,7 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "incoherent",
-                                             "flag_ants"))
+                                             "flag_ants", "sk_stats"))
 def beamform_stokes(
     wire: jax.Array,
     qw: QuantWeights,
@@ -664,6 +747,7 @@ def beamform_stokes(
     interpret: bool | None = None,
     incoherent: bool = False,
     flag_ants: tuple = (),
+    sk_stats: bool = False,
 ) -> jax.Array:
     """Fused full-Stokes pipeline: wire block -> averaged Stokes spectra.
 
@@ -689,7 +773,12 @@ def beamform_stokes(
     """
     out = _fused_detect(wire, qw, cfg, interpret, _stokes_epilogue,
                         out_width=4 * cfg.n_beams, incoherent=incoherent,
-                        flag_ants=flag_ants)
+                        flag_ants=flag_ants, sk_stats=sk_stats)
+    sk = None
+    if sk_stats:
+        *rest, sk = out
+        out = tuple(rest) if len(rest) > 1 else rest[0]
+        sk = sk[:, 0, :2]  # [n_chan, 2]: S1, S2 (see beamform_power)
     if incoherent:
         # Same fused side-product as beamform_power(incoherent=True):
         # one HBM pass over the wire bytes for all five planes.
@@ -705,9 +794,12 @@ def beamform_stokes(
         if incoherent:
             inco = inco.reshape(f // cfg.navg_freq, cfg.navg_freq,
                                 -1).sum(axis=1)
+    parts = [out]
     if incoherent:
-        return out, inco
-    return out
+        parts.append(inco)
+    if sk_stats:
+        parts.append(sk)
+    return tuple(parts) if len(parts) > 1 else out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

@@ -151,32 +151,43 @@ def incoherent_power_golden(wire, cfg: ObsConfig, flag_ants=()):
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def sk_block_stats(wire: jax.Array, cfg: ObsConfig) -> dict:
-    """Per-channel spectral-kurtosis accumulators from one wire block.
+@functools.partial(jax.jit, static_argnames=("cfg", "axis"))
+def sk_block_stats(wire: jax.Array, cfg: ObsConfig,
+                   axis: str = "chan") -> dict:
+    """Spectral-kurtosis accumulators from one wire block, resolved
+    along ``axis``.
 
-    Returns ``{"s1": [n_chan], "s2": [n_chan]}`` — the sum and
-    sum-of-squares of the per-sample powers ``p = re^2 + im^2`` over
-    all (time, pol, active-antenna) samples of each channel, float32.
-    Callers accumulate these across blocks (in float64 on the host)
-    and form the SK estimator with :func:`sk_estimate`; splitting the
-    reduction this way keeps the device pass a single cheap
-    memory-bound sweep (like ``incoherent_power`` — XLA fuses unpack,
-    square, and both reductions into one read of the wire bytes).
+    Returns ``{"s1": [n_chan], "s2": [n_chan]}`` (``axis="chan"``) or
+    ``{"s1": [n_ant_active], "s2": [...]}`` (``axis="ant"``) — the sum
+    and sum-of-squares of the per-sample powers ``p = re^2 + im^2``
+    over every other axis, float32.  Callers accumulate these across
+    blocks (in float64 on the host) and form the SK estimator with
+    :func:`sk_estimate`; splitting the reduction this way keeps the
+    device pass a single cheap memory-bound sweep (like
+    ``incoherent_power`` — XLA fuses unpack, square, and both
+    reductions into one read of the wire bytes).
 
     Per-sample powers (rather than per-timestep incoherent sums) make
     the estimator sensitive to both RFI morphologies: a CW carrier
     concentrates ``p`` near a constant (SK << 1), impulsive/bursty
     interference spreads it (SK >> 1); Gaussian noise gives SK ~= 1.
+    ``axis="ant"`` localizes broadband/self-generated RFI to the
+    offending antenna (the ``--flag-ants`` analog of the per-channel
+    ``--zap`` scan).
     """
+    if axis not in ("chan", "ant"):
+        raise ValueError(f"axis must be chan|ant, got {axis!r}")
     p, chan_axis = _unpack_active_power(wire, cfg)
     p = p.astype(jnp.float32)
-    axes = tuple(a for a in range(4) if a != chan_axis)
+    keep = chan_axis if axis == "chan" else 3  # antenna is minor axis
+    axes = tuple(a for a in range(4) if a != keep)
     return {"s1": p.sum(axis=axes), "s2": (p * p).sum(axis=axes)}
 
 
-def sk_samples_per_block(cfg: ObsConfig) -> int:
-    """M contributed to each channel's SK accumulators per block."""
+def sk_samples_per_block(cfg: ObsConfig, axis: str = "chan") -> int:
+    """M contributed to each SK accumulator bin per block."""
+    if axis == "ant":
+        return cfg.t_block * cfg.n_pol * cfg.n_chan
     return cfg.t_block * cfg.n_pol * cfg.n_ant_active
 
 

@@ -109,13 +109,29 @@ class RFIMonitor:
         np.asarray(st["s2"])
 
     def observe(self, wire_dev) -> None:
-        """Dispatch the SK reduction for this block if it falls on the
-        sampling grid (device-side, async — do not fetch here)."""
+        """Dispatch the standalone SK reduction for this block if it
+        falls on the sampling grid (device-side, async — do not fetch
+        here).  This is the SECOND-HBM-PASS path (13.7 ms/observed
+        block, BENCH.md); the pipeline prefers :meth:`observe_stats`
+        with the detection kernel's fused accumulators."""
         take = self._seen % self.sample == 0
         idx = self._seen
         self._seen += 1
         if take:
             self._pending.append((idx, sk_block_stats(wire_dev, self.cfg)))
+
+    def observe_stats(self, sk_dev) -> None:
+        """Record the detection kernel's fused SK accumulators
+        (``beamform_power(..., sk_stats=True)``'s ``[n_chan, 2]`` last
+        output) for this block.  Same sampling grid as :meth:`observe`
+        so the two paths are interchangeable block-for-block — though
+        here a skipped block only skips a tiny host fetch, since the
+        kernel computed the stats either way."""
+        take = self._seen % self.sample == 0
+        idx = self._seen
+        self._seen += 1
+        if take:
+            self._pending.append((idx, sk_dev))
 
     def poll(self, n_drained: Optional[int] = None) -> None:
         """Fetch stats for blocks the pipeline has already drained and
@@ -128,8 +144,14 @@ class RFIMonitor:
             n_drained is None or self._pending[0][0] < n_drained
         ):
             _, st = self._pending.popleft()
-            self._s1 += np.asarray(st["s1"], np.float64)
-            self._s2 += np.asarray(st["s2"], np.float64)
+            if isinstance(st, dict):  # standalone sk_block_stats
+                s1 = np.asarray(st["s1"], np.float64)
+                s2 = np.asarray(st["s2"], np.float64)
+            else:  # fused [n_chan, 2] kernel output
+                arr = np.asarray(st, np.float64)
+                s1, s2 = arr[:, 0], arr[:, 1]
+            self._s1 += s1
+            self._s2 += s2
             self._n += 1
             if self._n >= self.interval:
                 self._decide()

@@ -202,16 +202,20 @@ class FileSink:
         self._f = open(path, "wb")
         if cfg is not None and str(path).endswith(".dada"):
             f_out, t_out, b_out = cfg.out_block_shape
+            payload = {"power": "BEAM_POWERS",
+                       "stokes": "BEAM_STOKES_IQUV",
+                       "incoherent": "INCOHERENT_POWER"}[products]
             extra = {"OUT_NSTOKES": 4} if products == "stokes" else {}
+            if products != "incoherent":
+                # The incoherent product has no beam axis ([F', T']).
+                extra["OUT_NBEAM"] = b_out
             text = dada.encode_header(
                 cfg,
                 HDR_SIZE=dada.DADA_HDR_SIZE,
-                PAYLOAD=("BEAM_STOKES_IQUV" if products == "stokes"
-                         else "BEAM_POWERS"),
+                PAYLOAD=payload,
                 OUT_DTYPE="float32",
                 OUT_NCHAN=f_out,
                 OUT_NTIME=t_out,
-                OUT_NBEAM=b_out,
                 **extra,
             ).encode("ascii")
             self._f.write(text.ljust(dada.DADA_HDR_SIZE, b"\0"))
@@ -341,13 +345,31 @@ class StreamingBeamformer:
         ``quant8_scales`` (power products only) fuses the sink's 8-bit
         quantization into the kernel epilogue — ``detect_out`` comes
         back uint8 and the f32 product never touches HBM (BENCH.md
-        "Filterbank output path")."""
+        "Filterbank output path").
+
+        With an RFI monitor attached, the kernel additionally emits
+        the per-channel SK accumulators (``sk_stats=True``) so the
+        monitor costs no second HBM pass over the wire bytes; the
+        return becomes ``(detect_out, inco_or_None, sk_or_None)``."""
         kw = {} if quant8_scales is None else {"quant8_scales": quant8_scales}
+        sk_on = self.rfi_monitor is not None
+        if sk_on:
+            kw["sk_stats"] = True
         if self.incoherent_sink is not None:
-            return self._detect(wire_dev, self.weights, self.cfg,
-                                incoherent=True, flag_ants=self.flag_ants,
-                                **kw)
-        return self._detect(wire_dev, self.weights, self.cfg, **kw), None
+            res = self._detect(wire_dev, self.weights, self.cfg,
+                               incoherent=True, flag_ants=self.flag_ants,
+                               **kw)
+            if sk_on:
+                out, inco, sk = res
+            else:
+                (out, inco), sk = res, None
+        elif sk_on:
+            (out, sk), inco = self._detect(wire_dev, self.weights, self.cfg,
+                                           **kw), None
+        else:
+            out, inco, sk = self._detect(
+                wire_dev, self.weights, self.cfg, **kw), None, None
+        return out, inco, sk
 
     def _fused_quant8(self):
         """The sink's in-kernel quantization hook, when usable: power
@@ -381,18 +403,19 @@ class StreamingBeamformer:
         the ring)."""
         zero = np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
         zero_dev = jax.device_put(zero)
-        out, inco = self._step(zero_dev)
+        out, inco, sk = self._step(zero_dev)
         np.asarray(out)  # full round trip
         if inco is not None:
             np.asarray(inco)
-        if self.rfi_monitor is not None:
-            # Compile the SK reduction too (it runs per sampled block).
-            self.rfi_monitor.warmup(zero_dev)
+        if sk is not None:
+            # The SK accumulators ride the same kernel (sk_stats=True)
+            # — compiled by the _step above; just complete the fetch.
+            np.asarray(sk)
         if self._fused_quant8() is not None:
             # The steady-state step is the fused uint8 variant (its
             # scales only exist after the first live block) — compile
             # it now with dummy scales so block 1 doesn't stall.
-            out_q, inco_q = self._step(
+            out_q, inco_q, sk_q = self._step(
                 zero_dev,
                 jax.device_put(np.ones(self.cfg.n_beams, np.float32)))
             np.asarray(out_q)
@@ -471,12 +494,13 @@ class StreamingBeamformer:
                 wire_np.reshape(cfg.device_wire_shape)
             )
             q8 = fused_q8() if fused_q8 is not None else None
-            out, inco = self._step(wire_dev, q8)        # async dispatch
+            out, inco, sk = self._step(wire_dev, q8)    # async dispatch
             if self.rfi_monitor is not None:
-                # SK stats ride the same async queue; fetched at drain
-                # (ops/rfi.py — the monitor may excise channels through
-                # update_weights mid-stream).
-                self.rfi_monitor.observe(wire_dev)
+                # The kernel emitted the SK accumulators alongside the
+                # products (no second HBM pass); the monitor fetches
+                # them at drain and may excise channels through
+                # update_weights mid-stream (ops/rfi.py).
+                self.rfi_monitor.observe_stats(sk)
             if q8 is None and post is not None:
                 out = post(out)
             self._inflight.append((seq, out, inco, time.perf_counter()))

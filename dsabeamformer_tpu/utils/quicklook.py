@@ -88,23 +88,32 @@ def load_dynamic_spectrum(
     from dsabeamformer_tpu.ingest.dada import read_product_file
 
     hdr, powers = read_product_file(path)
-    # powers: [n_blocks, F, T, B] or [n_blocks, F, T, 4, B], channels
-    # already ascending (kernel order).
-    n_beams = powers.shape[-1]
-    if not 0 <= beam < n_beams:
-        raise ValueError(f"beam {beam} out of range (file has {n_beams})")
-    if powers.ndim == 5:
-        x = powers[:, :, :, _STOKES_INDEX[stokes], beam]
-    elif stokes != "I":
-        raise ValueError(f"no Stokes {stokes}: {hdr.get('PAYLOAD')} is a "
-                         f"power-only product")
+    # powers: [n_blocks, F, T, B], [n_blocks, F, T, 4, B], or
+    # [n_blocks, F, T] (incoherent) — channels already ascending
+    # (kernel order).
+    if powers.ndim == 3:  # incoherent total power: no beam axis
+        if stokes != "I":
+            raise ValueError(f"no Stokes {stokes}: {hdr.get('PAYLOAD')} is "
+                             f"a power-only product")
+        x = powers
+        beam_label = "incoherent"
     else:
-        x = powers[..., beam]
+        n_beams = powers.shape[-1]
+        if not 0 <= beam < n_beams:
+            raise ValueError(f"beam {beam} out of range (file has {n_beams})")
+        if powers.ndim == 5:
+            x = powers[:, :, :, _STOKES_INDEX[stokes], beam]
+        elif stokes != "I":
+            raise ValueError(f"no Stokes {stokes}: {hdr.get('PAYLOAD')} is "
+                             f"a power-only product")
+        else:
+            x = powers[..., beam]
+        beam_label = beam
     # [n_blocks, F, T] -> time-contiguous [T_total, F]
     x = np.ascontiguousarray(
         x.transpose(0, 2, 1).reshape(-1, x.shape[1])
     ).astype(np.float64)
-    meta = dict(hdr, format="dada", beam=beam, stokes=stokes)
+    meta = dict(hdr, format="dada", beam=beam_label, stokes=stokes)
     try:
         f0 = float(hdr["FREQ_START_HZ"])
         df = float(hdr["BW_HZ"]) / int(hdr["NCHAN_TOTAL"])

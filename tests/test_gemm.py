@@ -207,3 +207,52 @@ def test_fused_quant8_rejects_navg_freq(tiny_cfg):
         beamform_power(wire, qw, tiny_cfg,
                        quant8_scales=jax.device_put(
                            np.ones(3, np.float32)))
+
+
+def test_fused_sk_stats_matches_standalone(tiny_cfg):
+    """sk_stats=True: the kernel's S1/S2 accumulators equal the
+    standalone sk_block_stats pass (same raw units, all active
+    antennas), composing with incoherent and quant8 outputs."""
+    import jax
+
+    from dsabeamformer_tpu.ops.incoherent import sk_block_stats
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=81)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    ref = {k: np.asarray(v) for k, v in sk_block_stats(wire, cfg).items()}
+    p0 = np.asarray(beamform_power(wire, qw, cfg))
+
+    p, sk = beamform_power(wire, qw, cfg, sk_stats=True)
+    np.testing.assert_allclose(np.asarray(p), p0, rtol=1e-6)
+    sk = np.asarray(sk)
+    assert sk.shape == (cfg.n_chan, 2)
+    np.testing.assert_allclose(sk[:, 0], ref["s1"], rtol=1e-6)
+    np.testing.assert_allclose(sk[:, 1], ref["s2"], rtol=1e-6)
+
+    p, inco, sk2 = beamform_power(wire, qw, cfg, incoherent=True,
+                                  sk_stats=True)
+    np.testing.assert_allclose(np.asarray(sk2), sk, rtol=1e-7)
+
+    scales = np.full(cfg.n_beams, 0.5, np.float32)
+    pq, sk3 = beamform_power(wire, qw, cfg, sk_stats=True,
+                             quant8_scales=jax.device_put(scales))
+    assert np.asarray(pq).dtype == np.uint8
+    np.testing.assert_allclose(np.asarray(sk3), sk, rtol=1e-7)
+
+
+def test_fused_sk_stats_stokes(tiny_cfg):
+    from dsabeamformer_tpu.ops.gemm import beamform_stokes
+    from dsabeamformer_tpu.ops.incoherent import sk_block_stats
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=82)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    ref = {k: np.asarray(v) for k, v in sk_block_stats(wire, cfg).items()}
+    st, sk = beamform_stokes(wire, qw, cfg, sk_stats=True)
+    assert np.asarray(st).shape == (*cfg.out_block_shape[:2], 4,
+                                    cfg.n_beams)
+    np.testing.assert_allclose(np.asarray(sk)[:, 0], ref["s1"], rtol=1e-6)
+    st2, inco, sk2 = beamform_stokes(wire, qw, cfg, incoherent=True,
+                                     sk_stats=True)
+    np.testing.assert_allclose(np.asarray(sk2), np.asarray(sk), rtol=1e-7)

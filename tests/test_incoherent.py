@@ -255,3 +255,56 @@ def test_cli_rfi(tmp_path, capsys, tiny_cfg):
     assert 6 in rec["flagged"]
     assert parse_zap(rec["zap"]) == rec["flagged"]
     assert len(rec["sk"]) == cfg.n_chan and rec["sk"][6] < 0.5
+
+
+def test_sk_ant_axis_localizes_bad_antenna(tiny_cfg):
+    """axis='ant': an antenna with impulsive output stands out; clean
+    antennas sit at SK~1."""
+    from dsabeamformer_tpu.ops.incoherent import (
+        sk_block_stats,
+        sk_estimate,
+        sk_flags,
+        sk_samples_per_block,
+    )
+
+    cfg = tiny_cfg
+    wire = make_noise_block(cfg, rms=2.0, seed=14).reshape(
+        cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant).copy()
+    # antenna 4: silent except a 4-sample full-scale burst (impulsive)
+    wire[:, :, :, 4] = 0
+    wire[: 4, :, :, 4] = 0x77
+    st = sk_block_stats(wire.reshape(cfg.wire_block_shape), cfg, axis="ant")
+    m = sk_samples_per_block(cfg, axis="ant")
+    assert st["s1"].shape == (cfg.n_ant_active,)
+    sk = sk_estimate(st["s1"], st["s2"], m)
+    assert sk[4] > 3.0
+    flagged, med, _ = sk_flags(sk, m)
+    assert flagged == [4] and abs(med - 1.0) < 0.3
+    with pytest.raises(ValueError, match="axis"):
+        sk_block_stats(wire.reshape(cfg.wire_block_shape), cfg, axis="pol")
+
+
+def test_cli_rfi_per_ant(tmp_path, capsys, tiny_cfg):
+    import json
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.models.weights import parse_zap
+
+    cfg = tiny_cfg
+
+    def bad_ant_block(seed):
+        w = make_noise_block(cfg, rms=2.0, seed=seed).reshape(
+            cfg.t_block, cfg.n_chan, cfg.n_pol, cfg.n_ant).copy()
+        w[:, :, :, 2] = 0
+        w[: 4, :, :, 2] = 0x77
+        return w.reshape(cfg.wire_block_shape)
+
+    cap = str(tmp_path / "cap.dada")
+    dada.write_dada_file(cap, cfg, (bad_ant_block(s) for s in range(2)))
+    assert cli.main(["rfi", "--config", "tiny", "--input-file", cap,
+                     "--per-ant"]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["flagged_ants"] == [2]
+    assert parse_zap(rec["flag_ants"]) == [2]
+    assert "ant_sk" not in rec  # only with --sk-values

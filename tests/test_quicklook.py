@@ -220,3 +220,38 @@ def test_cmd_waterfall_clip_validation(tiny_cfg, tmp_path, capsys):
     for bad in (["1", "101"], ["-2", "99"], ["60", "40"]):
         assert cli_main(["waterfall", fil, "--clip", *bad]) == 1
         assert "error: --clip" in capsys.readouterr().err
+
+
+def test_incoherent_dada_product_and_waterfall(tiny_cfg, tmp_path, capsys):
+    """--incoherent-file with a .dada path now writes a parseable
+    product (PAYLOAD=INCOHERENT_POWER, no beam axis); read_product_file
+    and dsabf waterfall both handle it."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (71, 72)]
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(b"".join(w.tobytes() for w in wires))
+    out = tmp_path / "out.dada"
+    inco = tmp_path / "inco.dada"
+    rc = cli_main(["run", "--config", "tiny", "--input-file", str(raw),
+                   "--output-file", str(out),
+                   "--incoherent-file", str(inco)])
+    assert rc == 0
+    hdr, p = read_product_file(inco)
+    assert hdr["PAYLOAD"] == "INCOHERENT_POWER"
+    f_out, t_out, _ = cfg.out_block_shape
+    assert p.shape == (2, f_out, t_out)
+    for i, w in enumerate(wires):
+        np.testing.assert_allclose(p[i], incoherent_power_golden(w, cfg),
+                                   rtol=1e-5)
+    capsys.readouterr()
+    rc = cli_main(["waterfall", str(inco), "--rows", "6", "--cols", "8"])
+    assert rc == 0
+    head = capsys.readouterr().out.splitlines()[0]
+    assert "beam=incoherent" in head
+    # Q on an incoherent product errors cleanly
+    assert cli_main(["waterfall", str(inco), "--stokes", "Q"]) == 1
