@@ -230,3 +230,27 @@ def test_cli_rfi_json_has_no_nan(tiny_cfg, tmp_path, capsys):
     assert "NaN" not in text
     rec = json.loads(text)
     assert rec["sk"][3] is None and 3 in rec["flagged"]
+
+
+def test_cli_rfi_auto_stokes_products(tiny_cfg, tmp_path, capsys):
+    """--rfi-auto composes with --products stokes: the Stokes kernel
+    emits the SK accumulators too, and the excised channel zeroes in
+    all four planes."""
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+
+    cfg = tiny_cfg
+    raw = tmp_path / "cap.raw"
+    raw.write_bytes(b"".join(
+        _tone_infected(cfg, seed=95 + s, chan=6).tobytes() for s in range(6)))
+    out = tmp_path / "out.dada"
+    rc = cli.main(["run", "--config", "tiny", "--input-file", str(raw),
+                   "--output-file", str(out), "--products", "stokes",
+                   "--rfi-auto", "--rfi-interval", "1"])
+    assert rc == 0
+    assert "[dsabf] rfi " in capsys.readouterr().err
+    _, powers = read_product_file(out)  # [n, F, T, 4, B]
+    assert powers.ndim == 5
+    assert np.abs(powers[0, 6]).max() > 0
+    assert np.abs(powers[-1, 6]).max() == 0
+    assert np.abs(powers[-1, 3]).max() > 0
