@@ -899,13 +899,16 @@ def cmd_rfi(args) -> int:
     a2 = np.zeros(cfg.n_ant_active, np.float64)
     n = 0
     for blk in _iter_capture_blocks(args, cfg, offset):
-        st = sk_block_stats(blk, cfg)
+        # axis="both" resolves channel AND antenna accumulators from
+        # ONE unpack pass over the block (the pass costs 13.7 ms at
+        # the preset — two separate dispatches would double the scan).
+        st = sk_block_stats(blk, cfg,
+                            axis="both" if args.per_ant else "chan")
         s1 += np.asarray(st["s1"], np.float64)
         s2 += np.asarray(st["s2"], np.float64)
         if args.per_ant:
-            sa = sk_block_stats(blk, cfg, axis="ant")
-            a1 += np.asarray(sa["s1"], np.float64)
-            a2 += np.asarray(sa["s2"], np.float64)
+            a1 += np.asarray(st["ant_s1"], np.float64)
+            a2 += np.asarray(st["ant_s2"], np.float64)
         n += 1
     if n == 0:
         print("no blocks in input file", file=sys.stderr)
@@ -1092,10 +1095,13 @@ def main(argv=None) -> int:
                         "the async update path)")
     p.add_argument("--rfi-interval", type=int, default=8,
                    help="observed blocks pooled per excision decision")
-    p.add_argument("--rfi-sample", type=int, default=4,
-                   help="observe every Nth block (the SK pass costs "
-                        "~41%% of a block period at the dsa10 preset, "
-                        "measured; the default 4 amortizes to ~10%%)")
+    p.add_argument("--rfi-sample", type=int, default=1,
+                   help="observe every Nth block.  With the SK "
+                        "accumulators fused into the detection kernel "
+                        "(the run path) observation is ~free, so the "
+                        "default is 1; sampling only matters for the "
+                        "standalone scan path (13.7 ms/block measured "
+                        "at the dsa10 preset, BENCH.md)")
     p.add_argument("--rfi-threshold", type=float, default=5.0,
                    help="robust z-score for flagging (dsabf rfi's "
                         "--threshold)")

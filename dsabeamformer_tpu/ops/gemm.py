@@ -268,25 +268,30 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                 jnp.int32).astype(jnp.uint8)
         else:
             o_ref[c] = out * (s * s)
-        if n_active:
-            # The plain [re | im] planes are the LAST 2*a_compute lanes
-            # of every x_all layout (x16 modes prepend the 16x planes;
-            # int13's duplicate block ends with them too).
+        if n_active or sk_active:
+            # Shared by both side-products: the plain [re | im] planes
+            # are the LAST 2*a_compute lanes of every x_all layout
+            # (x16 modes prepend the 16x planes; int13's duplicate
+            # block ends with them too).  Square in f32 (exact:
+            # |x| <= 8 -> x^2 <= 64; bf16/f32 represent integers <=
+            # 256 exactly) — Mosaic has no 8-bit vector multiply (the
+            # 8-bit-shift dead-end family, docs/DESIGN.md §4).
+            # Hoisted above the two branches so the incoherent+SK
+            # combination never relies on Mosaic CSE to avoid doubled
+            # intermediates in the VMEM-bound kernel.
             plain = x_all[:, x_all.shape[1] - 2 * a_compute:]
-            # Square in f32 (exact: |x| <= 8 -> x^2 <= 64; bf16/f32
-            # represent integers <= 256 exactly) — Mosaic has no 8-bit
-            # vector multiply (the 8-bit-shift dead-end family,
-            # docs/DESIGN.md §4).  The antenna reduction rides the MXU
-            # as a matvec against a masked ones vector instead of a
-            # cross-lane VPU reduce (measured: the VPU lane-reduce form
-            # cost +14 ms/block at the DSA-10 preset; the matvec is
-            # ~0.1% of the main GEMM's MACs).  The activity mask is
-            # folded into the ones vector — no per-element select.
             xf = plain.astype(jnp.float32)
             sq = xf * xf                              # [P*tt, 2a] f32
-            # Built in-kernel from iota (Pallas rejects captured
-            # constant arrays); `flagged` is a static tuple, so the
-            # bad-antenna compares unroll at trace time.
+        if n_active:
+            # The antenna reduction rides the MXU as a matvec against
+            # a masked ones vector instead of a cross-lane VPU reduce
+            # (measured: the VPU lane-reduce form cost +14 ms/block at
+            # the DSA-10 preset; the matvec is ~0.1% of the main
+            # GEMM's MACs).  The activity mask is folded into the ones
+            # vector — no per-element select.  Built in-kernel from
+            # iota (Pallas rejects captured constant arrays);
+            # `flagged` is a static tuple, so the bad-antenna compares
+            # unroll at trace time.
             ant = jax.lax.broadcasted_iota(
                 jnp.int32, (2 * a_compute, 1), 0
             ) % a_compute
@@ -303,15 +308,12 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                 axis=1, keepdims=True                 # [tt/navg, 1]
             )
         if sk_active:
-            # SK accumulators from the same plain planes (all active
+            # SK accumulators from the same planes (ALL active
             # antennas — detection must SEE flagged/RFI antennas, so
             # no exclusion here, matching ops.incoherent.sk_block_stats
             # exactly).  Per-sample power p then p^2; the antenna
-            # reduction rides the MXU as a masked-ones matvec like the
-            # incoherent sum; the time reduction is a sublane sum.
-            plain = x_all[:, x_all.shape[1] - 2 * a_compute:]
-            xf = plain.astype(jnp.float32)
-            sq = xf * xf
+            # reduction rides the MXU like the incoherent sum; the
+            # time reduction is a sublane sum.
             p_mat = sq[:, :a_compute] + sq[:, a_compute:]  # [P*tt, a]
             ant = jax.lax.broadcasted_iota(jnp.int32, (a_compute, 1), 0)
             ones = (ant < sk_active).astype(jnp.float32)
@@ -630,15 +632,17 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         lambda f, t: (f, t, 0),
         memory_space=pltpu.VMEM,
     )
-    if incoherent:
+    if incoherent or sk_stats:
+        what = "incoherent product" if incoherent else "SK stats"
         if cfg.n_ant_active > cfg.a_compute:
             raise ValueError(
-                f"fused incoherent product needs n_ant_active="
+                f"fused {what} needs n_ant_active="
                 f"{cfg.n_ant_active} <= a_compute={cfg.a_compute}"
             )
-        # The incoherent side-product adds ~2*P*tt*2a int32 bytes of
-        # in-kernel intermediates; the deployed DSA-10 tiles already
-        # sit ~0.8 MB under Mosaic's 16 MB scoped-VMEM stack (measured:
+        # EITHER side-product adds ~2*P*tt*2a f32 bytes of in-kernel
+        # intermediates (the shared plain/sq planes; SK's p_mat pair is
+        # the same size class); the deployed DSA-10 tiles already sit
+        # ~0.8 MB under Mosaic's 16 MB scoped-VMEM stack (measured:
         # +2 MB OOMs by 1.16 MB).  Halve time_tile below the measured-
         # safe threshold — the grid doubles but per-block cost moves
         # only ~1-2% (BENCH.md "Incoherent product").  chan_tile stays:
@@ -656,6 +660,7 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
                 lambda f, t: (f, t, 0),
                 memory_space=pltpu.VMEM,
             )
+    if incoherent:
         # Trailing singleton axis: a 2-D [F, T/navg] output block would
         # have a non-128 lane dim (Mosaic block rule); with the 1-wide
         # last dim the block equals the array dim there.  The caller
@@ -669,14 +674,11 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
             memory_space=pltpu.VMEM,
         ))
     if sk_stats:
-        if cfg.n_ant_active > cfg.a_compute:
-            raise ValueError(
-                f"fused SK stats need n_ant_active={cfg.n_ant_active} "
-                f"<= a_compute={cfg.a_compute}")
         # [n_chan, 1, 128] f32, revisited across the sequential time
         # axis (index_map constant in t): lane 0 = S1, lane 1 = S2,
-        # rest padding to the 128-lane block rule.  Tiny (1 KB/channel
-        # tile), so no tile shrink needed.
+        # rest padding to the 128-lane block rule.  The OUTPUT is tiny;
+        # the in-kernel intermediates are what the shared tile shrink
+        # above accounts for.
         shapes = list(out_shape) if isinstance(out_shape, tuple) \
             else [out_shape]
         specs = list(out_spec) if isinstance(out_spec, tuple) \

@@ -157,8 +157,10 @@ def sk_block_stats(wire: jax.Array, cfg: ObsConfig,
     """Spectral-kurtosis accumulators from one wire block, resolved
     along ``axis``.
 
-    Returns ``{"s1": [n_chan], "s2": [n_chan]}`` (``axis="chan"``) or
-    ``{"s1": [n_ant_active], "s2": [...]}`` (``axis="ant"``) — the sum
+    Returns ``{"s1": [n_chan], "s2": [n_chan]}`` (``axis="chan"``),
+    ``{"s1": [n_ant_active], "s2": [...]}`` (``axis="ant"``), or both
+    in one pass (``axis="both"``: channel keys plus ``ant_s1``/
+    ``ant_s2``) — the sum
     and sum-of-squares of the per-sample powers ``p = re^2 + im^2``
     over every other axis, float32.  Callers accumulate these across
     blocks (in float64 on the host) and form the SK estimator with
@@ -175,13 +177,22 @@ def sk_block_stats(wire: jax.Array, cfg: ObsConfig,
     offending antenna (the ``--flag-ants`` analog of the per-channel
     ``--zap`` scan).
     """
-    if axis not in ("chan", "ant"):
-        raise ValueError(f"axis must be chan|ant, got {axis!r}")
+    if axis not in ("chan", "ant", "both"):
+        raise ValueError(f"axis must be chan|ant|both, got {axis!r}")
     p, chan_axis = _unpack_active_power(wire, cfg)
     p = p.astype(jnp.float32)
-    keep = chan_axis if axis == "chan" else 3  # antenna is minor axis
-    axes = tuple(a for a in range(4) if a != keep)
-    return {"s1": p.sum(axis=axes), "s2": (p * p).sum(axis=axes)}
+    p2 = p * p
+    out = {}
+    if axis in ("chan", "both"):
+        axes = tuple(a for a in range(4) if a != chan_axis)
+        out["s1"] = p.sum(axis=axes)
+        out["s2"] = p2.sum(axis=axes)
+    if axis in ("ant", "both"):
+        axes = tuple(a for a in range(4) if a != 3)  # antenna: minor
+        key = ("ant_s1", "ant_s2") if axis == "both" else ("s1", "s2")
+        out[key[0]] = p.sum(axis=axes)
+        out[key[1]] = p2.sum(axis=axes)
+    return out
 
 
 def sk_samples_per_block(cfg: ObsConfig, axis: str = "chan") -> int:

@@ -10,14 +10,18 @@ for excision through the pipeline's asynchronous weight-update path
 (SURVEY.md §3.3; the reference has no equivalent — its weights change
 only on external cal/pointing updates [K]).
 
-Cost model (measured at the dsa10 preset, BENCH.md "RFI monitor"):
-one ``sk_block_stats`` pass costs ~13.7 ms against the 33.6 ms block
-step — 41% if observed every block, dominated by the unpacked-int32
-intermediates' HBM traffic, not the wire read itself.  Sampling
-amortizes it: the CLI default ``sample=4`` costs ~10%.  Decisions are
-made every ``interval`` OBSERVED blocks on the pooled accumulators,
-so sparser sampling widens the decision cadence rather than weakening
-the statistic.
+Cost model: the pipeline path gets the SK accumulators FROM the
+detection kernel (``beamform_power(sk_stats=True)`` — computed from
+the unpacked planes already in VMEM, no second HBM pass), so
+observing every block is ~free and ``sample=1`` is the CLI default.
+The standalone :meth:`RFIMonitor.observe` path (and ``dsabf rfi``'s
+offline scan) pays a separate ``sk_block_stats`` sweep measured at
+13.7 ms/block at the dsa10 preset — 41% of the block step, dominated
+by the unpacked-int32 intermediates' HBM traffic (BENCH.md "RFI
+monitor overhead"); there, sampling amortizes the cost.  Decisions
+are made every ``interval`` OBSERVED blocks on pooled accumulators,
+so sparser sampling widens the decision cadence rather than
+weakening the statistic.
 
 Excision is sticky (a channel, once zapped, stays zapped for the run
 — weight regeneration re-applies the full set) and capped: if the
@@ -108,16 +112,22 @@ class RFIMonitor:
         np.asarray(st["s1"])
         np.asarray(st["s2"])
 
+    def _take_next(self):
+        """One sampling-grid step shared by both observe paths: the
+        dispatch index if this block is sampled, else None."""
+        take = self._seen % self.sample == 0
+        idx = self._seen
+        self._seen += 1
+        return idx if take else None
+
     def observe(self, wire_dev) -> None:
         """Dispatch the standalone SK reduction for this block if it
         falls on the sampling grid (device-side, async — do not fetch
         here).  This is the SECOND-HBM-PASS path (13.7 ms/observed
         block, BENCH.md); the pipeline prefers :meth:`observe_stats`
         with the detection kernel's fused accumulators."""
-        take = self._seen % self.sample == 0
-        idx = self._seen
-        self._seen += 1
-        if take:
+        idx = self._take_next()
+        if idx is not None:
             self._pending.append((idx, sk_block_stats(wire_dev, self.cfg)))
 
     def observe_stats(self, sk_dev) -> None:
@@ -127,10 +137,8 @@ class RFIMonitor:
         so the two paths are interchangeable block-for-block — though
         here a skipped block only skips a tiny host fetch, since the
         kernel computed the stats either way."""
-        take = self._seen % self.sample == 0
-        idx = self._seen
-        self._seen += 1
-        if take:
+        idx = self._take_next()
+        if idx is not None:
             self._pending.append((idx, sk_dev))
 
     def poll(self, n_drained: Optional[int] = None) -> None:

@@ -335,7 +335,8 @@ class StreamingBeamformer:
             )
 
     def _step(self, wire_dev, quant8_scales=None):
-        """One block's device dispatch -> (detect_out, inco_or_None).
+        """One block's device dispatch ->
+        ``(detect_out, inco_or_None, sk_or_None)``.
 
         With an incoherent sink, both products come from ONE fused
         kernel call (power or Stokes — the wire bytes are read from HBM

@@ -95,6 +95,10 @@ def load_dynamic_spectrum(
         if stokes != "I":
             raise ValueError(f"no Stokes {stokes}: {hdr.get('PAYLOAD')} is "
                              f"a power-only product")
+        if beam != 0:
+            raise ValueError(
+                f"beam {beam}: {hdr.get('PAYLOAD')} has no beam axis "
+                f"(the incoherent product sums all antennas)")
         x = powers
         beam_label = "incoherent"
     else:
