@@ -1,6 +1,8 @@
 """Measure the streaming SK monitor's per-block cost at the deployed
-DSA-10 preset: dispatch-loop time with and without sk_block_stats
-riding each block (the --rfi-auto default, sample=1)."""
+DSA-10 preset, three ways: bare block step, step + the STANDALONE
+sk_block_stats pass (the offline-scan / legacy observe() cost), and
+the FUSED kernel that emits the accumulators itself
+(beamform_power(sk_stats=True) — the --rfi-auto run path)."""
 import time, json
 import numpy as np, jax
 from dsabeamformer_tpu.utils.hostenv import enable_jax_cache, require_tpu_backend
@@ -18,25 +20,42 @@ cfg = DSA10
 wire = make_noise_block(cfg, rms=2.0, seed=3)
 qw = prepare_weights(cfg, make_weights(cfg))
 dev = jax.device_put(wire.reshape(cfg.device_wire_shape))
-# compile both
+# compile all three variants
 np.asarray(beamform_power(dev, qw, cfg))
-st = sk_block_stats(dev, cfg); np.asarray(st["s1"])
+st0 = sk_block_stats(dev, cfg); np.asarray(st0["s1"])
+pf, skf = beamform_power(dev, qw, cfg, sk_stats=True); np.asarray(skf)
 
-def loop(with_sk, n=8, reps=3):
+
+def loop(mode, n=8, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
+        st = None
         for _ in range(n):
-            out = beamform_power(dev, qw, cfg)
-            if with_sk:
-                st = sk_block_stats(dev, cfg)
+            if mode == "fused":
+                out, st = beamform_power(dev, qw, cfg, sk_stats=True)
+            else:
+                out = beamform_power(dev, qw, cfg)
+                if mode == "standalone":
+                    st = sk_block_stats(dev, cfg)
         float(_digest(out))
-        if with_sk:
+        if mode == "standalone":
             np.asarray(st["s1"])
+        elif mode == "fused":
+            np.asarray(st)
         best = min(best, (time.perf_counter() - t0) / n)
     return best * 1e3
 
-base = loop(False); sk = loop(True)
-print(json.dumps({"ms_per_block_base": base, "ms_per_block_with_sk": sk,
-                  "sk_overhead_ms": sk - base,
-                  "overhead_pct": 100 * (sk - base) / base}))
+
+base = loop("base")
+sk = loop("standalone")
+fused = loop("fused")
+print(json.dumps({
+    "ms_per_block_base": base,
+    "ms_per_block_standalone_sk": sk,
+    "ms_per_block_fused_sk": fused,
+    "standalone_overhead_ms": sk - base,
+    "fused_overhead_ms": fused - base,
+    "standalone_overhead_pct": 100 * (sk - base) / base,
+    "fused_overhead_pct": 100 * (fused - base) / base,
+}))

@@ -447,3 +447,37 @@ def test_spectral_kurtosis_on_tpu(tpu_backend):
     flagged, med, sigma = sk_flags(sk, m)
     assert sorted(flagged) == [33, 90]
     assert abs(med - 1.0) < 0.1
+
+
+def test_fused_sk_stats_on_tpu(tpu_backend):
+    """The in-kernel SK accumulators under Mosaic: the revisited
+    accumulator output (zeroed at t==0, accumulated across the
+    sequential time-grid axis) is exactly the pattern that can fail
+    only at Mosaic-compile time; values must match the standalone
+    sk_block_stats pass."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_power
+    from dsabeamformer_tpu.ops.incoherent import sk_block_stats
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+
+    # 2 time tiles so the accumulation across grid steps is exercised.
+    cfg = DSA10.replace(n_chan=128, t_block=2048, time_tile=1024)
+    wire = make_noise_block(cfg, rms=2.0, seed=31)
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    wire_dev = jax.device_put(wire)
+    p0 = np.asarray(beamform_power(wire_dev, qw, cfg))
+    p, sk = beamform_power(wire_dev, qw, cfg, sk_stats=True)
+    np.testing.assert_allclose(np.asarray(p), p0, rtol=1e-6)
+    ref = {k: np.asarray(v) for k, v in sk_block_stats(wire_dev, cfg).items()}
+    sk = np.asarray(sk)
+    np.testing.assert_allclose(sk[:, 0], ref["s1"], rtol=1e-5)
+    np.testing.assert_allclose(sk[:, 1], ref["s2"], rtol=1e-5)
+    # And composed with the incoherent side-product (the VMEM-heaviest
+    # kernel configuration).
+    p2, inco, sk2 = beamform_power(wire_dev, qw, cfg, incoherent=True,
+                                   sk_stats=True)
+    np.testing.assert_allclose(np.asarray(sk2), sk, rtol=1e-6)
