@@ -839,6 +839,7 @@ def cmd_waterfall(args) -> int:
     legend line carries the beam/Stokes/shape provenance so a pasted
     frame is self-describing."""
     from dsabeamformer_tpu.utils.quicklook import (
+        dedisperse,
         downsample_mean,
         load_dynamic_spectrum,
         percentile_scale,
@@ -854,6 +855,8 @@ def cmd_waterfall(args) -> int:
     try:
         meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
                                         stokes=args.stokes)
+        if args.dm:
+            x = dedisperse(x, meta, args.dm)
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -865,10 +868,20 @@ def cmd_waterfall(args) -> int:
     t, f = x.shape
     band = (f"{meta['f_lo_mhz']:.1f}-{meta['f_hi_mhz']:.1f} MHz"
             if "f_lo_mhz" in meta else "ascending")
+    dm_note = f"; DM {args.dm:g}" if args.dm else ""
     print(f"# {args.path}  [{meta['format']}]  beam={meta['beam']}  "
           f"stokes={meta['stokes']}  {t} samples x {f} chans  "
-          f"(time down, freq right: {band}; clip {lo:g}-{hi:g}%)")
+          f"(time down, freq right: {band}; clip {lo:g}-{hi:g}%{dm_note})")
     print(frame)
+    if args.dm:
+        # Frequency-collapsed time series at this DM (time runs RIGHT
+        # here), the single-trial analog of the search stage's
+        # dedispersed profile — a pulse at the right DM stands out as
+        # one bright column in the frame and one bright char here.
+        prof = x.mean(axis=1)[None, :]
+        prof = downsample_mean(prof.T, args.cols, 1).T
+        print(f"# profile(t) @ DM {args.dm:g}: "
+              + render_ascii(percentile_scale(prof, lo, hi)))
     if args.out:
         img = x if args.full else small
         write_pgm(args.out, percentile_scale(img, lo, hi))
@@ -1274,6 +1287,10 @@ def main(argv=None) -> int:
     p.add_argument("--clip", type=float, nargs=2, default=(1.0, 99.0),
                    metavar=("LO", "HI"),
                    help="contrast percentiles (robust to RFI pixels)")
+    p.add_argument("--dm", type=float, default=0.0,
+                   help="incoherently dedisperse at this DM (pc/cm^3) "
+                        "before rendering, and append the collapsed "
+                        "time profile — the known-pulsar/FRB check")
     p.add_argument("--out", help="also write an 8-bit PGM image "
                                  "(downsampled to --rows x --cols "
                                  "unless --full)")

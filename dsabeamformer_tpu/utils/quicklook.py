@@ -29,11 +29,15 @@ import numpy as np
 
 __all__ = [
     "load_dynamic_spectrum",
+    "dedisperse",
     "downsample_mean",
     "percentile_scale",
     "render_ascii",
     "write_pgm",
 ]
+
+#: Dispersion constant: delay_s = DM_CONST_S * DM[pc cm^-3] * f[MHz]^-2.
+DM_CONST_S = 4.148808e3
 
 # Dark -> bright luminance ramp (10 levels reads fine on any terminal).
 ASCII_RAMP = " .:-=+*#%@"
@@ -78,6 +82,8 @@ def load_dynamic_spectrum(
         x = data[:, s, :].astype(np.float64)
         meta = dict(hdr, format="sigproc", beam=int(hdr.get("ibeam", beam)),
                     stokes=stokes)
+        if "tsamp" in hdr:
+            meta["tsamp_s"] = float(hdr["tsamp"])
         fch1, foff = hdr.get("fch1"), hdr.get("foff")
         if fch1 is not None and foff is not None:
             edges = (fch1, fch1 + foff * (x.shape[1] - 1))
@@ -125,9 +131,49 @@ def load_dynamic_spectrum(
         # averaged-channel centers, ascending
         meta["f_lo_mhz"] = (f0 + df * navg * 0.5) / 1e6
         meta["f_hi_mhz"] = (f0 + df * navg * (x.shape[1] - 0.5)) / 1e6
+        # output cadence: critically-sampled channel period x time avg
+        meta["tsamp_s"] = (int(hdr["NCHAN_TOTAL"]) / float(hdr["BW_HZ"])
+                           * int(hdr.get("NAVG_TIME", 1)))
     except (KeyError, ValueError):
         pass
     return meta, x
+
+
+def dedisperse(x: np.ndarray, meta: Dict, dm: float) -> np.ndarray:
+    """Incoherent dedispersion of an ascending-frequency ``[T, F]``
+    dynamic spectrum: each channel is advanced by the cold-plasma
+    delay ``DM_CONST_S * DM * (f_c^-2 - f_hi^-2)`` relative to the top
+    of the band, rounded to output samples — a pulse dispersed at
+    ``dm`` lines up vertically in the rendered waterfall (the standard
+    known-pulsar/FRB sanity check; the search stage proper does this
+    over thousands of trial DMs).
+
+    Vacated trailing samples are filled with the channel median
+    (neutral gray in the rendering, unlike zeros which would paint a
+    false dark wedge).  Requires ``meta`` to carry the band edges and
+    ``tsamp_s`` (both product formats provide them).
+    """
+    for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
+        if key not in meta:
+            raise ValueError(
+                f"cannot dedisperse: product header lacks {key}")
+    if dm < 0:
+        raise ValueError(f"DM must be >= 0, got {dm}")
+    t, nf = x.shape
+    freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], nf)
+    delays = DM_CONST_S * dm * (freqs ** -2.0 - meta["f_hi_mhz"] ** -2.0)
+    shifts = np.rint(delays / meta["tsamp_s"]).astype(np.int64)
+    out = np.empty_like(x)
+    for c, s in enumerate(shifts):
+        fill = np.median(x[:, c])
+        if s >= t:
+            out[:, c] = fill
+        elif s == 0:
+            out[:, c] = x[:, c]
+        else:
+            out[: t - s, c] = x[s:, c]
+            out[t - s :, c] = fill
+    return out
 
 
 def downsample_mean(x: np.ndarray, rows: int, cols: int) -> np.ndarray:

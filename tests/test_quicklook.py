@@ -255,3 +255,45 @@ def test_incoherent_dada_product_and_waterfall(tiny_cfg, tmp_path, capsys):
     assert "beam=incoherent" in head
     # Q on an incoherent product errors cleanly
     assert cli_main(["waterfall", str(inco), "--stokes", "Q"]) == 1
+
+
+def test_dedisperse_aligns_synthetic_pulse():
+    """A pulse injected with the cold-plasma delay curve lines up in
+    one time bin after dedispersing at the true DM; DM 0 is identity;
+    vacated samples are median-filled."""
+    from dsabeamformer_tpu.utils.quicklook import DM_CONST_S, dedisperse
+
+    meta = {"f_lo_mhz": 1280.0, "f_hi_mhz": 1530.0, "tsamp_s": 1e-3}
+    t, nf, dm, t0 = 256, 32, 50.0, 10
+    freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], nf)
+    shifts = np.rint(DM_CONST_S * dm * (freqs**-2 - meta["f_hi_mhz"]**-2)
+                     / meta["tsamp_s"]).astype(int)
+    x = np.ones((t, nf))
+    for c, s in enumerate(shifts):
+        x[t0 + s, c] = 100.0  # pulse arrives later at lower freqs
+    d = dedisperse(x, meta, dm)
+    assert (d[t0] == 100.0).all()  # aligned
+    assert (d == 100.0).sum() == nf  # exactly one pulse sample per chan
+    np.testing.assert_array_equal(dedisperse(x, meta, 0.0), x)
+    # vacated tail samples carry the channel median (1.0)
+    assert (d[-shifts.max():, 0] == 1.0).all()
+    with pytest.raises(ValueError, match="DM"):
+        dedisperse(x, meta, -1.0)
+    with pytest.raises(ValueError, match="tsamp_s"):
+        dedisperse(x, {"f_lo_mhz": 1.0, "f_hi_mhz": 2.0}, 10.0)
+
+
+def test_cmd_waterfall_dm(tiny_cfg, tmp_path, capsys):
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+
+    cfg = tiny_cfg
+    wires = [make_noise_block(cfg, rms=2.0, seed=s) for s in (75, 76)]
+    path = _write_product(tmp_path, cfg, wires)
+    rc = cli_main(["waterfall", str(path), "--beam", "1",
+                   "--rows", "6", "--cols", "10", "--dm", "25"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "DM 25" in out.splitlines()[0]
+    prof = [l for l in out.splitlines() if l.startswith("# profile")]
+    assert len(prof) == 1 and "@ DM 25" in prof[0]
