@@ -34,6 +34,10 @@ import numpy as np
 
 SPEED_OF_LIGHT_M_S = 299_792_458.0
 
+#: Cold-plasma dispersion: delay_s = DM_CONST_S * DM[pc cm^-3] * f[MHz]^-2
+#: (shared by the pulse generator and the quick-look dedisperser).
+DM_CONST_S = 4.148808e3
+
 
 @dataclasses.dataclass(frozen=True)
 class ObsConfig:

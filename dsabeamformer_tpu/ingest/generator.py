@@ -100,6 +100,60 @@ def make_point_source_block(
     return _emit(cfg, re, im)
 
 
+def make_dispersed_pulse_block(
+    cfg: ObsConfig,
+    dm: float,
+    angle_rad: float = 0.0,
+    t0_sample: int = 0,
+    width_samples: int = 2,
+    layout: ArrayLayout | None = None,
+    amplitude: float = 6.0,
+    noise_rms: float = 0.5,
+    seed: int = 0,
+) -> np.ndarray:
+    """A broadband pulse dispersed at ``dm`` on top of receiver noise —
+    the injected-FRB end-to-end drill (generator -> kernel -> product
+    -> ``dsabf waterfall --dm`` recovery).
+
+    Per raw channel the point-source signal (coherent across antennas
+    via the geometric phase, like ``make_point_source_block``) is
+    windowed to ``width_samples`` starting at the cold-plasma arrival
+    time ``t0 + DM_CONST_S * dm * (f_c^-2 - f_top^-2)`` (top of the
+    band arrives first), rounded to wire samples.  Channels whose
+    arrival falls past ``t_block`` simply carry no pulse.  Note the
+    physical scale: at the real presets' ~30 ns sample period,
+    astrophysical DMs disperse across many blocks — tests compute a
+    ``dm`` that spans a few samples instead.
+    """
+    from dsabeamformer_tpu.config import DM_CONST_S
+
+    rng = np.random.default_rng(seed)
+    layout = layout if layout is not None else array_for(cfg)
+    f = cfg.freqs_hz()[:, None, None]                       # [F,1,1]
+    x = layout.positions_m[None, None, : cfg.n_ant_active]  # [1,1,a]
+    steer = np.exp(
+        2j * np.pi * f * x * np.sin(angle_rad) / SPEED_OF_LIGHT_M_S
+    )  # [F,1,a]
+    f_mhz = cfg.freqs_hz() / 1e6
+    delays = DM_CONST_S * dm * (f_mhz ** -2.0 - f_mhz.max() ** -2.0)
+    t_arr = t0_sample + np.rint(delays / cfg.sample_period_s).astype(int)
+    t = np.arange(cfg.t_block)[None, :]                     # [1,T]
+    window = ((t >= t_arr[:, None])
+              & (t < t_arr[:, None] + width_samples))       # [F,T]
+    sig = amplitude / np.sqrt(2) * (
+        rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))
+        + 1j * rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))
+    ) * window[:, :, None]                                  # [F,T,P]
+    v = sig[..., None] * steer[:, :, None, :]               # [F,T,P,a]
+    shape = (cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
+    re = np.zeros(shape, np.float64)
+    im = np.zeros(shape, np.float64)
+    a = cfg.n_ant_active
+    re[..., :a] = v.real + rng.normal(0.0, noise_rms, v.shape)
+    im[..., :a] = v.imag + rng.normal(0.0, noise_rms, v.shape)
+    return _emit(cfg, re, im)
+
+
 def make_tone_block(
     cfg: ObsConfig,
     chan: int,

@@ -36,8 +36,7 @@ __all__ = [
     "write_pgm",
 ]
 
-#: Dispersion constant: delay_s = DM_CONST_S * DM[pc cm^-3] * f[MHz]^-2.
-DM_CONST_S = 4.148808e3
+from dsabeamformer_tpu.config import DM_CONST_S  # noqa: F401 (re-export)
 
 # Dark -> bright luminance ramp (10 levels reads fine on any terminal).
 ASCII_RAMP = " .:-=+*#%@"

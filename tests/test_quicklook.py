@@ -5,6 +5,7 @@ robust contrast, ASCII/PGM rendering, and the CLI wiring."""
 import numpy as np
 import pytest
 
+import dsabeamformer_tpu.utils.quicklook as dedisperse_mod
 from dsabeamformer_tpu.utils.quicklook import (
     ASCII_RAMP,
     downsample_mean,
@@ -297,3 +298,46 @@ def test_cmd_waterfall_dm(tiny_cfg, tmp_path, capsys):
     assert "DM 25" in out.splitlines()[0]
     prof = [l for l in out.splitlines() if l.startswith("# profile")]
     assert len(prof) == 1 and "@ DM 25" in prof[0]
+
+
+def _pulse_dm(cfg, span_samples, tsamp):
+    """DM whose band-edge delay spans ~span_samples at tsamp."""
+    from dsabeamformer_tpu.config import DM_CONST_S
+
+    f = cfg.freqs_hz() / 1e6
+    return span_samples * tsamp / (DM_CONST_S * (f.min()**-2 - f.max()**-2))
+
+
+def test_dispersed_pulse_end_to_end_recovery(tiny_cfg, tmp_path):
+    """Injected-FRB drill: generator -> beamform pipeline -> product ->
+    dedisperse at the true DM -> the pulse stands up in one output
+    bin; at DM 0 it stays smeared across the sweep."""
+    from dsabeamformer_tpu.config import DM_CONST_S
+    from dsabeamformer_tpu.ingest.generator import make_dispersed_pulse_block
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    # band-edge sweep of ~20 OUTPUT bins = 40 raw samples, inside the
+    # 64-sample block with t0=4 and the pulse width
+    dm = _pulse_dm(cfg, span_samples=20, tsamp=tsamp_out)
+    wire = make_dispersed_pulse_block(cfg, dm, t0_sample=4,
+                                      width_samples=2 * cfg.navg_time,
+                                      amplitude=7.0, noise_rms=0.5, seed=3)
+    path = _write_product(tmp_path, cfg, [wire])
+    meta, x = load_dynamic_spectrum(path, beam=cfg.n_beams // 2)
+    assert meta["tsamp_s"] == pytest.approx(tsamp_out)
+    d = dedisperse_mod.dedisperse(x, meta, dm)
+    prof_d = d.mean(axis=1)
+    prof_0 = x.mean(axis=1)
+    # dedispersed: power concentrates -> much higher peak over median
+    snr_d = (prof_d.max() - np.median(prof_d)) / (np.median(prof_d) + 1e-30)
+    snr_0 = (prof_0.max() - np.median(prof_0)) / (np.median(prof_0) + 1e-30)
+    assert snr_d > 2 * snr_0, (snr_d, snr_0)
+    # the aligned peak sits near the injected start (output frame)
+    assert abs(int(np.argmax(prof_d)) - 4 // cfg.navg_time) <= 2
+    # per-channel arrival in the RAW frame follows the delay curve
+    f_mhz = cfg.freqs_hz() / 1e6
+    want = (4 + np.rint(DM_CONST_S * dm * (f_mhz**-2 - f_mhz.max()**-2)
+                        / cfg.sample_period_s)) // cfg.navg_time
+    got = x.argmax(axis=0)  # [F] peak sample per channel (ascending)
+    assert np.abs(got - want).max() <= 1
