@@ -501,7 +501,8 @@ def _cmd_run_pinned(args) -> int:
 def cmd_simulate(args) -> int:
     from dsabeamformer_tpu.ingest import dada
     from dsabeamformer_tpu.ingest.generator import (
-        make_noise_block, make_point_source_block,
+        make_dispersed_pulse_block, make_noise_block,
+        make_point_source_block,
     )
     from dsabeamformer_tpu.ingest.ring import RingBuffer
 
@@ -513,6 +514,16 @@ def cmd_simulate(args) -> int:
                 cfg, np.deg2rad(args.source_angle), seed=s))
         else:
             blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
+    if args.pulse_dm is not None:
+        # Injected-FRB drill: overwrite block 0 with a dispersed pulse
+        # on the noise floor, so a downstream `dsabf run` + `waterfall
+        # --dm <pulse-dm>` recovers it end-to-end through the live
+        # ring (or the capture file).
+        angle = np.deg2rad(args.source_angle or 0.0)
+        blocks[0] = make_dispersed_pulse_block(
+            cfg, args.pulse_dm, angle_rad=angle,
+            t0_sample=args.pulse_t0, width_samples=args.pulse_width,
+            noise_rms=args.rms / 2, seed=1234)
     if args.out_file:
         # Capture-to-disk: a DADA file `dsabf run --input-file` (or any
         # PSRDADA consumer) can replay.
@@ -1155,6 +1166,15 @@ def main(argv=None) -> int:
     p.add_argument("--rms", type=float, default=2.0)
     p.add_argument("--source-angle", type=float,
                    help="inject a point source at this angle (deg)")
+    p.add_argument("--pulse-dm", type=float,
+                   help="inject a dispersed broadband pulse at this DM "
+                        "into block 0 (at --source-angle if given; the "
+                        "injected-FRB end-to-end drill — recover with "
+                        "`dsabf waterfall --dm`)")
+    p.add_argument("--pulse-t0", type=int, default=0,
+                   help="pulse start sample at the top of the band")
+    p.add_argument("--pulse-width", type=int, default=16,
+                   help="pulse width in raw samples")
     p.add_argument("--distinct", type=int, default=4,
                    help="number of distinct pre-generated blocks")
     p.add_argument("--nbufs", type=int, default=4,

@@ -341,3 +341,35 @@ def test_dispersed_pulse_end_to_end_recovery(tiny_cfg, tmp_path):
                         / cfg.sample_period_s)) // cfg.navg_time
     got = x.argmax(axis=0)  # [F] peak sample per channel (ascending)
     assert np.abs(got - want).max() <= 1
+
+
+def test_cli_simulate_pulse_capture_roundtrip(tiny_cfg, tmp_path, capsys):
+    """dsabf simulate --pulse-dm writes a capture whose block 0 carries
+    the dispersed pulse; the full CLI chain recovers it."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.config import DM_CONST_S
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    dm = (20 * cfg.sample_period_s * cfg.navg_time
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    rc = cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                   "--pulse-dm", str(dm), "--pulse-t0", "4",
+                   "--pulse-width", "4", "--blocks", "1", "--distinct", "1",
+                   "--out-file", str(cap)])
+    assert rc == 0
+    out = tmp_path / "out.dada"
+    rc = cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                   "--input-file", str(cap), "--output-file", str(out)])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["waterfall", str(out), "--beam",
+                   str(cfg.n_beams // 2), "--dm", str(dm),
+                   "--rows", "32", "--cols", "8"])
+    assert rc == 0
+    lines = capsys.readouterr().out.splitlines()
+    prof = [l for l in lines if l.startswith("# profile")][0]
+    # the dedispersed profile's bright char sits at the pulse start
+    ramp_part = prof.split(": ", 1)[1]
+    assert ramp_part.index(max(ramp_part)) <= max(2, len(ramp_part) // 8)
