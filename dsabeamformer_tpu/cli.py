@@ -507,6 +507,9 @@ def cmd_simulate(args) -> int:
     from dsabeamformer_tpu.ingest.ring import RingBuffer
 
     cfg = _load_cfg(args)
+    if args.distinct < 1:
+        print("error: --distinct must be >= 1", file=sys.stderr)
+        return 2
     blocks = []
     for s in range(args.distinct):
         if args.source_angle is not None:
@@ -514,23 +517,31 @@ def cmd_simulate(args) -> int:
                 cfg, np.deg2rad(args.source_angle), seed=s))
         else:
             blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
+    first_block = None
     if args.pulse_dm is not None:
-        # Injected-FRB drill: overwrite block 0 with a dispersed pulse
-        # on the noise floor, so a downstream `dsabf run` + `waterfall
-        # --dm <pulse-dm>` recovers it end-to-end through the live
-        # ring (or the capture file).
+        # Injected-FRB drill: the FIRST emitted block (only — a pulse
+        # in the cycled pool would repeat every --distinct blocks)
+        # carries a dispersed pulse on the same noise floor, so a
+        # downstream `dsabf run` + `waterfall --dm <pulse-dm>`
+        # recovers it end-to-end through the live ring (or the
+        # capture file).
         angle = np.deg2rad(args.source_angle or 0.0)
-        blocks[0] = make_dispersed_pulse_block(
+        first_block = make_dispersed_pulse_block(
             cfg, args.pulse_dm, angle_rad=angle,
             t0_sample=args.pulse_t0, width_samples=args.pulse_width,
-            noise_rms=args.rms / 2, seed=1234)
+            noise_rms=args.rms, seed=1234)
+
+    def block_at(i):
+        if i == 0 and first_block is not None:
+            return first_block
+        return blocks[i % len(blocks)]
     if args.out_file:
         # Capture-to-disk: a DADA file `dsabf run --input-file` (or any
         # PSRDADA consumer) can replay.
         n = args.blocks if args.blocks is not None else 32
         dada.write_dada_file(
             args.out_file, cfg,
-            (blocks[i % len(blocks)] for i in range(n)),
+            (block_at(i) for i in range(n)),
         )
         print(json.dumps({"written": n, "out_file": args.out_file}))
         return 0
@@ -545,7 +556,7 @@ def cmd_simulate(args) -> int:
                 now = time.perf_counter() - t0
                 if now < due:
                     time.sleep(due - now)
-            ring.write_block(blocks[i % len(blocks)])
+            ring.write_block(block_at(i))
             i += 1
         ring.set_eod()
         # Give the consumer a window to drain before the segment vanishes.
@@ -866,7 +877,7 @@ def cmd_waterfall(args) -> int:
     try:
         meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
                                         stokes=args.stokes)
-        if args.dm:
+        if args.dm is not None:
             x = dedisperse(x, meta, args.dm)
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
@@ -879,12 +890,12 @@ def cmd_waterfall(args) -> int:
     t, f = x.shape
     band = (f"{meta['f_lo_mhz']:.1f}-{meta['f_hi_mhz']:.1f} MHz"
             if "f_lo_mhz" in meta else "ascending")
-    dm_note = f"; DM {args.dm:g}" if args.dm else ""
+    dm_note = f"; DM {args.dm:g}" if args.dm is not None else ""
     print(f"# {args.path}  [{meta['format']}]  beam={meta['beam']}  "
           f"stokes={meta['stokes']}  {t} samples x {f} chans  "
           f"(time down, freq right: {band}; clip {lo:g}-{hi:g}%{dm_note})")
     print(frame)
-    if args.dm:
+    if args.dm is not None:
         # Frequency-collapsed time series at this DM (time runs RIGHT
         # here), the single-trial analog of the search stage's
         # dedispersed profile — a pulse at the right DM stands out as
@@ -1307,7 +1318,7 @@ def main(argv=None) -> int:
     p.add_argument("--clip", type=float, nargs=2, default=(1.0, 99.0),
                    metavar=("LO", "HI"),
                    help="contrast percentiles (robust to RFI pixels)")
-    p.add_argument("--dm", type=float, default=0.0,
+    p.add_argument("--dm", type=float,
                    help="incoherently dedisperse at this DM (pc/cm^3) "
                         "before rendering, and append the collapsed "
                         "time profile — the known-pulsar/FRB check")

@@ -39,6 +39,15 @@ SPEED_OF_LIGHT_M_S = 299_792_458.0
 DM_CONST_S = 4.148808e3
 
 
+def dm_delays_s(f_mhz, dm: float, ref_mhz: float):
+    """Cold-plasma arrival delays [s] of channels ``f_mhz`` relative
+    to ``ref_mhz`` (conventionally the top of the band, which arrives
+    first).  THE one definition of the curve — the pulse generator and
+    the quick-look dedisperser must stay aligned through it."""
+    f = np.asarray(f_mhz, np.float64)
+    return DM_CONST_S * dm * (f ** -2.0 - float(ref_mhz) ** -2.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class ObsConfig:
     """Static observation + kernel-tiling configuration.

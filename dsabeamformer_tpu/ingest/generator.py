@@ -125,7 +125,7 @@ def make_dispersed_pulse_block(
     astrophysical DMs disperse across many blocks — tests compute a
     ``dm`` that spans a few samples instead.
     """
-    from dsabeamformer_tpu.config import DM_CONST_S
+    from dsabeamformer_tpu.config import dm_delays_s
 
     rng = np.random.default_rng(seed)
     layout = layout if layout is not None else array_for(cfg)
@@ -135,7 +135,7 @@ def make_dispersed_pulse_block(
         2j * np.pi * f * x * np.sin(angle_rad) / SPEED_OF_LIGHT_M_S
     )  # [F,1,a]
     f_mhz = cfg.freqs_hz() / 1e6
-    delays = DM_CONST_S * dm * (f_mhz ** -2.0 - f_mhz.max() ** -2.0)
+    delays = dm_delays_s(f_mhz, dm, f_mhz.max())
     t_arr = t0_sample + np.rint(delays / cfg.sample_period_s).astype(int)
     t = np.arange(cfg.t_block)[None, :]                     # [1,T]
     window = ((t >= t_arr[:, None])

@@ -27,6 +27,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from dsabeamformer_tpu.config import DM_CONST_S, dm_delays_s
+
 __all__ = [
     "load_dynamic_spectrum",
     "dedisperse",
@@ -34,9 +36,8 @@ __all__ = [
     "percentile_scale",
     "render_ascii",
     "write_pgm",
+    "DM_CONST_S",
 ]
-
-from dsabeamformer_tpu.config import DM_CONST_S  # noqa: F401 (re-export)
 
 # Dark -> bright luminance ramp (10 levels reads fine on any terminal).
 ASCII_RAMP = " .:-=+*#%@"
@@ -160,18 +161,23 @@ def dedisperse(x: np.ndarray, meta: Dict, dm: float) -> np.ndarray:
         raise ValueError(f"DM must be >= 0, got {dm}")
     t, nf = x.shape
     freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], nf)
-    delays = DM_CONST_S * dm * (freqs ** -2.0 - meta["f_hi_mhz"] ** -2.0)
+    delays = dm_delays_s(freqs, dm, meta["f_hi_mhz"])
     shifts = np.rint(delays / meta["tsamp_s"]).astype(np.int64)
     out = np.empty_like(x)
-    for c, s in enumerate(shifts):
-        fill = np.median(x[:, c])
-        if s >= t:
-            out[:, c] = fill
-        elif s == 0:
-            out[:, c] = x[:, c]
-        else:
-            out[: t - s, c] = x[s:, c]
-            out[t - s :, c] = fill
+    shifted = [int(c) for c in np.nonzero(shifts)[0]]
+    unshifted = shifts == 0
+    out[:, unshifted] = x[:, unshifted]
+    if shifted:
+        # One vectorized median pass for the fill values (a Python
+        # per-channel median loop is the scan's cost at real sizes).
+        fills = np.median(x[:, shifted], axis=0)
+        for fill, c in zip(fills, shifted):
+            s = shifts[c]
+            if s >= t:
+                out[:, c] = fill
+            else:
+                out[: t - s, c] = x[s:, c]
+                out[t - s :, c] = fill
     return out
 
 

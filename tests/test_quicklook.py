@@ -373,3 +373,45 @@ def test_cli_simulate_pulse_capture_roundtrip(tiny_cfg, tmp_path, capsys):
     # the dedispersed profile's bright char sits at the pulse start
     ramp_part = prof.split(": ", 1)[1]
     assert ramp_part.index(max(ramp_part)) <= max(2, len(ramp_part) // 8)
+
+
+def test_cli_simulate_pulse_only_first_block(tiny_cfg, tmp_path, capsys):
+    """The injected pulse appears ONCE (block 0), not cycled through
+    the distinct-block pool; --dm 0 still prints the profile line."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.config import DM_CONST_S
+    from dsabeamformer_tpu.ingest.dada import read_dada_file
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    dm = (10 * cfg.sample_period_s * cfg.navg_time
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    rc = cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                   "--pulse-dm", str(dm), "--pulse-width", "8",
+                   "--blocks", "4", "--distinct", "2",
+                   "--out-file", str(cap)])
+    assert rc == 0
+    cfg2, hdr, off = read_dada_file(str(cap), cfg)
+    raw = np.fromfile(cap, np.uint8, offset=off)
+    blocks = raw.reshape(4, *cfg.wire_block_shape)
+    # block 0 is the pulse (max incoherent power well above pure noise)
+    p = [incoherent_power_golden(b, cfg).max() for b in blocks]
+    assert p[0] > 2 * max(p[1:])
+    # blocks 2 (= 0 mod distinct) must NOT repeat the pulse
+    assert p[2] <= max(p[1:]) * 1.01
+    # --distinct 0 gets a clean error
+    assert cli_main(["simulate", "--config", "tiny", "--distinct", "0",
+                     "--pulse-dm", "1", "--out-file",
+                     str(tmp_path / "x.dada")]) == 2
+    # explicit --dm 0 still renders a profile line
+    out = tmp_path / "out.dada"
+    assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                     "--input-file", str(cap), "--output-file",
+                     str(out)]) == 0
+    capsys.readouterr()
+    assert cli_main(["waterfall", str(out), "--dm", "0",
+                     "--rows", "4", "--cols", "4"]) == 0
+    text = capsys.readouterr().out
+    assert "DM 0" in text and "# profile" in text
