@@ -124,12 +124,36 @@ def _capture_cfg(args, cfg):
     return cfg, offset
 
 
-def _iter_capture_blocks(args, cfg, offset):
-    """Yield wire blocks from ``args.input_file``, at most
-    ``args.blocks`` when set (shared by calibrate/levels)."""
-    from dsabeamformer_tpu.pipeline import FileSource
+def _check_scan_args(args, default_ring_blocks=8) -> bool:
+    """Validate the capture-or-ring input choice for the scan
+    commands; ring mode gets a bounded default block count so the
+    command terminates."""
+    if bool(args.input_file) == bool(getattr(args, "key", None)):
+        print("error: give exactly one of --input-file or --key",
+              file=sys.stderr)
+        return False
+    if getattr(args, "key", None) and args.blocks is None:
+        args.blocks = default_ring_blocks
+    return True
 
-    src = FileSource(cfg, args.input_file, offset=offset)
+
+def _iter_capture_blocks(args, cfg, offset):
+    """Yield wire blocks from ``args.input_file`` — or, when
+    ``args.key`` is set instead, from a LIVE ring (the operator's
+    pre-run scan against the actual stream) — at most ``args.blocks``
+    when set (shared by calibrate/levels/rfi)."""
+    if getattr(args, "key", None) and not args.input_file:
+        from dsabeamformer_tpu.ingest.ring import RingBuffer
+        from dsabeamformer_tpu.pipeline import RingSource
+
+        ring = RingBuffer(args.key,
+                          connect_timeout_s=getattr(args, "timeout", 5.0))
+        src = RingSource(cfg, ring, timeout_s=getattr(args, "timeout", 5.0),
+                         n_host_buffers=2)
+    else:
+        from dsabeamformer_tpu.pipeline import FileSource
+
+        src = FileSource(cfg, args.input_file, offset=offset)
     n = 0
     while args.blocks is None or n < args.blocks:
         item = src.read_block()
@@ -926,8 +950,12 @@ def cmd_rfi(args) -> int:
         sk_samples_per_block,
     )
 
+    if not _check_scan_args(args):
+        return 2
     cfg = _load_cfg(args)
-    cfg, offset = _capture_cfg(args, cfg)
+    offset = 0
+    if args.input_file:
+        cfg, offset = _capture_cfg(args, cfg)
     s1 = np.zeros(cfg.n_chan, np.float64)
     s2 = np.zeros(cfg.n_chan, np.float64)
     a1 = np.zeros(cfg.n_ant_active, np.float64)
@@ -995,8 +1023,12 @@ def cmd_levels(args) -> int:
     clipping compresses calibration amplitudes)."""
     from dsabeamformer_tpu.ops.incoherent import wire_level_stats
 
+    if not _check_scan_args(args):
+        return 2
     cfg = _load_cfg(args)
-    cfg, offset = _capture_cfg(args, cfg)
+    offset = 0
+    if args.input_file:
+        cfg, offset = _capture_cfg(args, cfg)
     rms_acc = None
     clip_acc = None
     n = 0
@@ -1259,19 +1291,31 @@ def main(argv=None) -> int:
                    help="antenna position table (.npz or text)")
     p.set_defaults(fn=cmd_calibrate)
 
+    def _scan_input(p, default_ring_blocks=8):
+        # Capture file OR live ring: the operator's pre-run checks run
+        # against either; ring mode defaults to a bounded block count
+        # so the command terminates.
+        p.add_argument("--input-file", help="capture file (raw or DADA)")
+        p.add_argument("--key", help="scan a LIVE ring instead")
+        p.add_argument("--timeout", type=float, default=5.0,
+                       help="ring attach/read timeout (s)")
+        p.add_argument("--blocks", type=int,
+                       help=f"use at most N blocks (ring mode "
+                            f"defaults to {default_ring_blocks})")
+
     p = sub.add_parser("levels",
-                       help="per-antenna rms + clip report from a capture")
+                       help="per-antenna rms + clip report from a "
+                            "capture or live ring")
     _add_common(p)
-    p.add_argument("--input-file", required=True)
-    p.add_argument("--blocks", type=int, help="use at most N blocks")
+    _scan_input(p)
     p.set_defaults(fn=cmd_levels)
 
     p = sub.add_parser(
         "rfi",
-        help="spectral-kurtosis RFI scan of a capture -> --zap spec")
+        help="spectral-kurtosis RFI scan (capture or live ring) -> "
+             "--zap spec")
     _add_common(p)
-    p.add_argument("--input-file", required=True)
-    p.add_argument("--blocks", type=int, help="use at most N blocks")
+    _scan_input(p)
     p.add_argument("--threshold", type=float, default=5.0,
                    help="robust z-score beyond which a channel is "
                         "flagged (null = cross-channel median/MAD)")

@@ -254,3 +254,41 @@ def test_cli_rfi_auto_stokes_products(tiny_cfg, tmp_path, capsys):
     assert np.abs(powers[0, 6]).max() > 0
     assert np.abs(powers[-1, 6]).max() == 0
     assert np.abs(powers[-1, 3]).max() > 0
+
+
+def test_cli_rfi_live_ring_scan(tiny_cfg, tmp_path, capsys):
+    """dsabf rfi --key scans a live ring (bounded default blocks) and
+    flags the carrier just like the file path; exactly-one-input is
+    enforced."""
+    import threading
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    cfg = tiny_cfg
+    blocks = [_tone_infected(cfg, seed=110 + s, chan=4) for s in range(4)]
+
+    def produce():
+        with RingBuffer("rfiscan", create=True, nbufs=4,
+                        bufsz=cfg.wire_block_bytes) as ring:
+            ring.write_header(dada.encode_header(cfg))
+            for b in blocks:
+                ring.write_block(b)
+            ring.set_eod()
+            import time as _t
+            _t.sleep(2.0)  # let the consumer drain before teardown
+
+    prod = threading.Thread(target=produce)
+    prod.start()
+    try:
+        rc = cli.main(["rfi", "--config", "tiny", "--key", "rfiscan"])
+    finally:
+        prod.join()
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["blocks"] == 4 and 4 in rec["flagged"]
+    # exactly one input source
+    assert cli.main(["rfi", "--config", "tiny"]) == 2
+    assert cli.main(["rfi", "--config", "tiny", "--key", "x",
+                     "--input-file", "y"]) == 2
