@@ -721,8 +721,12 @@ def cmd_calibrate(args) -> int:
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calsolver import solve_gains_blocks
 
+    if not _check_scan_args(args):
+        return 2
     cfg = _load_cfg(args)
-    cfg, offset = _capture_cfg(args, cfg)
+    offset = 0
+    if args.input_file:
+        cfg, offset = _capture_cfg(args, cfg)
     layout = ArrayLayout.load(args.layout) if args.layout else None
     n_seen = 0
 
@@ -1276,21 +1280,6 @@ def main(argv=None) -> int:
                    help="profiler log dir (tensorboard --logdir <out>)")
     p.set_defaults(fn=cmd_trace)
 
-    p = sub.add_parser("calibrate",
-                       help="solve antenna gains from a calibrator capture")
-    _add_common(p)
-    p.add_argument("--input-file", required=True,
-                   help="recorded calibrator capture (.dada or raw blocks)")
-    p.add_argument("--angle", type=float, required=True,
-                   help="calibrator angle (deg, east of boresight)")
-    p.add_argument("--out", required=True, help="output CalTable .npz")
-    p.add_argument("--blocks", type=int, help="use at most N blocks")
-    p.add_argument("--ref-ant", type=int, default=0,
-                   help="reference antenna (phase zero point)")
-    p.add_argument("--layout",
-                   help="antenna position table (.npz or text)")
-    p.set_defaults(fn=cmd_calibrate)
-
     def _scan_input(p, default_ring_blocks=8):
         # Capture file OR live ring: the operator's pre-run checks run
         # against either; ring mode defaults to a bounded block count
@@ -1302,6 +1291,20 @@ def main(argv=None) -> int:
         p.add_argument("--blocks", type=int,
                        help=f"use at most N blocks (ring mode "
                             f"defaults to {default_ring_blocks})")
+
+    p = sub.add_parser("calibrate",
+                       help="solve antenna gains from a calibrator "
+                            "capture or live ring")
+    _add_common(p)
+    _scan_input(p)
+    p.add_argument("--angle", type=float, required=True,
+                   help="calibrator angle (deg, east of boresight)")
+    p.add_argument("--out", required=True, help="output CalTable .npz")
+    p.add_argument("--ref-ant", type=int, default=0,
+                   help="reference antenna (phase zero point)")
+    p.add_argument("--layout",
+                   help="antenna position table (.npz or text)")
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("levels",
                        help="per-antenna rms + clip report from a "

@@ -157,3 +157,48 @@ def test_solver_fuzz_geometry(i):
     prod = cal.gains[:act] * g[:act]
     rel = prod / prod[0:1]
     assert np.abs(np.angle(rel)).max() < 0.1, np.abs(np.angle(rel)).max()
+
+
+def test_cli_calibrate_live_ring(tiny_cfg, tmp_path, capsys):
+    """dsabf calibrate --key solves from a live ring, same solution
+    path as the capture file."""
+    import json
+    import threading
+
+    from dsabeamformer_tpu import cli
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.generator import make_point_source_block
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+    from dsabeamformer_tpu.models.calibration import CalTable
+
+    cfg = tiny_cfg
+    angles = cfg.beam_angles_rad()
+    blocks = [make_point_source_block(cfg, angles[cfg.n_beams // 2],
+                                      noise_rms=0.3, seed=s)
+              for s in range(2)]
+
+    def produce():
+        with RingBuffer("calscan", create=True, nbufs=4,
+                        bufsz=cfg.wire_block_bytes) as ring:
+            ring.write_header(dada.encode_header(cfg))
+            for b in blocks:
+                ring.write_block(b)
+            ring.set_eod()
+            import time as _t
+            _t.sleep(2.0)
+
+    out = tmp_path / "cal.npz"
+    prod = threading.Thread(target=produce)
+    prod.start()
+    try:
+        rc = cli.main(["calibrate", "--config", "tiny", "--key", "calscan",
+                       "--blocks", "2",
+                       "--angle", str(np.rad2deg(angles[cfg.n_beams // 2])),
+                       "--out", str(out)])
+    finally:
+        prod.join()
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_ant_active"] == cfg.n_ant_active
+    cal = CalTable.load(out)
+    assert cal.gains.shape[0] == cfg.n_ant
