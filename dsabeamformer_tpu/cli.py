@@ -124,17 +124,22 @@ def _capture_cfg(args, cfg):
     return cfg, offset
 
 
-def _check_scan_args(args, default_ring_blocks=8) -> bool:
-    """Validate the capture-or-ring input choice for the scan
-    commands; ring mode gets a bounded default block count so the
-    command terminates."""
+def _scan_setup(args, default_ring_blocks=8):
+    """Shared preamble for the scan commands (calibrate/levels/rfi):
+    validate the capture-or-ring input choice and resolve the stream
+    config.  Returns ``(cfg, offset)`` or None after printing the
+    error (callers return 2).  Ring mode gets a bounded default block
+    count so the command terminates."""
     if bool(args.input_file) == bool(getattr(args, "key", None)):
         print("error: give exactly one of --input-file or --key",
               file=sys.stderr)
-        return False
+        return None
     if getattr(args, "key", None) and args.blocks is None:
         args.blocks = default_ring_blocks
-    return True
+    cfg = _load_cfg(args)
+    if args.input_file:
+        return _capture_cfg(args, cfg)
+    return cfg, 0
 
 
 def _iter_capture_blocks(args, cfg, offset):
@@ -146,14 +151,36 @@ def _iter_capture_blocks(args, cfg, offset):
         from dsabeamformer_tpu.ingest.ring import RingBuffer
         from dsabeamformer_tpu.pipeline import RingSource
 
-        ring = RingBuffer(args.key,
-                          connect_timeout_s=getattr(args, "timeout", 5.0))
-        src = RingSource(cfg, ring, timeout_s=getattr(args, "timeout", 5.0),
-                         n_host_buffers=2)
-    else:
-        from dsabeamformer_tpu.pipeline import FileSource
+        timeout = getattr(args, "timeout", 5.0)
+        ring = RingBuffer(args.key, connect_timeout_s=timeout)
+        if ring.readers > 0:
+            # The ring is SINGLE-consumer: every block this scan takes
+            # never reaches the other reader (gaps in its products).
+            print(f"[dsabf] WARNING: ring {args.key!r} already has "
+                  f"{ring.readers} attached reader(s) — scanning "
+                  f"CONSUMES blocks from the shared single-consumer "
+                  f"cursor; the other consumer will see gaps.  Scan "
+                  f"before starting the beamformer, not during.",
+                  file=sys.stderr)
+        src = RingSource(cfg, ring, timeout_s=timeout, n_host_buffers=2)
+        n = 0
+        while args.blocks is None or n < args.blocks:
+            item = src.read_block()
+            if item is None:
+                if not ring.eod():
+                    # Timeout, not end-of-data: say so — a silent
+                    # partial scan reads as a clean result.
+                    print(f"[dsabf] WARNING: ring read timed out after "
+                          f"{timeout:g}s with {n} of {args.blocks} "
+                          f"blocks scanned (producer stalled?)",
+                          file=sys.stderr)
+                break
+            yield item[1]
+            n += 1
+        return
+    from dsabeamformer_tpu.pipeline import FileSource
 
-        src = FileSource(cfg, args.input_file, offset=offset)
+    src = FileSource(cfg, args.input_file, offset=offset)
     n = 0
     while args.blocks is None or n < args.blocks:
         item = src.read_block()
@@ -721,12 +748,10 @@ def cmd_calibrate(args) -> int:
     from dsabeamformer_tpu.models.arrays import ArrayLayout
     from dsabeamformer_tpu.models.calsolver import solve_gains_blocks
 
-    if not _check_scan_args(args):
+    scan = _scan_setup(args)
+    if scan is None:
         return 2
-    cfg = _load_cfg(args)
-    offset = 0
-    if args.input_file:
-        cfg, offset = _capture_cfg(args, cfg)
+    cfg, offset = scan
     layout = ArrayLayout.load(args.layout) if args.layout else None
     n_seen = 0
 
@@ -741,7 +766,9 @@ def cmd_calibrate(args) -> int:
                                  layout=layout, ref_ant=args.ref_ant)
     except ValueError as e:
         if "no blocks" in str(e):
-            print("no blocks in input file", file=sys.stderr)
+            print(f"no blocks in "
+              f"{args.input_file or 'ring ' + repr(args.key)}",
+              file=sys.stderr)
             return 1
         raise
     cal.save(args.out)
@@ -954,12 +981,10 @@ def cmd_rfi(args) -> int:
         sk_samples_per_block,
     )
 
-    if not _check_scan_args(args):
+    scan = _scan_setup(args)
+    if scan is None:
         return 2
-    cfg = _load_cfg(args)
-    offset = 0
-    if args.input_file:
-        cfg, offset = _capture_cfg(args, cfg)
+    cfg, offset = scan
     s1 = np.zeros(cfg.n_chan, np.float64)
     s2 = np.zeros(cfg.n_chan, np.float64)
     a1 = np.zeros(cfg.n_ant_active, np.float64)
@@ -978,7 +1003,9 @@ def cmd_rfi(args) -> int:
             a2 += np.asarray(st["ant_s2"], np.float64)
         n += 1
     if n == 0:
-        print("no blocks in input file", file=sys.stderr)
+        print(f"no blocks in "
+              f"{args.input_file or 'ring ' + repr(args.key)}",
+              file=sys.stderr)
         return 1
     m = n * sk_samples_per_block(cfg)
     sk = sk_estimate(s1, s2, m)
@@ -1027,12 +1054,10 @@ def cmd_levels(args) -> int:
     clipping compresses calibration amplitudes)."""
     from dsabeamformer_tpu.ops.incoherent import wire_level_stats
 
-    if not _check_scan_args(args):
+    scan = _scan_setup(args)
+    if scan is None:
         return 2
-    cfg = _load_cfg(args)
-    offset = 0
-    if args.input_file:
-        cfg, offset = _capture_cfg(args, cfg)
+    cfg, offset = scan
     rms_acc = None
     clip_acc = None
     n = 0
@@ -1044,7 +1069,9 @@ def cmd_levels(args) -> int:
         clip_acc = clip if clip_acc is None else clip_acc + clip
         n += 1
     if n == 0:
-        print("no blocks in input file", file=sys.stderr)
+        print(f"no blocks in "
+              f"{args.input_file or 'ring ' + repr(args.key)}",
+              file=sys.stderr)
         return 1
     rms_mean = np.sqrt(rms_acc / n)
     clip_mean = clip_acc / n

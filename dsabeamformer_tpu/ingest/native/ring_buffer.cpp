@@ -36,7 +36,7 @@
 
 namespace {
 
-constexpr uint64_t kMagic = 0x445341524E471001ULL;  // "DSARNG" + version
+constexpr uint64_t kMagic = 0x445341524E471002ULL;  // "DSARNG" + version
 constexpr uint64_t kCtrlBytes = 4096;
 
 struct Ctrl {
@@ -50,6 +50,11 @@ struct Ctrl {
   std::atomic<uint64_t> skipped;    // reader-side skip-ahead count
   std::atomic<uint64_t> eod;        // end-of-data flag
   std::atomic<uint64_t> hdr_ready;  // header text committed
+  // Best-effort count of handles that have read from this ring and
+  // are still open (crashed readers leak it) — advisory only, so a
+  // second consumer can WARN before stealing blocks from the shared
+  // SPSC r_tail cursor.
+  std::atomic<uint64_t> readers;
 };
 
 static_assert(sizeof(Ctrl) <= kCtrlBytes, "control page overflow");
@@ -64,6 +69,7 @@ struct Ring {
   // per-handle state
   uint64_t write_open_seq = ~0ULL;
   uint64_t read_open_seq = ~0ULL;
+  bool counted_reader = false;
 };
 
 uint8_t* slot_ptr(Ring* r, uint64_t seq) {
@@ -157,6 +163,8 @@ Ring* dsaring_connect(const char* name) {
 
 void dsaring_close(Ring* r) {
   if (!r) return;
+  if (r->counted_reader && r->ctrl)
+    r->ctrl->readers.fetch_sub(1, std::memory_order_relaxed);
   if (r->base) munmap(r->base, r->map_bytes);
   if (r->fd >= 0) close(r->fd);
   delete r;
@@ -180,6 +188,10 @@ uint64_t dsaring_skipped(Ring* r) {
 uint64_t dsaring_w_head(Ring* r) {
   return r->ctrl->w_head.load(std::memory_order_acquire);
 }
+uint64_t dsaring_readers(Ring* r) {
+  return r->ctrl->readers.load(std::memory_order_relaxed);
+}
+
 uint64_t dsaring_r_tail(Ring* r) {
   return r->ctrl->r_tail.load(std::memory_order_acquire);
 }
@@ -245,6 +257,10 @@ int dsaring_eod(Ring* r) {
 // block sequence number.
 const void* dsaring_open_read(Ring* r, int64_t timeout_us, int latest,
                               uint64_t* seq_out) {
+  if (!r->counted_reader) {
+    r->ctrl->readers.fetch_add(1, std::memory_order_relaxed);
+    r->counted_reader = true;
+  }
   const int64_t poll_ns = 50 * 1000;  // 50 us
   int64_t waited_us = 0;
   for (;;) {

@@ -92,7 +92,7 @@ def _load() -> ctypes.CDLL:
     lib.dsaring_destroy.argtypes = [cp]
     lib.dsaring_destroy.restype = ctypes.c_int
     for fn in ("nbufs", "bufsz", "hdrsz", "dropped", "skipped", "w_head",
-               "r_tail"):
+               "r_tail", "readers"):
         f = getattr(lib, f"dsaring_{fn}")
         f.restype = u64
         f.argtypes = [vp]
@@ -176,6 +176,14 @@ class RingBuffer:
     @property
     def n_read(self) -> int:
         return self._lib.dsaring_r_tail(self._h)
+
+    @property
+    def readers(self) -> int:
+        """Best-effort count of open handles that have read from this
+        ring (advisory: crashed readers leak it).  The scan commands
+        use it to warn before attaching a SECOND consumer to the
+        single-consumer cursor."""
+        return self._lib.dsaring_readers(self._h)
 
     # -- header -------------------------------------------------------
     def write_header(self, text: str) -> None:

@@ -185,7 +185,9 @@ def test_cli_calibrate_live_ring(tiny_cfg, tmp_path, capsys):
                 ring.write_block(b)
             ring.set_eod()
             import time as _t
-            _t.sleep(2.0)
+            deadline = _t.monotonic() + 30
+            while _t.monotonic() < deadline and ring.n_read < len(blocks):
+                _t.sleep(0.05)
 
     out = tmp_path / "cal.npz"
     prod = threading.Thread(target=produce)

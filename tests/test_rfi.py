@@ -277,7 +277,9 @@ def test_cli_rfi_live_ring_scan(tiny_cfg, tmp_path, capsys):
                 ring.write_block(b)
             ring.set_eod()
             import time as _t
-            _t.sleep(2.0)  # let the consumer drain before teardown
+            deadline = _t.monotonic() + 30
+            while _t.monotonic() < deadline and ring.n_read < len(blocks):
+                _t.sleep(0.05)  # wait for actual consumption, not a guess
 
     prod = threading.Thread(target=produce)
     prod.start()

@@ -123,3 +123,28 @@ def test_threaded_stress_in_order(ring_name):
     idxs = [i for _, i in received]
     assert seqs == list(range(n))
     assert idxs == list(range(n))
+
+
+def test_reader_counter_advisory(tiny_cfg):
+    """The best-effort readers counter: 0 until a handle reads, +1 per
+    reading handle, -1 on close — the scan commands' second-consumer
+    warning input."""
+    import numpy as np
+
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    with RingBuffer("rdrcnt", create=True, nbufs=2, bufsz=64) as ring:
+        assert ring.readers == 0
+        ring.write_block(np.zeros(64, np.uint8))
+        r1 = RingBuffer("rdrcnt")
+        assert r1.readers == 0  # attached, not yet reading
+        assert r1.read_block(timeout_s=1.0) is not None
+        assert ring.readers == 1
+        r2 = RingBuffer("rdrcnt")
+        ring.write_block(np.zeros(64, np.uint8))
+        assert r2.read_block(timeout_s=1.0) is not None
+        assert ring.readers == 2
+        r1.close()
+        assert ring.readers == 1
+        r2.close()
+        assert ring.readers == 0
