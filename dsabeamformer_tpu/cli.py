@@ -1103,6 +1103,7 @@ def cmd_ring(args) -> int:
                 "backlog": ring.n_written - ring.n_read,
                 "dropped": ring.dropped,
                 "skipped": ring.skipped,
+                "readers": ring.readers,
                 "eod": ring.eod(),
             }), flush=True)
             if not args.watch:
