@@ -20,6 +20,7 @@ subcommands:
   dsabf rfi         — spectral-kurtosis RFI scan -> --zap/--flag-ants specs
   dsabf launch      — supervised one-process-per-subband deployment
   dsabf fil         — inspect a SIGPROC filterbank product
+  dsabf splice      — merge per-subband .fil products into one band
   dsabf waterfall   — ASCII/PGM time-frequency quick-look of a product
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
@@ -909,6 +910,28 @@ def cmd_fil(args) -> int:
     return 0
 
 
+def cmd_splice(args) -> int:
+    """Merge per-subband .fil products into one full-band file (the
+    downstream step of `dsabf launch`'s per-subband split: each child
+    writes its own band slice; the search stage wants one file)."""
+    from dsabeamformer_tpu.ingest.sigproc import splice_filterbanks
+
+    try:
+        hdr = splice_filterbanks(args.inputs, args.out)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "out": args.out,
+        "inputs": len(args.inputs),
+        "nchans": hdr["nchans"],
+        "fch1": hdr["fch1"],
+        "n_samples": hdr["_n_samples"],
+        "dropped_trailing_samples": hdr["_dropped_samples"],
+    }))
+    return 0
+
+
 def cmd_waterfall(args) -> int:
     """ASCII (and optional PGM) time-frequency waterfall of a beam
     product — the quickest "did the observation work" check.  Reads
@@ -1376,6 +1399,14 @@ def main(argv=None) -> int:
                        help="inspect a SIGPROC filterbank product (JSON)")
     p.add_argument("path", help="beamNNNN.fil file from --fil-dir")
     p.set_defaults(fn=cmd_fil)
+
+    p = sub.add_parser(
+        "splice",
+        help="merge per-subband .fil products into one full-band file")
+    p.add_argument("inputs", nargs="+",
+                   help="per-subband beamNNNN.fil files (any order)")
+    p.add_argument("--out", required=True, help="merged output .fil")
+    p.set_defaults(fn=cmd_splice)
 
     p = sub.add_parser(
         "waterfall",

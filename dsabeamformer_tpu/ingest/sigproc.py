@@ -368,14 +368,37 @@ class FilterbankSink:
                 json.dumps(rec, indent=0) + "\n")
 
 
-def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
-    """Parse a SIGPROC filterbank file -> (header dict, data).
+def _encode_header_dict(hdr: Dict) -> bytes:
+    """SIGPROC header bytes from a parsed header dict (the splice
+    path re-emits a merged header; field set mirrors
+    ``encode_filterbank_header``)."""
+    return b"".join([
+        _kw("HEADER_START"),
+        _kw_str("source_name", str(hdr.get("source_name", "DSABF"))),
+        _kw_int("telescope_id", int(hdr.get("telescope_id", 0))),
+        _kw_int("machine_id", int(hdr.get("machine_id", 0))),
+        _kw_int("data_type", int(hdr.get("data_type", 1))),
+        _kw_dbl("fch1", float(hdr["fch1"])),
+        _kw_dbl("foff", float(hdr["foff"])),
+        _kw_int("nchans", int(hdr["nchans"])),
+        _kw_int("nbits", int(hdr.get("nbits", 32))),
+        _kw_int("nifs", int(hdr.get("nifs", 1))),
+        _kw_dbl("tstart", float(hdr.get("tstart", 0.0))),
+        _kw_dbl("tsamp", float(hdr["tsamp"])),
+        _kw_int("ibeam", int(hdr.get("ibeam", 0))),
+        _kw_int("nbeams", int(hdr.get("nbeams", 1))),
+        _kw_dbl("src_raj", float(hdr.get("src_raj", 0.0))),
+        _kw_dbl("src_dej", float(hdr.get("src_dej", 0.0))),
+        _kw_dbl("az_start", float(hdr.get("az_start", 0.0))),
+        _kw_dbl("za_start", float(hdr.get("za_start", 0.0))),
+        _kw("HEADER_END"),
+    ])
 
-    Data comes back ``[T, nifs, nchans]`` in the file's own
-    (descending-frequency) channel order — float32 for nbits=32, uint8
-    for nbits=8 (raw counts; divide by the writer's scale to recover
-    power units).  Validation/analysis path — loads the whole payload.
-    """
+
+def read_filterbank_header(path: str | Path) -> Tuple[Dict, int]:
+    """Parse only the SIGPROC header -> (header dict, payload offset)
+    — the streaming entry point (``dsabf splice`` memmaps payloads
+    instead of loading them)."""
     ints = {"telescope_id", "machine_id", "data_type", "nchans", "nbits",
             "nifs", "ibeam", "nbeams", "barycentric", "pulsarcentric"}
     dbls = {"fch1", "foff", "tstart", "tsamp", "src_raj", "src_dej",
@@ -415,7 +438,79 @@ def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
         if nbits not in (8, 32):
             raise ValueError(f"only nbits 8/32 payloads supported, "
                              f"got {nbits}")
+        return hdr, f.tell()
+
+
+def read_filterbank(path: str | Path) -> Tuple[Dict, np.ndarray]:
+    """Parse a SIGPROC filterbank file -> (header dict, data).
+
+    Data comes back ``[T, nifs, nchans]`` in the file's own
+    (descending-frequency) channel order — float32 for nbits=32, uint8
+    for nbits=8 (raw counts; divide by the writer's scale to recover
+    power units).  Validation/analysis path — loads the whole payload.
+    """
+    hdr, off = read_filterbank_header(path)
+    nbits = hdr.get("nbits", 32)
+    with open(path, "rb") as f:
+        f.seek(off)
         data = np.frombuffer(
             f.read(), dtype=np.uint8 if nbits == 8 else np.float32)
     nifs, nchans = hdr.get("nifs", 1), hdr["nchans"]
     return hdr, data.reshape(-1, nifs, nchans)
+
+
+def splice_filterbanks(paths, out_path: str | Path,
+                       chunk_samples: int = 4096) -> Dict:
+    """Merge per-subband ``.fil`` files into one full-band file — the
+    downstream step of the ``dsabf launch`` per-subband deployment
+    (each child writes its own band slice; the search stage wants one
+    file).  Files may be given in any order; they are sorted by
+    frequency and must tile the band contiguously with identical
+    tsamp/tstart/nifs/nbits/beam.  Payloads are memmapped and spliced
+    in bounded chunks, so full-scale products never load whole.
+    Returns the merged header.  Trailing samples beyond the SHORTEST
+    file are dropped (a straggler subband otherwise desynchronizes
+    the time axis), with the drop count in ``_dropped_samples``.
+    """
+    metas = []
+    for p in paths:
+        hdr, off = read_filterbank_header(p)
+        metas.append((hdr, off, Path(p)))
+    # Descending frequency: highest fch1 first (the .fil convention).
+    metas.sort(key=lambda m: -m[0]["fch1"])
+    h0 = metas[0][0]
+    nbits = h0.get("nbits", 32)
+    itemsize = 1 if nbits == 8 else 4
+    nifs = h0.get("nifs", 1)
+    for k in ("tsamp", "tstart", "nifs", "nbits", "foff", "ibeam"):
+        vals = {m[0].get(k) for m in metas}
+        if len(vals) != 1:
+            raise ValueError(f"cannot splice: {k} differs across inputs "
+                             f"({sorted(map(str, vals))})")
+    for (ha, _, pa), (hb, _, pb) in zip(metas, metas[1:]):
+        expect = ha["fch1"] + ha["nchans"] * ha["foff"]
+        if abs(hb["fch1"] - expect) > 1e-6 * abs(ha["foff"]) + 1e-9:
+            raise ValueError(
+                f"cannot splice: {pb.name} starts at {hb['fch1']} MHz, "
+                f"expected {expect} MHz after {pa.name} (bands must "
+                f"tile contiguously)")
+    maps = []
+    n_samps = []
+    for hdr, off, p in metas:
+        row = hdr.get("nifs", 1) * hdr["nchans"]
+        n = (p.stat().st_size - off) // (row * itemsize)
+        n_samps.append(n)
+        maps.append(np.memmap(p, dtype=np.uint8 if nbits == 8
+                              else np.float32, mode="r", offset=off,
+                              shape=(n, nifs, hdr["nchans"])))
+    t_out = min(n_samps)
+    merged = dict(h0, nchans=sum(m[0]["nchans"] for m in metas))
+    with open(out_path, "wb") as f:
+        f.write(_encode_header_dict(merged))
+        for t0 in range(0, t_out, chunk_samples):
+            t1 = min(t0 + chunk_samples, t_out)
+            f.write(np.ascontiguousarray(np.concatenate(
+                [m[t0:t1] for m in maps], axis=2)))
+    merged["_dropped_samples"] = int(max(n_samps) - t_out)
+    merged["_n_samples"] = int(t_out)
+    return merged

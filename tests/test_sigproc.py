@@ -529,3 +529,79 @@ def test_cli_8bit_stokes_run(tiny_cfg, tmp_path):
         assert abs(float(np.median(data[:, s, :])) - 128) < 8
     side = json.loads((fil_dir / "scales.json").read_text())
     assert side["__quv_offset__"] == STOKES_QUV_OFFSET
+
+
+def test_splice_subband_filterbanks(tiny_cfg, tmp_path):
+    """Per-subband sinks -> dsabf splice == the full-band sink's file,
+    byte-for-byte (header geometry and payload)."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.sigproc import splice_filterbanks
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    rng = np.random.default_rng(21)
+    blk = rng.uniform(0.5, 3.0, (f_out, t_out, b_out)).astype(np.float32)
+    # full-band reference file
+    full = FilterbankSink(tmp_path / "full", cfg, beams=[1])
+    full.write(0, blk)
+    full.close()
+    # two subband children (the launch split): each writes its slice
+    n_sub = 2
+    w = cfg.n_chan // n_sub
+    parts = []
+    for i in range(n_sub):
+        sub = cfg.subband(i * w, w)
+        sink = FilterbankSink(tmp_path / f"sub{i}", sub, beams=[1])
+        lo, hi = i * w // cfg.navg_freq, (i + 1) * w // cfg.navg_freq
+        sink.write(0, blk[lo:hi])
+        sink.close()
+        parts.append(tmp_path / f"sub{i}" / "beam0001.fil")
+    out = tmp_path / "merged.fil"
+    hdr = splice_filterbanks(parts, out)
+    h_full, d_full = read_filterbank(tmp_path / "full" / "beam0001.fil")
+    h_m, d_m = read_filterbank(out)
+    assert h_m["nchans"] == h_full["nchans"]
+    assert h_m["fch1"] == pytest.approx(h_full["fch1"])
+    assert h_m["foff"] == pytest.approx(h_full["foff"])
+    np.testing.assert_array_equal(d_m, d_full)
+    assert hdr["_dropped_samples"] == 0
+    # CLI wrapper + JSON line
+    out2 = tmp_path / "merged2.fil"
+    assert cli_main(["splice", *map(str, reversed(parts)),
+                     "--out", str(out2)]) == 0
+    _, d2 = read_filterbank(out2)
+    np.testing.assert_array_equal(d2, d_full)
+
+
+def test_splice_rejects_mismatched_inputs(tiny_cfg, tmp_path):
+    from dsabeamformer_tpu.ingest.sigproc import splice_filterbanks
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    blk = np.ones((f_out, t_out, b_out), np.float32)
+    a = FilterbankSink(tmp_path / "a", cfg, beams=[0])
+    a.write(0, blk)
+    a.close()
+    b = FilterbankSink(tmp_path / "b", cfg, beams=[0])  # same band!
+    b.write(0, blk)
+    b.close()
+    with pytest.raises(ValueError, match="tile contiguously"):
+        splice_filterbanks([tmp_path / "a" / "beam0000.fil",
+                            tmp_path / "b" / "beam0000.fil"],
+                           tmp_path / "x.fil")
+    # different nbits
+    c8 = FilterbankSink(tmp_path / "c8", cfg.subband(0, cfg.n_chan // 2),
+                        beams=[0], nbits=8, scale=10.0)
+    c8.write(0, blk[: f_out // 2])
+    c8.close()
+    d32 = FilterbankSink(tmp_path / "d32",
+                         cfg.subband(cfg.n_chan // 2, cfg.n_chan // 2),
+                         beams=[0])
+    d32.write(0, blk[f_out // 2:])
+    d32.close()
+    with pytest.raises(ValueError, match="nbits"):
+        splice_filterbanks([tmp_path / "c8" / "beam0000.fil",
+                            tmp_path / "d32" / "beam0000.fil"],
+                           tmp_path / "y.fil")
