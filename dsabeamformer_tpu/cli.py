@@ -921,6 +921,12 @@ def cmd_splice(args) -> int:
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if hdr.get("_subband_scales") is not None:
+        print(f"[dsabf] WARNING: 8-bit inputs carry different "
+              f"per-subband quantization scales "
+              f"{hdr['_subband_scales']} — the merged counts have a "
+              f"stepped bandpass; record splice-bound products with an "
+              f"explicit --fil-scale", file=sys.stderr)
     print(json.dumps({
         "out": args.out,
         "inputs": len(args.inputs),

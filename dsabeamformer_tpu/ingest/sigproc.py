@@ -494,6 +494,30 @@ def splice_filterbanks(paths, out_path: str | Path,
                 f"cannot splice: {pb.name} starts at {hb['fch1']} MHz, "
                 f"expected {expect} MHz after {pa.name} (bands must "
                 f"tile contiguously)")
+    if nbits == 8:
+        # Each 8-bit subband file was quantized with ITS OWN
+        # counts-per-unit-power scale (per-beam auto-cal, recorded in
+        # the sibling scales.json).  Splicing different scales gives a
+        # stepped bandpass in counts — surface them so the caller can
+        # warn / the operator can re-run with an explicit --fil-scale.
+        import json as _json
+
+        scales = []
+        for hdr, off, p in metas:
+            side = p.parent / "scales.json"
+            try:
+                scales.append(_json.loads(side.read_text()).get(p.name))
+            except (OSError, ValueError):
+                scales.append(None)
+        if None not in scales and scales:
+            lo, hi = min(scales), max(scales)
+            if hi > lo * 1.01:
+                merged_scales = scales
+            else:
+                merged_scales = None
+        else:
+            merged_scales = scales if any(s is not None for s in scales) \
+                else None
     maps = []
     n_samps = []
     for hdr, off, p in metas:
@@ -513,4 +537,6 @@ def splice_filterbanks(paths, out_path: str | Path,
                 [m[t0:t1] for m in maps], axis=2)))
     merged["_dropped_samples"] = int(max(n_samps) - t_out)
     merged["_n_samples"] = int(t_out)
+    if nbits == 8:
+        merged["_subband_scales"] = merged_scales  # None = consistent
     return merged

@@ -605,3 +605,35 @@ def test_splice_rejects_mismatched_inputs(tiny_cfg, tmp_path):
         splice_filterbanks([tmp_path / "c8" / "beam0000.fil",
                             tmp_path / "d32" / "beam0000.fil"],
                            tmp_path / "y.fil")
+
+
+def test_splice_8bit_scale_mismatch_warns(tiny_cfg, tmp_path, capsys):
+    """8-bit subbands with different auto scales merge, but the CLI
+    warns about the stepped bandpass; identical explicit scales don't."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    w = cfg.n_chan // 2
+
+    def sub_fil(i, blk, **kw):
+        sub = cfg.subband(i * w, w)
+        sink = FilterbankSink(tmp_path / f"s{i}{kw.get('scale','a')}",
+                              sub, beams=[0], nbits=8, **kw)
+        lo, hi = i * w // cfg.navg_freq, (i + 1) * w // cfg.navg_freq
+        sink.write(0, blk[lo:hi])
+        sink.close()
+        return tmp_path / f"s{i}{kw.get('scale','a')}" / "beam0000.fil"
+
+    rng = np.random.default_rng(31)
+    blk = rng.uniform(0.5, 2.0, (f_out, t_out, b_out)).astype(np.float32)
+    blk[f_out // 2:] *= 10  # second subband auto-calibrates 10x lower
+    parts = [sub_fil(0, blk), sub_fil(1, blk)]
+    assert cli_main(["splice", *map(str, parts),
+                     "--out", str(tmp_path / "m8.fil")]) == 0
+    assert "stepped bandpass" in capsys.readouterr().err
+    # explicit shared scale: clean
+    parts = [sub_fil(0, blk, scale=5.0), sub_fil(1, blk, scale=5.0)]
+    assert cli_main(["splice", *map(str, parts),
+                     "--out", str(tmp_path / "m8b.fil")]) == 0
+    assert "stepped bandpass" not in capsys.readouterr().err
