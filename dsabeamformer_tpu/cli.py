@@ -921,12 +921,20 @@ def cmd_splice(args) -> int:
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    if hdr.get("_subband_scales") is not None:
-        print(f"[dsabf] WARNING: 8-bit inputs carry different "
-              f"per-subband quantization scales "
-              f"{hdr['_subband_scales']} — the merged counts have a "
-              f"stepped bandpass; record splice-bound products with an "
-              f"explicit --fil-scale", file=sys.stderr)
+    bad_scales = hdr.get("_subband_scales")
+    if bad_scales is not None:
+        if all(s is None for s in bad_scales):
+            print("[dsabf] WARNING: 8-bit inputs have no scales.json "
+                  "sidecars — per-subband quantization scales are "
+                  "UNKNOWN and may differ (stepped bandpass); record "
+                  "splice-bound products with an explicit --fil-scale",
+                  file=sys.stderr)
+        else:
+            print(f"[dsabf] WARNING: 8-bit inputs carry different "
+                  f"per-subband quantization scales {bad_scales} — the "
+                  f"merged counts have a stepped bandpass; record "
+                  f"splice-bound products with an explicit --fil-scale",
+                  file=sys.stderr)
     print(json.dumps({
         "out": args.out,
         "inputs": len(args.inputs),

@@ -39,7 +39,8 @@ import numpy as np
 
 from dsabeamformer_tpu.config import ObsConfig
 
-__all__ = ["encode_filterbank_header", "FilterbankSink", "read_filterbank"]
+__all__ = ["encode_filterbank_header", "FilterbankSink", "read_filterbank",
+           "read_filterbank_header", "splice_filterbanks"]
 
 _quant8 = None
 _quant8_stokes = None
@@ -472,21 +473,38 @@ def splice_filterbanks(paths, out_path: str | Path,
     file are dropped (a straggler subband otherwise desynchronizes
     the time axis), with the drop count in ``_dropped_samples``.
     """
+    paths = list(paths)
+    if not paths:
+        raise ValueError("cannot splice: no input files given")
+    out_res = Path(out_path).resolve()
     metas = []
     for p in paths:
+        if Path(p).resolve() == out_res:
+            # Truncating a memmapped input would destroy the recorded
+            # subband and SIGBUS mid-splice.
+            raise ValueError(f"cannot splice: --out {out_path} is also "
+                             f"an input")
         hdr, off = read_filterbank_header(p)
         metas.append((hdr, off, Path(p)))
-    # Descending frequency: highest fch1 first (the .fil convention).
-    metas.sort(key=lambda m: -m[0]["fch1"])
+    # Optional keys compare with the reader's defaults applied (a
+    # foreign file legally omits nifs/ibeam/etc.).
+    defaults = {"tstart": 0.0, "nifs": 1, "nbits": 32, "ibeam": 0}
+    for k in ("tsamp", "tstart", "nifs", "nbits", "foff", "ibeam"):
+        vals = {m[0].get(k, defaults.get(k)) for m in metas}
+        if len(vals) != 1:
+            raise ValueError(f"cannot splice: {k} differs across inputs "
+                             f"({sorted(map(str, vals))})")
+    foff = metas[0][0]["foff"]
+    if foff == 0:
+        raise ValueError("cannot splice: foff is 0 (no channel axis)")
+    # File order follows the channel direction: descending-frequency
+    # files (dsabf's convention, foff<0) lead with the highest fch1;
+    # ascending foreign files with the lowest.
+    metas.sort(key=lambda m: m[0]["fch1"], reverse=foff < 0)
     h0 = metas[0][0]
     nbits = h0.get("nbits", 32)
     itemsize = 1 if nbits == 8 else 4
     nifs = h0.get("nifs", 1)
-    for k in ("tsamp", "tstart", "nifs", "nbits", "foff", "ibeam"):
-        vals = {m[0].get(k) for m in metas}
-        if len(vals) != 1:
-            raise ValueError(f"cannot splice: {k} differs across inputs "
-                             f"({sorted(map(str, vals))})")
     for (ha, _, pa), (hb, _, pb) in zip(metas, metas[1:]):
         expect = ha["fch1"] + ha["nchans"] * ha["foff"]
         if abs(hb["fch1"] - expect) > 1e-6 * abs(ha["foff"]) + 1e-9:
@@ -509,15 +527,13 @@ def splice_filterbanks(paths, out_path: str | Path,
                 scales.append(_json.loads(side.read_text()).get(p.name))
             except (OSError, ValueError):
                 scales.append(None)
-        if None not in scales and scales:
+        if None not in scales:
             lo, hi = min(scales), max(scales)
-            if hi > lo * 1.01:
-                merged_scales = scales
-            else:
-                merged_scales = None
+            # None = known-consistent; a list = warn (values or None
+            # entries for missing sidecars — unknown is NOT consistent).
+            merged_scales = scales if hi > lo * 1.01 else None
         else:
-            merged_scales = scales if any(s is not None for s in scales) \
-                else None
+            merged_scales = scales
     maps = []
     n_samps = []
     for hdr, off, p in metas:
@@ -539,4 +555,28 @@ def splice_filterbanks(paths, out_path: str | Path,
     merged["_n_samples"] = int(t_out)
     if nbits == 8:
         merged["_subband_scales"] = merged_scales  # None = consistent
+        if merged_scales is None:
+            # Consistent scale: carry the calibration forward — the
+            # sidecar is the only durable record of counts-per-unit-
+            # power (and the Q/U/V offset).  Merge into any existing
+            # sidecar in the output directory rather than clobbering.
+            import json as _json
+
+            out_p = Path(out_path)
+            side_p = out_p.parent / "scales.json"
+            rec = {}
+            try:
+                rec = _json.loads(side_p.read_text())
+            except (OSError, ValueError):
+                pass
+            rec[out_p.name] = scales[0]
+            for hdr, off, p in metas:
+                try:
+                    src = _json.loads(
+                        (p.parent / "scales.json").read_text())
+                except (OSError, ValueError):
+                    continue
+                if "__quv_offset__" in src:
+                    rec["__quv_offset__"] = src["__quv_offset__"]
+            side_p.write_text(_json.dumps(rec, indent=0) + "\n")
     return merged

@@ -637,3 +637,57 @@ def test_splice_8bit_scale_mismatch_warns(tiny_cfg, tmp_path, capsys):
     assert cli_main(["splice", *map(str, parts),
                      "--out", str(tmp_path / "m8b.fil")]) == 0
     assert "stepped bandpass" not in capsys.readouterr().err
+
+
+def test_splice_edge_cases(tiny_cfg, tmp_path, capsys):
+    """Straggler trim, out==input guard, empty input, missing sidecars,
+    and the consistent-scale sidecar carry-forward."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.sigproc import splice_filterbanks
+
+    cfg = tiny_cfg
+    f_out, t_out, b_out = cfg.out_block_shape
+    w = cfg.n_chan // 2
+    blk = np.full((f_out, t_out, b_out), 2.0, np.float32)
+
+    def sub_fil(i, name, n_blocks=1, **kw):
+        sub = cfg.subband(i * w, w)
+        sink = FilterbankSink(tmp_path / name, sub, beams=[0], **kw)
+        lo, hi = i * w // cfg.navg_freq, (i + 1) * w // cfg.navg_freq
+        for s in range(n_blocks):
+            sink.write(s, blk[lo:hi])
+        sink.close()
+        return tmp_path / name / "beam0000.fil"
+
+    # straggler: subband 1 wrote one block fewer
+    a = sub_fil(0, "tr0", n_blocks=3)
+    b = sub_fil(1, "tr1", n_blocks=2)
+    hdr = splice_filterbanks([a, b], tmp_path / "trim.fil")
+    assert hdr["_n_samples"] == 2 * t_out
+    assert hdr["_dropped_samples"] == t_out
+    _, d = read_filterbank(tmp_path / "trim.fil")
+    assert d.shape[0] == 2 * t_out
+    # out == input
+    with pytest.raises(ValueError, match="also\\s+an input"):
+        splice_filterbanks([a, b], a)
+    # empty input list
+    with pytest.raises(ValueError, match="no input"):
+        splice_filterbanks([], tmp_path / "x.fil")
+    # 8-bit with DELETED sidecars: unknown scales must warn
+    a8 = sub_fil(0, "u0", nbits=8, scale=5.0)
+    b8 = sub_fil(1, "u1", nbits=8, scale=5.0)
+    (tmp_path / "u0" / "scales.json").unlink()
+    (tmp_path / "u1" / "scales.json").unlink()
+    assert cli_main(["splice", str(a8), str(b8),
+                     "--out", str(tmp_path / "u.fil")]) == 0
+    assert "UNKNOWN" in capsys.readouterr().err
+    # consistent scales: sidecar carried forward next to the output
+    a8 = sub_fil(0, "c0", nbits=8, scale=5.0)
+    b8 = sub_fil(1, "c1", nbits=8, scale=5.0)
+    out = tmp_path / "merged" / "full.fil"
+    out.parent.mkdir()
+    splice_filterbanks([a8, b8], out)
+    side = json.loads((out.parent / "scales.json").read_text())
+    assert side["full.fil"] == 5.0
