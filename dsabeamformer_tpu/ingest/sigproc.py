@@ -135,9 +135,11 @@ def encode_filterbank_header(
 ) -> bytes:
     """SIGPROC filterbank header for one beam of this config's output.
 
-    ``ibeam``/``nbeams`` record the fan position; ``tsamp`` is the
-    averaged output cadence; ``fch1``/``foff`` describe the DESCENDING
-    channel order the sink writes.
+    ``ibeam``/``nbeams`` record the fan position; ``az_start`` carries
+    the beam's fan angle (degrees east of boresight) so downstream
+    candidates localize to a sky offset without the beam table;
+    ``tsamp`` is the averaged output cadence; ``fch1``/``foff``
+    describe the DESCENDING channel order the sink writes.
     """
     favg = _avg_freqs_mhz(cfg)
     foff = -(cfg.bandwidth_hz / cfg.n_chan_total * cfg.navg_freq) / 1e6
@@ -158,7 +160,8 @@ def encode_filterbank_header(
         _kw_int("nbeams", cfg.n_beams),
         _kw_dbl("src_raj", 0.0),
         _kw_dbl("src_dej", 0.0),
-        _kw_dbl("az_start", 0.0),
+        _kw_dbl("az_start",
+                float(np.rad2deg(cfg.beam_angles_rad()[beam]))),
         _kw_dbl("za_start", 0.0),
         _kw("HEADER_END"),
     ])

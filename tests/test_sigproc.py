@@ -33,6 +33,9 @@ def test_header_roundtrip_and_geometry(tiny_cfg, tmp_path):
     # foff negative (descending — the dedispersion tools' convention).
     assert hdr["tsamp"] == pytest.approx(
         cfg.sample_period_s * cfg.navg_time)
+    # az_start carries the beam's fan angle (deg)
+    assert hdr["az_start"] == pytest.approx(
+        np.rad2deg(cfg.beam_angles_rad()[0]))
     df_avg = cfg.bandwidth_hz / cfg.n_chan_total * cfg.navg_freq
     assert hdr["foff"] == pytest.approx(-df_avg / 1e6)
     favg = cfg.freqs_hz().reshape(-1, cfg.navg_freq).mean(axis=1) / 1e6
