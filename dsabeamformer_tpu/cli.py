@@ -1004,6 +1004,76 @@ def cmd_waterfall(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Single-pulse search of a beam product over a DM-trial bank —
+    the detection stage the reference deployment outsources to an
+    external GPU pipeline (heimdall), run on the TPU in-framework.
+    Prints a heimdall-style candidate table; ``--cand`` writes it to a
+    file with the search parameters in the comment header."""
+    from dsabeamformer_tpu.ops.dedisperse import (
+        DEFAULT_WIDTHS,
+        dm_trial_grid,
+        search_spectrogram,
+        write_candidates,
+        Candidate,
+    )
+    from dsabeamformer_tpu.utils.quicklook import load_dynamic_spectrum
+
+    try:
+        meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
+                                        stokes=args.stokes)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
+        if key not in meta:
+            print(f"error: cannot search: product header lacks {key}",
+                  file=sys.stderr)
+            return 1
+    if x.shape[0] == 0:
+        print("error: product file has no complete blocks", file=sys.stderr)
+        return 1
+    tsamp = float(meta["tsamp_s"])
+    freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], x.shape[1])
+    if args.dm_step:
+        dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
+                        args.dm_step)
+    else:
+        dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"], tsamp,
+                            dm_max=args.dm_max, dm_min=args.dm_min,
+                            tol=args.dm_tol)
+    widths = (tuple(args.widths) if args.widths else
+              tuple(w for w in DEFAULT_WIDTHS if w < x.shape[0]))
+    t0 = time.perf_counter()
+    cands = search_spectrogram(
+        x, freqs, tsamp, dms, widths=widths, threshold=args.threshold,
+        chunk_t=args.chunk, topk=args.topk)
+    dt = time.perf_counter() - t0
+    span_s = x.shape[0] * tsamp
+    print(f"# {args.path}: {x.shape[0]} samples x {x.shape[1]} chans "
+          f"({span_s:.2f} s), {len(dms)} DM trials "
+          f"[{dms[0]:g}, {dms[-1]:.1f}] widths {list(widths)} "
+          f"thresh {args.threshold:g}  ->  {len(cands)} candidates "
+          f"in {dt:.2f} s ({span_s / dt:.1f}x realtime)", file=sys.stderr)
+    print(Candidate.HEADER)
+    for c in cands[: args.limit]:
+        print(c.row())
+    if len(cands) > args.limit:
+        print(f"# ... {len(cands) - args.limit} more (raise --limit, "
+              f"or see --cand file)")
+    if args.cand:
+        write_candidates(args.cand, cands, {
+            "file": args.path, "beam": meta["beam"],
+            "stokes": meta["stokes"], "tsamp_s": tsamp,
+            "f_lo_mhz": meta["f_lo_mhz"], "f_hi_mhz": meta["f_hi_mhz"],
+            "n_dm_trials": len(dms), "dm_min": dms[0], "dm_max": dms[-1],
+            "widths": list(widths), "threshold": args.threshold,
+        })
+        print(f"# wrote {args.cand} ({len(cands)} candidates)",
+              file=sys.stderr)
+    return 0
+
+
 def cmd_rfi(args) -> int:
     """Spectral-kurtosis RFI scan of a capture file: per-channel SK
     accumulated over all blocks, robust cross-channel flagging, and a
@@ -1448,6 +1518,38 @@ def main(argv=None) -> int:
     p.add_argument("--full", action="store_true",
                    help="PGM at native resolution (no downsample)")
     p.set_defaults(fn=cmd_waterfall)
+
+    p = sub.add_parser(
+        "search",
+        help="single-pulse search of a product over a DM-trial bank")
+    p.add_argument("path", help=".fil or .dada beam-product file")
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam index (DADA products)")
+    p.add_argument("--stokes", default="I", choices=list("IQUV"),
+                   help="Stokes plane to search (usually I)")
+    p.add_argument("--dm-min", type=float, default=0.0)
+    p.add_argument("--dm-max", type=float, default=1000.0,
+                   help="top of the DM-trial range [pc/cm^3]")
+    p.add_argument("--dm-step", type=float,
+                   help="fixed trial spacing (default: auto from "
+                        "--dm-tol and the band/cadence)")
+    p.add_argument("--dm-tol", type=float, default=1.25,
+                   help="auto-grid spacing in output samples of "
+                        "band-edge differential delay per trial")
+    p.add_argument("--threshold", type=float, default=7.0,
+                   help="matched-filter S/N floor")
+    p.add_argument("--widths", type=int, nargs="+",
+                   help="boxcar widths in output samples "
+                        "(default 1 2 4 8 16 32)")
+    p.add_argument("--chunk", type=int, default=16384,
+                   help="host-side chunk length [output samples]")
+    p.add_argument("--topk", type=int, default=4,
+                   help="peaks kept per (width, trial) per chunk")
+    p.add_argument("--limit", type=int, default=20,
+                   help="candidate rows printed (file gets all)")
+    p.add_argument("--cand", help="write a candidate file (heimdall-"
+                                  "style columns, '#' header)")
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")
     p.add_argument("--key", default="dsa")

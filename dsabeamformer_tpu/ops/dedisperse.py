@@ -1,0 +1,344 @@
+"""Multi-DM incoherent dedispersion search over beam products
+(``dsabf search``).
+
+The reference deployment stops at writing SIGPROC filterbanks and
+hands single-pulse detection to an external GPU pipeline (heimdall)
+[SURVEY.md §2 C9/C12: .fil products are "the heimdall input"].  That
+leaves the actual science trigger outside the framework.  This module
+closes the loop on the TPU: a brute-force DM-trial bank, robust
+per-trial normalization, boxcar matched filters, and top-k candidate
+extraction — all jitted, so one device pass turns a dynamic spectrum
+into a candidate list.
+
+TPU-first shape of the problem: after 16x time averaging a block's
+dynamic spectrum is SMALL (``[T, F]`` float32, a few MB), so this is
+VPU/gather work, not MXU work — the design goal is one compiled
+program with static shapes (chunked on the host for long files), not
+hand-tiled kernels.  The dedispersion sum scans over frequency
+channels accumulating a ``[n_dm, T]`` time-series bank; each step is
+one gather from a padded channel column, which XLA vectorizes across
+the (dm, t) grid.  Candidate extraction uses ``lax.top_k`` per
+(width, trial) so the host fetch is a few kB regardless of T.
+
+The delay curve is the package-wide :func:`~dsabeamformer_tpu.config.
+dm_delays_s` (referenced to the TOP of the band, which arrives
+first), so the search agrees with the pulse generator and the
+quick-look dedisperser by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dsabeamformer_tpu.config import DM_CONST_S, dm_delays_s
+
+__all__ = [
+    "dm_trial_grid",
+    "delay_table",
+    "dedisperse_bank",
+    "Candidate",
+    "search_spectrogram",
+    "write_candidates",
+]
+
+#: Boxcar widths (output samples) matched-filtered by default: powers
+#: of two up to 32, the usual single-pulse-search ladder.
+DEFAULT_WIDTHS = (1, 2, 4, 8, 16, 32)
+
+
+def dm_trial_grid(
+    f_lo_mhz: float,
+    f_hi_mhz: float,
+    tsamp_s: float,
+    dm_max: float,
+    dm_min: float = 0.0,
+    tol: float = 1.25,
+) -> np.ndarray:
+    """Linear DM trial grid with the classic diagonal-DM spacing: the
+    step is chosen so adjacent trials differ by ``tol`` output samples
+    of differential delay ACROSS THE BAND —
+
+        step = tol * tsamp / (DM_CONST_S * (f_lo^-2 - f_hi^-2))
+
+    i.e. a pulse at the midpoint between two trials smears by at most
+    ``tol/2`` samples relative to either, which is the resolution
+    floor the sampling itself imposes.  (A fractional-bandwidth-aware
+    non-linear grid buys little for the ~20% fractional bands this
+    instrument has, and a linear grid keeps trial index <-> DM
+    affine, which the candidate clustering uses.)
+
+    Always includes ``dm_min``; the last trial is the first one
+    >= ``dm_max`` so the requested range is covered, not truncated.
+    """
+    if f_hi_mhz <= f_lo_mhz:
+        raise ValueError(f"need f_hi > f_lo, got [{f_lo_mhz}, {f_hi_mhz}]")
+    if dm_max < dm_min:
+        raise ValueError(f"dm_max {dm_max} < dm_min {dm_min}")
+    if tol <= 0 or tsamp_s <= 0:
+        raise ValueError("tol and tsamp_s must be positive")
+    span = DM_CONST_S * (f_lo_mhz ** -2.0 - f_hi_mhz ** -2.0)  # s per DM unit
+    step = tol * tsamp_s / span
+    n = int(np.ceil((dm_max - dm_min) / step)) + 1 if dm_max > dm_min else 1
+    return dm_min + step * np.arange(n)
+
+
+def delay_table(
+    freqs_mhz: np.ndarray, dms: np.ndarray, tsamp_s: float
+) -> np.ndarray:
+    """Integer sample delays ``[n_dm, F]`` of each channel relative to
+    the highest channel (the band-top reference every other DM user in
+    the package shares).  Rounded to nearest — the same rounding the
+    quick-look dedisperser applies, so a ``--dm`` waterfall and the
+    search see identical shifts."""
+    freqs = np.asarray(freqs_mhz, np.float64)
+    ref = float(freqs.max())
+    delays = np.stack(
+        [dm_delays_s(freqs, float(dm), ref) for dm in np.asarray(dms)]
+    )
+    return np.rint(delays / tsamp_s).astype(np.int32)
+
+
+def _dedisperse_jit(power_pad_ft, delays, t_out: int):
+    """Scan over channels accumulating ``out[d, t] = sum_f
+    P[t + delay[d, f], f]``.  One gather per channel from its padded
+    column; the accumulator ``[n_dm, t_out]`` lives in registers/VMEM
+    across the scan."""
+    n_dm = delays.shape[0]
+    t_idx = jnp.arange(t_out, dtype=jnp.int32)
+
+    def step(acc, xs):
+        col, sh = xs  # [T_pad] one channel, [n_dm] its trial shifts
+        acc = acc + col[sh[:, None] + t_idx[None, :]]
+        return acc, None
+
+    acc0 = jnp.zeros((n_dm, t_out), jnp.float32)
+    out, _ = lax.scan(step, acc0, (power_pad_ft, delays.T))
+    return out
+
+
+# Module-level jit wrappers so repeated same-shape calls (the chunk
+# loop in search_spectrogram) hit the compile cache.
+_dedisperse_c = jax.jit(_dedisperse_jit, static_argnums=2)
+
+
+def dedisperse_bank(
+    power_tf: np.ndarray, delays: np.ndarray
+) -> Tuple[jax.Array, np.ndarray]:
+    """Dedisperse ``[T, F]`` over a ``[n_dm, F]`` integer-delay table.
+
+    Returns ``(bank, valid_len)``: ``bank[d, t]`` is the channel sum
+    with trial ``d``'s shifts applied, length T; ``valid_len[d]`` is
+    the number of leading samples fully covered by data.  Beyond it,
+    shifted channels run off the end of the observation — those reads
+    come from padding filled with each channel's MEDIAN, so the tail
+    decays toward the baseline instead of ramping (zero padding would
+    manufacture a cliff edge that boxcar filters detect as a pulse).
+    Candidates found past ``valid_len`` must be discarded by the
+    caller.
+    """
+    t, f = power_tf.shape
+    if delays.shape[1] != f:
+        raise ValueError(
+            f"delay table covers {delays.shape[1]} channels, data has {f}")
+    if delays.min() < 0:
+        raise ValueError("negative delays: delay_table is referenced to the "
+                         "band top; check channel ordering (ascending)")
+    max_delay = int(delays.max())
+    fill = np.median(power_tf, axis=0).astype(np.float32)  # [F]
+    pad = np.broadcast_to(fill, (max_delay, f))
+    padded = np.concatenate(
+        [np.asarray(power_tf, np.float32), pad], axis=0)  # [T+max, F]
+    bank = _dedisperse_c(jnp.asarray(padded.T), jnp.asarray(delays), t)
+    valid_len = np.maximum(t - delays.max(axis=1), 0).astype(np.int64)
+    return bank, valid_len
+
+
+def _snr_topk_jit(bank, widths: Tuple[int, ...], k: int):
+    """Robust-normalize each trial series, then for each boxcar width
+    return the top-k S/N peaks per trial.
+
+    Normalization is median/MAD per trial (outlier-immune: the pulse
+    being searched for must not inflate its own noise estimate), so
+    after it a width-w boxcar SUM has unit-variance ``sqrt(w)`` and
+
+        snr_w[d, t] = (cumsum[t + w] - cumsum[t] - w * 0) / sqrt(w).
+
+    Returns ``(snr, idx)`` each ``[n_w, n_dm, k]`` — a few kB to
+    fetch, independent of T.
+    """
+    med = jnp.median(bank, axis=1, keepdims=True)
+    mad = jnp.median(jnp.abs(bank - med), axis=1, keepdims=True)
+    sigma = jnp.maximum(mad * 1.4826, 1e-30)
+    norm = (bank - med) / sigma  # zero-median, unit-variance per trial
+    t = norm.shape[1]
+    csum = jnp.concatenate(
+        [jnp.zeros((norm.shape[0], 1), norm.dtype),
+         jnp.cumsum(norm, axis=1)], axis=1)  # [n_dm, T+1]
+    snrs, idxs = [], []
+    for w in widths:
+        s = (csum[:, w:] - csum[:, :-w]) / np.sqrt(w)  # [n_dm, T-w+1]
+        top_v, top_i = lax.top_k(s, k)
+        snrs.append(top_v)
+        idxs.append(top_i)
+    return jnp.stack(snrs), jnp.stack(idxs)
+
+
+_snr_topk_c = jax.jit(_snr_topk_jit, static_argnums=(1, 2))
+
+
+@dataclasses.dataclass
+class Candidate:
+    """One clustered single-pulse detection (heimdall-style fields)."""
+
+    snr: float           # best-member matched-filter S/N
+    t_samp: int          # start sample of the best-member boxcar
+    time_s: float        # t_samp * tsamp
+    width: int           # best-member boxcar width [samples]
+    dm_idx: int          # best-member trial index
+    dm: float            # best-member trial DM [pc cm^-3]
+    members: int         # raw (width, trial, peak) points merged in
+    dm_lo: float         # DM extent of the cluster
+    dm_hi: float
+
+    def row(self) -> str:
+        return (f"{self.snr:8.2f} {self.t_samp:10d} {self.time_s:12.6f} "
+                f"{self.width:6d} {self.dm_idx:7d} {self.dm:10.3f} "
+                f"{self.members:8d} {self.dm_lo:10.3f} {self.dm_hi:10.3f}")
+
+    HEADER = ("#    snr     t_samp       time_s  width  dm_idx         dm "
+              "members      dm_lo      dm_hi")
+
+
+def _cluster(
+    points: List[Tuple[float, int, int, int]],  # (snr, dm_idx, t, w)
+    dms: np.ndarray,
+    tsamp_s: float,
+    band_span: np.ndarray,  # [n_dm] full-band delay sweep per trial
+    dm_link: Optional[int] = None,
+) -> List[Candidate]:
+    """Greedy friends-of-friends merge, strongest point first.
+
+    Two raw detections are the same event iff their band-top arrival
+    estimates agree within the DIFFERENTIAL DISPERSION SMEAR between
+    their trials: a pulse of true DM ``d0`` detected at a wrong trial
+    ``d`` smears over ``|span(d) - span(d0)|`` samples and its peak
+    time wanders inside that window, so the link pads the boxcar
+    time-overlap test by exactly that trial-pair's span difference.
+    A fixed trial-gap gate (the obvious alternative) fragments bright
+    pulses — whose ridge spans the whole grid — into dozens of
+    candidates (measured on the injected-FRB drill).  ``dm_link``
+    optionally restores a hard trial-gap cap for surveys that expect
+    simultaneous events at well-separated DMs.
+    """
+    pts = sorted(points, key=lambda p: -p[0])
+    out: List[Candidate] = []
+    used = [False] * len(pts)
+    for i, (snr, d, t, w) in enumerate(pts):
+        if used[i]:
+            continue
+        used[i] = True
+        members, d_lo, d_hi = 1, d, d
+        for j in range(i + 1, len(pts)):
+            if used[j]:
+                continue
+            _, dj, tj, wj = pts[j]
+            pad = max(w, wj) + abs(int(band_span[d]) - int(band_span[dj]))
+            if (tj < t + w + pad and t < tj + wj + pad
+                    and (dm_link is None or abs(dj - d) <= dm_link)):
+                used[j] = True
+                members += 1
+                d_lo, d_hi = min(d_lo, dj), max(d_hi, dj)
+        out.append(Candidate(
+            snr=float(snr), t_samp=int(t), time_s=float(t * tsamp_s),
+            width=int(w), dm_idx=int(d), dm=float(dms[d]), members=members,
+            dm_lo=float(dms[d_lo]), dm_hi=float(dms[d_hi])))
+    return out
+
+
+def search_spectrogram(
+    power_tf: np.ndarray,
+    freqs_mhz: np.ndarray,
+    tsamp_s: float,
+    dms: np.ndarray,
+    widths: Sequence[int] = DEFAULT_WIDTHS,
+    threshold: float = 7.0,
+    chunk_t: int = 16384,
+    topk: int = 4,
+    dm_link: Optional[int] = None,
+) -> List[Candidate]:
+    """Search an ascending-frequency ``[T, F]`` dynamic spectrum for
+    dispersed single pulses over DM trials ``dms``.
+
+    Long observations are processed in host-side chunks of ``chunk_t``
+    output samples, each extended by ``max_delay + max_width`` so a
+    pulse straddling a boundary is fully contained in one chunk (the
+    extension samples are searched in the EARLIER chunk only, so
+    duplicates can't arise).  Per chunk the device does dedispersion,
+    normalization, boxcar filtering and top-k extraction in two
+    compiled calls; the host only thresholds, de-duplicates and
+    clusters a few thousand points.
+
+    Returns candidates sorted by S/N (strongest first).
+    """
+    power_tf = np.asarray(power_tf)
+    t_total, f = power_tf.shape
+    delays = delay_table(freqs_mhz, dms, tsamp_s)
+    widths = tuple(int(w) for w in widths)
+    max_w = max(widths)
+    overlap = int(delays.max()) + max_w
+    band_span = delays.max(axis=1)  # full-band sweep per trial [samples]
+
+    cands: List[Candidate] = []
+    snr_fn = _snr_topk_c
+    start = 0
+    while start < t_total:
+        stop = min(start + chunk_t, t_total)
+        ext_stop = min(stop + overlap, t_total)
+        # A chunk whose extension reaches EOF is the last one: it owns
+        # every remaining sample (otherwise the loop would spawn a
+        # final sliver shorter than the boxcar and drop it).
+        final = ext_stop >= t_total
+        chunk = power_tf[start:ext_stop]
+        if chunk.shape[0] <= max_w:
+            break
+        bank, valid_len = dedisperse_bank(chunk, delays)
+        snr, idx = snr_fn(bank, widths, min(topk, bank.shape[1] - max_w + 1))
+        snr, idx = np.asarray(snr), np.asarray(idx)
+        points = []
+        for wi, w in enumerate(widths):
+            for d in range(len(dms)):
+                # searchable extent of this trial in this chunk: inside
+                # the data-covered region, and owned by this chunk
+                # (peaks in the extension belong to the next chunk
+                # unless this is the last one).
+                own = valid_len[d] if final else (stop - start)
+                limit = min(valid_len[d] - w + 1, own)
+                for kk in range(snr.shape[2]):
+                    s, t0 = snr[wi, d, kk], idx[wi, d, kk]
+                    if s >= threshold and t0 < limit:
+                        points.append((float(s), d, int(t0) + start, w))
+        cands.extend(_cluster(points, np.asarray(dms), tsamp_s,
+                              band_span, dm_link))
+        if final:
+            break
+        start = stop
+    cands.sort(key=lambda c: -c.snr)
+    return cands
+
+
+def write_candidates(path, cands: Sequence[Candidate], meta: dict) -> None:
+    """Write a heimdall-style whitespace-column candidate file with a
+    ``#``-comment header recording the search parameters."""
+    with open(path, "w") as fh:
+        for k, v in sorted(meta.items()):
+            fh.write(f"# {k} = {v}\n")
+        fh.write(Candidate.HEADER + "\n")
+        for c in cands:
+            fh.write(c.row() + "\n")

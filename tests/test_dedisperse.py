@@ -1,0 +1,218 @@
+"""Dedispersion search (`ops/dedisperse.py`, `dsabf search`): grid
+math, golden-model agreement, pulse recovery, false-alarm floor, and
+chunking invariance."""
+
+import numpy as np
+import pytest
+
+from dsabeamformer_tpu.config import DM_CONST_S, dm_delays_s
+from dsabeamformer_tpu.ops.dedisperse import (
+    Candidate,
+    dedisperse_bank,
+    delay_table,
+    dm_trial_grid,
+    search_spectrogram,
+    write_candidates,
+)
+
+F_LO, F_HI = 1280.0, 1530.0  # MHz, the dsa10 band
+TSAMP = 1.048576e-3          # s (dsa10 averaged-output cadence class)
+
+
+def _freqs(nf):
+    return np.linspace(F_LO, F_HI, nf)
+
+
+def test_dm_grid_spacing():
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=500.0, tol=1.25)
+    assert dms[0] == 0.0
+    assert dms[-1] >= 500.0
+    # adjacent trials differ by exactly tol output samples of
+    # band-edge differential delay
+    step = dms[1] - dms[0]
+    span = DM_CONST_S * step * (F_LO ** -2.0 - F_HI ** -2.0)
+    assert span == pytest.approx(1.25 * TSAMP, rel=1e-12)
+    # linear grid
+    assert np.allclose(np.diff(dms), step)
+
+
+def test_dm_grid_validation():
+    with pytest.raises(ValueError):
+        dm_trial_grid(F_HI, F_LO, TSAMP, 100.0)
+    with pytest.raises(ValueError):
+        dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=1.0, dm_min=2.0)
+    single = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=7.0, dm_min=7.0)
+    assert single.tolist() == [7.0]
+
+
+def test_delay_table_convention():
+    freqs = _freqs(64)
+    dms = np.array([0.0, 50.0, 300.0])
+    d = delay_table(freqs, dms, TSAMP)
+    assert d.shape == (3, 64)
+    assert d.dtype == np.int32
+    # band top arrives first: zero delay there, monotone growth down
+    assert np.all(d[:, -1] == 0)
+    assert np.all(np.diff(d, axis=1) <= 0)
+    assert np.all(d[0] == 0)
+    # matches the package-wide curve with round-to-nearest
+    expect = np.rint(dm_delays_s(freqs, 300.0, freqs[-1]) / TSAMP)
+    assert np.array_equal(d[2], expect.astype(np.int32))
+
+
+def test_dedisperse_bank_matches_numpy_golden():
+    rng = np.random.default_rng(7)
+    t, nf = 128, 16
+    x = rng.normal(size=(t, nf)).astype(np.float32)
+    dms = np.array([0.0, 30.0, 120.0, 400.0])
+    delays = delay_table(_freqs(nf), dms, TSAMP * 50)  # big steps
+    assert delays.max() > 0
+    bank, valid = dedisperse_bank(x, delays)
+    bank = np.asarray(bank)
+
+    fill = np.median(x, axis=0)
+    padded = np.concatenate(
+        [x, np.broadcast_to(fill, (int(delays.max()), nf))], axis=0)
+    golden = np.zeros((len(dms), t), np.float64)
+    for d in range(len(dms)):
+        for f in range(nf):
+            golden[d] += padded[delays[d, f]: delays[d, f] + t, f]
+    assert np.allclose(bank, golden, rtol=1e-5, atol=1e-4)
+    assert np.array_equal(valid, t - delays.max(axis=1))
+    # DM=0 trial is the straight channel sum
+    assert np.allclose(bank[0], x.sum(axis=1), rtol=1e-5, atol=1e-4)
+
+
+def test_dedisperse_bank_rejects_bad_tables():
+    x = np.zeros((32, 8), np.float32)
+    with pytest.raises(ValueError, match="channels"):
+        dedisperse_bank(x, np.zeros((2, 4), np.int32))
+    with pytest.raises(ValueError, match="negative"):
+        dedisperse_bank(x, np.full((2, 8), -1, np.int32))
+
+
+def _pulse_spectrogram(t, nf, dm, t0, width, amp, seed=0):
+    """White noise + a dispersed boxcar pulse of per-channel height
+    ``amp`` sigma and ``width`` samples, arriving at the band top at
+    sample ``t0``."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(t, nf)).astype(np.float32)
+    freqs = _freqs(nf)
+    shifts = np.rint(
+        dm_delays_s(freqs, dm, freqs[-1]) / TSAMP).astype(int)
+    for f in range(nf):
+        a = t0 + shifts[f]
+        x[a: a + width, f] += amp
+    return x, freqs
+
+
+def test_search_recovers_injected_pulse():
+    dm_true, t0, w_true = 90.0, 700, 4
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, w_true, amp=1.0)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    cands = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.0)
+    assert cands, "injected pulse not detected"
+    best = cands[0]
+    # per-sample channel-sum S/N is amp*sqrt(nf)=8; the width-matched
+    # boxcar gets ~amp*sqrt(nf*w)=16
+    assert best.snr > 10.0
+    step = dms[1] - dms[0]
+    assert abs(best.dm - dm_true) <= 2 * step
+    assert abs(best.t_samp - t0) <= 2 * w_true
+    assert best.width in (w_true // 2, w_true, 2 * w_true)
+    assert best.members > 1  # the (t, dm) ridge clustered into one
+    # the ridge must NOT also appear as weaker separate candidates at
+    # essentially the same (t, dm)
+    dupes = [c for c in cands[1:]
+             if abs(c.t_samp - t0) < 32 and abs(c.dm - dm_true) < 4 * step]
+    assert not dupes, f"ridge fragmented: {dupes}"
+
+
+def test_search_pure_noise_is_quiet():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2048, 64)).astype(np.float32)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    cands = search_spectrogram(x, _freqs(64), TSAMP, dms, threshold=8.0)
+    assert cands == []
+
+
+def test_search_chunked_matches_whole():
+    dm_true, t0 = 120.0, 1500
+    x, freqs = _pulse_spectrogram(4096, 64, dm_true, t0, 4, amp=1.0, seed=5)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    whole = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5)
+    # chunk boundary at 1024/2048/3072: the pulse (t0=1500) straddles
+    # the second chunk's interior; its sweep extends past 2048
+    chunked = search_spectrogram(
+        x, freqs, TSAMP, dms, threshold=7.5, chunk_t=1024)
+    assert whole and chunked
+    assert abs(whole[0].t_samp - chunked[0].t_samp) <= 4
+    assert abs(whole[0].dm - chunked[0].dm) <= 2 * (dms[1] - dms[0])
+    # one event -> one cluster in both
+    near = [c for c in chunked if abs(c.t_samp - t0) < 64]
+    assert len(near) == 1
+
+
+def _write_fil(path, x_ascending, tsamp):
+    """Minimal nbits=32 SIGPROC file via the package's own header
+    encoder, stored in the standard descending-channel order."""
+    from dsabeamformer_tpu.ingest.sigproc import _encode_header_dict
+
+    t, nf = x_ascending.shape
+    hdr = {"fch1": F_HI, "foff": -(F_HI - F_LO) / (nf - 1),
+           "nchans": nf, "nbits": 32, "nifs": 1, "tsamp": tsamp}
+    with open(path, "wb") as fh:
+        fh.write(_encode_header_dict(hdr))
+        fh.write(np.ascontiguousarray(
+            x_ascending[:, ::-1], np.float32).tobytes())
+
+
+def test_cli_search_fil_end_to_end(tmp_path, capsys):
+    """dsabf search on a .fil with an injected dispersed pulse: table
+    printed, candidate file written, DM recovered."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    dm_true = 90.0
+    x, _ = _pulse_spectrogram(2048, 64, dm_true, 700, 4, amp=1.0, seed=11)
+    fil = tmp_path / "beam.fil"
+    _write_fil(fil, x, TSAMP)
+    cand = tmp_path / "beam.cand"
+    rc = cli_main(["search", str(fil), "--dm-max", "300",
+                   "--threshold", "7", "--cand", str(cand)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines()
+            if l.strip() and not l.startswith("#")]
+    assert rows, out
+    best = rows[0].split()
+    assert float(best[0]) > 10.0          # snr
+    assert abs(float(best[5]) - dm_true) < 10.0  # dm column
+    body = cand.read_text()
+    assert "# threshold = 7.0" in body
+    assert "# n_dm_trials" in body
+
+
+def test_cli_search_rejects_headerless_product(tmp_path, capsys):
+    """A product whose header can't give the band/cadence fails with a
+    clean message, not a traceback."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    p = tmp_path / "x.fil"
+    p.write_bytes(b"garbage")
+    assert cli_main(["search", str(p)]) == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_write_candidates_roundtrip(tmp_path):
+    c = Candidate(snr=12.5, t_samp=700, time_s=0.7339, width=4, dm_idx=31,
+                  dm=90.2, members=17, dm_lo=85.0, dm_hi=95.5)
+    p = tmp_path / "out.cand"
+    write_candidates(p, [c], {"threshold": 7.0, "file": "x.fil"})
+    lines = p.read_text().splitlines()
+    assert any(line.startswith("# threshold = 7.0") for line in lines)
+    header = [line for line in lines if line.startswith("#    snr")]
+    assert header
+    row = lines[-1].split()
+    assert float(row[0]) == 12.5
+    assert int(row[1]) == 700
+    assert float(row[5]) == pytest.approx(90.2)
