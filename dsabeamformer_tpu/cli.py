@@ -388,6 +388,63 @@ def _cmd_run_pinned(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    # Live single-pulse search (ops/dedisperse.py SearchMonitor).
+    # Built before the beamformer because an incoherent-sum target
+    # needs the fused incoherent product turned on at construction
+    # (a no-op sink suffices when no --incoherent-file was asked for).
+    search_monitor = None
+    if args.search_dm_max is not None:
+        from dsabeamformer_tpu.ingest.sigproc import _avg_freqs_mhz
+        from dsabeamformer_tpu.ops.dedisperse import (
+            SearchMonitor,
+            dm_trial_grid,
+        )
+
+        sm_inco = args.search_beam.strip().lower() in ("inco", "incoherent")
+        tsamp_out = cfg.sample_period_s * cfg.navg_time
+        freqs_avg = _avg_freqs_mhz(cfg)
+
+        def _cand_event(c):
+            print("[dsabf] search " + json.dumps({
+                "snr": round(c.snr, 2), "dm": round(c.dm, 3),
+                "time_s": round(c.time_s, 6), "width": c.width,
+                "members": c.members}), file=sys.stderr)
+
+        try:
+            beam_idx = 0 if sm_inco else int(args.search_beam)
+            if not sm_inco and not 0 <= beam_idx < cfg.n_beams:
+                raise ValueError(f"--search-beam {beam_idx} out of range "
+                                 f"(config forms {cfg.n_beams} beams)")
+            dms = dm_trial_grid(
+                float(freqs_avg.min()), float(freqs_avg.max()), tsamp_out,
+                dm_max=args.search_dm_max)
+            search_monitor = SearchMonitor(
+                freqs_avg, tsamp_out, dms, beam=beam_idx,
+                incoherent=sm_inco, threshold=args.search_threshold,
+                chunk_t=args.search_chunk, on_candidate=_cand_event)
+        except ValueError as e:
+            if sink is not None:
+                sink.close()
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if sm_inco and inco_sink is None:
+            class _DiscardSink:
+                """Enables the fused incoherent product for the search
+                monitor when no --incoherent-file is wanted."""
+                def write(self, seq, arr):
+                    pass
+
+                def close(self):
+                    pass
+
+            inco_sink = _DiscardSink()
+        print(f"[dsabf] search: {len(dms)} DM trials "
+              f"[0, {dms[-1]:.1f}] on "
+              f"{'incoherent sum' if sm_inco else f'beam {beam_idx}'}, "
+              f"threshold {args.search_threshold:g}, window "
+              f"{args.search_chunk} samples "
+              f"(+{search_monitor.overlap} carried)", file=sys.stderr)
+
     qw = _make_weights(cfg, args)
 
     # Compile the hot path before attaching to the stream.  The sink
@@ -397,6 +454,7 @@ def _cmd_run_pinned(args) -> int:
                                products=args.products,
                                incoherent_sink=inco_sink,
                                flag_ants=_flag_ant_list(args))
+    warm.search_monitor = search_monitor
 
     rfi_monitor = None
     if args.rfi_auto:
@@ -546,6 +604,29 @@ def _cmd_run_pinned(args) -> int:
             inco_sink.close()
         if stats_f is not None:
             stats_f.close()
+        if search_monitor is not None:
+            # Interrupt paths skip run()'s own flush; flushing twice
+            # is harmless (the buffer empties on the first).
+            search_monitor.flush()
+            sm = search_monitor
+            print(f"[dsabf] search: {len(sm.candidates)} candidate(s) in "
+                  f"{sm.searched_windows} window(s)"
+                  + (f", {sm.gaps} stream gap(s) reset the sweep buffer"
+                     if sm.gaps else ""), file=sys.stderr)
+            if args.search_cand:
+                from dsabeamformer_tpu.ops.dedisperse import (
+                    write_candidates,
+                )
+
+                cands = sorted(sm.candidates, key=lambda c: -c.snr)
+                write_candidates(args.search_cand, cands, {
+                    "config": cfg.name, "beam": args.search_beam,
+                    "tsamp_s": sm.tsamp_s, "n_dm_trials": len(sm.dms),
+                    "dm_max": sm.dms[-1],
+                    "threshold": sm.threshold, "live": True,
+                })
+                print(f"[dsabf] search: wrote {args.search_cand}",
+                      file=sys.stderr)
     print(stats.json_line(cfg))
     return 0
 
@@ -1314,6 +1395,22 @@ def main(argv=None) -> int:
     p.add_argument("--rfi-max-fraction", type=float, default=0.25,
                    help="refuse to auto-zap beyond this fraction of "
                         "the band (a broken null is not RFI)")
+    p.add_argument("--search-dm-max", type=float,
+                   help="enable the live single-pulse search up to "
+                        "this DM [pc/cm^3] (trial grid auto-spaced "
+                        "from the band + cadence; ops/dedisperse.py)")
+    p.add_argument("--search-beam", default="0",
+                   help="what to search: a beam index, or "
+                        "'incoherent' for the all-antenna sum")
+    p.add_argument("--search-threshold", type=float, default=7.0,
+                   help="matched-filter S/N floor for live candidates")
+    p.add_argument("--search-chunk", type=int, default=4096,
+                   help="owned output samples per search window "
+                        "(windows additionally carry max_delay + "
+                        "max_width samples forward)")
+    p.add_argument("--search-cand",
+                   help="write the run's candidates here at exit "
+                        "(heimdall-style columns)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")

@@ -45,6 +45,7 @@ __all__ = [
     "dedisperse_bank",
     "Candidate",
     "search_spectrogram",
+    "SearchMonitor",
     "write_candidates",
 ]
 
@@ -262,6 +263,44 @@ def _cluster(
     return out
 
 
+def _search_chunk(
+    chunk: np.ndarray,        # [T_ext, F] data incl. extension
+    delays: np.ndarray,       # [n_dm, F]
+    dms: np.ndarray,
+    tsamp_s: float,
+    band_span: np.ndarray,
+    widths: Tuple[int, ...],
+    threshold: float,
+    topk: int,
+    own: Optional[int],       # samples owned by this window (None =
+                              # final: own everything data covers)
+    t_offset: int,            # absolute sample index of chunk[0]
+    dm_link: Optional[int],
+) -> List[Candidate]:
+    """One search window: dedisperse + matched-filter + top-k on the
+    device, threshold/ownership-gate/cluster on the host.  Shared by
+    the offline chunk loop and the streaming monitor (which carries
+    the extension samples forward itself)."""
+    max_w = max(widths)
+    bank, valid_len = dedisperse_bank(chunk, delays)
+    snr, idx = _snr_topk_c(bank, widths,
+                           min(topk, bank.shape[1] - max_w + 1))
+    snr, idx = np.asarray(snr), np.asarray(idx)
+    points = []
+    for wi, w in enumerate(widths):
+        for d in range(len(dms)):
+            # searchable extent of this trial in this window: inside
+            # the data-covered region, and owned by this window (peaks
+            # in the extension belong to the next window).
+            lim = valid_len[d] if own is None else min(valid_len[d], own)
+            limit = min(valid_len[d] - w + 1, lim)
+            for kk in range(snr.shape[2]):
+                s, t0 = snr[wi, d, kk], idx[wi, d, kk]
+                if s >= threshold and t0 < limit:
+                    points.append((float(s), d, int(t0) + t_offset, w))
+    return _cluster(points, np.asarray(dms), tsamp_s, band_span, dm_link)
+
+
 def search_spectrogram(
     power_tf: np.ndarray,
     freqs_mhz: np.ndarray,
@@ -296,7 +335,6 @@ def search_spectrogram(
     band_span = delays.max(axis=1)  # full-band sweep per trial [samples]
 
     cands: List[Candidate] = []
-    snr_fn = _snr_topk_c
     start = 0
     while start < t_total:
         stop = min(start + chunk_t, t_total)
@@ -308,29 +346,156 @@ def search_spectrogram(
         chunk = power_tf[start:ext_stop]
         if chunk.shape[0] <= max_w:
             break
-        bank, valid_len = dedisperse_bank(chunk, delays)
-        snr, idx = snr_fn(bank, widths, min(topk, bank.shape[1] - max_w + 1))
-        snr, idx = np.asarray(snr), np.asarray(idx)
-        points = []
-        for wi, w in enumerate(widths):
-            for d in range(len(dms)):
-                # searchable extent of this trial in this chunk: inside
-                # the data-covered region, and owned by this chunk
-                # (peaks in the extension belong to the next chunk
-                # unless this is the last one).
-                own = valid_len[d] if final else (stop - start)
-                limit = min(valid_len[d] - w + 1, own)
-                for kk in range(snr.shape[2]):
-                    s, t0 = snr[wi, d, kk], idx[wi, d, kk]
-                    if s >= threshold and t0 < limit:
-                        points.append((float(s), d, int(t0) + start, w))
-        cands.extend(_cluster(points, np.asarray(dms), tsamp_s,
-                              band_span, dm_link))
+        cands.extend(_search_chunk(
+            chunk, delays, dms, tsamp_s, band_span, widths, threshold,
+            topk, own=None if final else (stop - start),
+            t_offset=start, dm_link=dm_link))
         if final:
             break
         start = stop
     cands.sort(key=lambda c: -c.snr)
     return cands
+
+
+class SearchMonitor:
+    """Streaming single-pulse search over the beamformer's OWN output
+    blocks (``dsabf run --search-dm-max``) — the live FRB trigger the
+    reference deployment gets from a separate heimdall fleet reading
+    the DADA buffers.
+
+    The pipeline hands :meth:`observe` each drained block's product
+    (host-side, after the D2H the sink already paid); the monitor
+    keeps a rolling ``[T, F]`` buffer of the selected beam (or the
+    incoherent sum), and whenever ``chunk_t`` owned samples have
+    accumulated it searches them extended by ``max_delay + max_width``
+    carried-forward samples — identical windowing to the offline chunk
+    loop (`_search_chunk`), so a pulse straddling block or window
+    boundaries is found exactly once.  Fixed window shape means the
+    two device programs compile once and are reused for the whole run.
+
+    A sequence-number gap (ring overrun drops) breaks the dispersion
+    sweep's continuity: the buffer is flushed through a final-owned
+    search and restarted, and the gap is counted.  Normalization is
+    median/MAD per trial, so uint8 fused-quantized products (per-beam
+    scalar scale) search identically to f32 ones.
+    """
+
+    def __init__(
+        self,
+        freqs_mhz: np.ndarray,
+        tsamp_s: float,
+        dms: np.ndarray,
+        *,
+        beam: int = 0,
+        incoherent: bool = False,
+        widths: Sequence[int] = DEFAULT_WIDTHS,
+        threshold: float = 7.0,
+        chunk_t: int = 4096,
+        topk: int = 4,
+        dm_link: Optional[int] = None,
+        on_candidate=None,
+    ):
+        self.freqs_mhz = np.asarray(freqs_mhz, np.float64)
+        self.tsamp_s = float(tsamp_s)
+        self.dms = np.asarray(dms, np.float64)
+        self.beam = int(beam)
+        self.incoherent = bool(incoherent)
+        self.widths = tuple(int(w) for w in widths)
+        self.threshold = float(threshold)
+        self.topk = int(topk)
+        self.dm_link = dm_link
+        self.on_candidate = on_candidate
+        self.delays = delay_table(self.freqs_mhz, self.dms, self.tsamp_s)
+        self.band_span = self.delays.max(axis=1)
+        self.max_w = max(self.widths)
+        self.overlap = int(self.delays.max()) + self.max_w
+        self.chunk_t = int(chunk_t)
+        if self.chunk_t < self.max_w:
+            raise ValueError(
+                f"chunk_t {chunk_t} shorter than the widest boxcar "
+                f"{self.max_w}")
+        self.candidates: List[Candidate] = []
+        self.gaps = 0
+        self.searched_windows = 0
+        self._buf: List[np.ndarray] = []
+        self._buffered = 0
+        self._t_base = 0      # absolute sample index of _buf[0][0]
+        self._next_seq: Optional[int] = None
+
+    #: True when the monitor needs the per-beam product (the pipeline
+    #: then materializes it even with no sink attached).
+    @property
+    def wants_beams(self) -> bool:
+        return not self.incoherent
+
+    def _extract(self, powers: Optional[np.ndarray],
+                 inco: Optional[np.ndarray]) -> np.ndarray:
+        """One block's ``[T_out, F]`` float32 spectrogram from the
+        product the pipeline drained: ``[F, T]`` incoherent,
+        ``[F, T, B]`` power, or ``[F, T, 4, B]`` Stokes (plane I)."""
+        if self.incoherent:
+            if inco is None:
+                raise ValueError("search monitor targets the incoherent "
+                                 "sum but the pipeline has no incoherent "
+                                 "product enabled")
+            return np.asarray(inco, np.float32).T
+        if powers is None:
+            raise ValueError("search monitor needs the beam product")
+        if powers.ndim == 4:
+            powers = powers[:, :, 0]  # Stokes I plane
+        if not 0 <= self.beam < powers.shape[-1]:
+            raise ValueError(f"search beam {self.beam} out of range "
+                             f"(product has {powers.shape[-1]})")
+        return powers[:, :, self.beam].astype(np.float32).T
+
+    def observe(self, seq: int, powers: Optional[np.ndarray],
+                inco: Optional[np.ndarray] = None) -> None:
+        x = self._extract(powers, inco)
+        if self._next_seq is not None and seq != self._next_seq:
+            self.gaps += 1
+            self.flush()
+            self._t_base += self.overlap  # nominal; times stay per-run
+        self._next_seq = seq + 1
+        self._buf.append(x)
+        self._buffered += x.shape[0]
+        while self._buffered >= self.chunk_t + self.overlap:
+            self._search_front()
+
+    def _concat(self) -> np.ndarray:
+        if len(self._buf) > 1:
+            self._buf = [np.concatenate(self._buf, axis=0)]
+        return self._buf[0]
+
+    def _emit(self, cands: List[Candidate]) -> None:
+        self.searched_windows += 1
+        for c in cands:
+            self.candidates.append(c)
+            if self.on_candidate is not None:
+                self.on_candidate(c)
+
+    def _search_front(self) -> None:
+        x = self._concat()
+        window = x[: self.chunk_t + self.overlap]
+        self._emit(_search_chunk(
+            window, self.delays, self.dms, self.tsamp_s, self.band_span,
+            self.widths, self.threshold, self.topk, own=self.chunk_t,
+            t_offset=self._t_base, dm_link=self.dm_link))
+        self._buf = [x[self.chunk_t:]]
+        self._buffered -= self.chunk_t
+        self._t_base += self.chunk_t
+
+    def flush(self) -> None:
+        """Search whatever remains (final window owns everything its
+        data covers), then reset the buffer.  Called at end of stream
+        and on a sequence gap."""
+        if self._buffered > self.max_w:
+            x = self._concat()
+            self._emit(_search_chunk(
+                x, self.delays, self.dms, self.tsamp_s, self.band_span,
+                self.widths, self.threshold, self.topk, own=None,
+                t_offset=self._t_base, dm_link=self.dm_link))
+        self._t_base += self._buffered
+        self._buf, self._buffered = [], 0
 
 
 def write_candidates(path, cands: Sequence[Candidate], meta: dict) -> None:

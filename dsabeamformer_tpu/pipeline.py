@@ -315,6 +315,10 @@ class StreamingBeamformer:
         # dispatch, polled at drain; its on_event callback typically
         # regenerates weights and calls update_weights.
         self.rfi_monitor = None
+        # Optional streaming single-pulse search (ops/dedisperse.py
+        # SearchMonitor): fed each drained product block, flushed at
+        # end of stream.
+        self.search_monitor = None
         self._inflight: collections.deque = collections.deque()
         self._block_idx = 0
         self._stream_t = 0.0
@@ -438,11 +442,14 @@ class StreamingBeamformer:
 
     def _drain_one(self) -> None:
         seq, out, inco, t_enq = self._inflight.popleft()
-        if inco is not None:
-            self.incoherent_sink.write(seq, np.asarray(inco))
-        if self.sink is not None:
+        inco_np = np.asarray(inco) if inco is not None else None
+        if inco_np is not None:
+            self.incoherent_sink.write(seq, inco_np)
+        sm = self.search_monitor
+        if self.sink is not None or (sm is not None and sm.wants_beams):
             arr = np.asarray(out)  # D2H of the averaged powers
-            self.sink.write(seq, arr)
+            if self.sink is not None:
+                self.sink.write(seq, arr)
         else:
             # Scalar digest instead of block_until_ready: some remote
             # runtimes (the CI TPU relay) do not reliably fence on
@@ -450,6 +457,12 @@ class StreamingBeamformer:
             # fictional.  A jitted sum + scalar fetch is a true fence
             # and costs ~one pass over the (small) averaged output.
             float(_digest(out))
+            arr = None
+        if sm is not None:
+            # Live single-pulse search over the drained product
+            # (ops/dedisperse.py); host+device cost is bounded by the
+            # monitor's chunking, measured in BENCH.md.
+            sm.observe(seq, arr, inco_np)
         wall = time.perf_counter() - t_enq
         bs = BlockStats(
             block_idx=self._block_idx,
@@ -523,6 +536,8 @@ class StreamingBeamformer:
             self._drain_one()
         if self.rfi_monitor is not None:
             self.rfi_monitor.flush()
+        if self.search_monitor is not None:
+            self.search_monitor.flush()
         stats.dropped = getattr(self.source, "dropped", 0)
         stats.skipped = getattr(self.source, "skipped", 0)
         return stats.finish()

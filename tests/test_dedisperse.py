@@ -203,6 +203,142 @@ def test_cli_search_rejects_headerless_product(tmp_path, capsys):
     assert "error:" in capsys.readouterr().err
 
 
+def _feed_monitor(mon, x, t_out, beam=1, n_beams=4, seq0=0, skip=None):
+    """Slice ``[T, F]`` into ``[F, t_out, n_beams]`` product blocks
+    (spectrogram in ``beam``, noise elsewhere) and feed observe()."""
+    rng = np.random.default_rng(99)
+    t = x.shape[0]
+    for i in range(t // t_out):
+        if skip is not None and i == skip:
+            continue
+        sl = x[i * t_out: (i + 1) * t_out]  # [t_out, F]
+        block = rng.normal(size=(x.shape[1], t_out, n_beams)
+                           ).astype(np.float32)
+        block[:, :, beam] = sl.T
+        mon.observe(seq0 + i, block)
+
+
+def test_search_monitor_matches_offline():
+    """Streaming windows (block-fed, overlap carried) find the same
+    event the offline chunk loop finds on the identical spectrogram."""
+    from dsabeamformer_tpu.ops.dedisperse import SearchMonitor
+
+    dm_true, t0 = 90.0, 700
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, 4, amp=1.0, seed=21)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    offline = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5,
+                                 chunk_t=512)
+    mon = SearchMonitor(freqs, TSAMP, dms, beam=1, threshold=7.5,
+                        chunk_t=512)
+    _feed_monitor(mon, x, t_out=128)
+    mon.flush()
+    assert mon.searched_windows >= 3
+    assert offline and mon.candidates
+    best_off = offline[0]
+    best_live = max(mon.candidates, key=lambda c: c.snr)
+    assert best_live.t_samp == best_off.t_samp
+    assert best_live.dm == best_off.dm
+    assert best_live.snr == pytest.approx(best_off.snr, rel=1e-5)
+    # one event -> one cluster live too
+    assert len([c for c in mon.candidates
+                if abs(c.t_samp - t0) < 64]) == 1
+
+
+def test_search_monitor_gap_resets():
+    """A dropped block (sequence gap) flushes and restarts the sweep
+    buffer instead of stitching discontinuous data."""
+    from dsabeamformer_tpu.ops.dedisperse import SearchMonitor
+
+    x, freqs = _pulse_spectrogram(1024, 64, 90.0, 200, 4, amp=1.0, seed=4)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    mon = SearchMonitor(freqs, TSAMP, dms, beam=1, threshold=7.5,
+                        chunk_t=512)
+    _feed_monitor(mon, x, t_out=128, skip=5)  # drop block 5 (t 640-768)
+    mon.flush()
+    assert mon.gaps == 1
+    # the pulse (t~200, fully inside pre-gap data) is still found
+    assert any(abs(c.t_samp - 200) < 32 for c in mon.candidates)
+
+
+def test_search_monitor_incoherent_and_stokes_extraction():
+    from dsabeamformer_tpu.ops.dedisperse import SearchMonitor
+
+    x, freqs = _pulse_spectrogram(512, 32, 60.0, 100, 4, amp=1.5, seed=8)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=150.0, tol=1.25)
+    # incoherent target: [F, T] blocks via the inco argument
+    mon = SearchMonitor(freqs, TSAMP, dms, incoherent=True, threshold=7.0,
+                        chunk_t=256)
+    assert not mon.wants_beams
+    for i in range(4):
+        mon.observe(i, None, inco=x[i * 128:(i + 1) * 128].T)
+    mon.flush()
+    assert any(abs(c.t_samp - 100) < 16 for c in mon.candidates)
+    # missing incoherent product is a clean error
+    with pytest.raises(ValueError, match="incoherent"):
+        mon.observe(99, np.zeros((32, 8, 2), np.float32), inco=None)
+    # Stokes product [F, T, 4, B]: plane I is searched
+    mon2 = SearchMonitor(freqs, TSAMP, dms, beam=0, threshold=7.0,
+                         chunk_t=256)
+    for i in range(4):
+        blk = np.zeros((32, 128, 4, 2), np.float32)
+        blk[:, :, 0, 0] = x[i * 128:(i + 1) * 128].T
+        blk[:, :, 1:, :] = 0.1
+        mon2.observe(i, blk)
+    mon2.flush()
+    assert any(abs(c.t_samp - 100) < 16 for c in mon2.candidates)
+    # beam out of range
+    mon3 = SearchMonitor(freqs, TSAMP, dms, beam=7, chunk_t=256)
+    with pytest.raises(ValueError, match="out of range"):
+        mon3.observe(0, np.zeros((32, 128, 2), np.float32))
+
+
+def test_cli_run_live_search(tiny_cfg, tmp_path, capsys):
+    """dsabf run --search-dm-max: the injected-FRB drill fires the
+    live trigger and writes a candidate file at exit."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.config import DM_CONST_S
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    dm = (16 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-dm", str(dm), "--pulse-t0", "8",
+                     "--pulse-width", "6", "--blocks", "6", "--distinct",
+                     "2", "--out-file", str(cap)]) == 0
+    cand = tmp_path / "live.cand"
+    capsys.readouterr()
+    rc = cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                   "--input-file", str(cap),
+                   "--search-dm-max", str(3 * dm),
+                   "--search-beam", str(cfg.n_beams // 2),
+                   "--search-threshold", "6",
+                   "--search-cand", str(cand)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "[dsabf] search {" in err
+    assert "candidate(s)" in err
+    rows = [l for l in cand.read_text().splitlines()
+            if l.strip() and not l.startswith("#")]
+    assert rows
+    # strongest candidate is the injected pulse, in output-frame time
+    best = rows[0].split()
+    assert abs(int(best[1]) - 8 // cfg.navg_time) <= 8
+    # incoherent target works without --incoherent-file (discard sink)
+    capsys.readouterr()
+    rc = cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                   "--input-file", str(cap),
+                   "--search-dm-max", str(3 * dm),
+                   "--search-beam", "incoherent",
+                   "--search-threshold", "6"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "incoherent sum" in err
+    assert "[dsabf] search {" in err
+
+
 def test_write_candidates_roundtrip(tmp_path):
     c = Candidate(snr=12.5, t_samp=700, time_s=0.7339, width=4, dm_idx=31,
                   dm=90.2, members=17, dm_lo=85.0, dm_hi=95.5)
