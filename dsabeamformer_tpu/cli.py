@@ -421,7 +421,8 @@ def _cmd_run_pinned(args) -> int:
             search_monitor = SearchMonitor(
                 freqs_avg, tsamp_out, dms, beam=beam_idx,
                 incoherent=sm_inco, threshold=args.search_threshold,
-                chunk_t=args.search_chunk, on_candidate=_cand_event)
+                chunk_t=args.search_chunk, zerodm=args.search_zerodm,
+                on_candidate=_cand_event)
         except ValueError as e:
             if sink is not None:
                 sink.close()
@@ -1125,10 +1126,24 @@ def cmd_search(args) -> int:
                             tol=args.dm_tol)
     widths = (tuple(args.widths) if args.widths else
               tuple(w for w in DEFAULT_WIDTHS if w < x.shape[0]))
+    zap_chans = None
+    if args.zap:
+        from dsabeamformer_tpu.models.weights import parse_zap
+
+        try:
+            zap_chans = parse_zap(args.zap)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     t0 = time.perf_counter()
-    cands = search_spectrogram(
-        x, freqs, tsamp, dms, widths=widths, threshold=args.threshold,
-        chunk_t=args.chunk, topk=args.topk)
+    try:
+        cands = search_spectrogram(
+            x, freqs, tsamp, dms, widths=widths, threshold=args.threshold,
+            chunk_t=args.chunk, topk=args.topk, zap=zap_chans,
+            zerodm=args.zerodm)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     dt = time.perf_counter() - t0
     span_s = x.shape[0] * tsamp
     print(f"# {args.path}: {x.shape[0]} samples x {x.shape[1]} chans "
@@ -1411,6 +1426,11 @@ def main(argv=None) -> int:
     p.add_argument("--search-cand",
                    help="write the run's candidates here at exit "
                         "(heimdall-style columns)")
+    p.add_argument("--search-zerodm", action="store_true",
+                   help="zero-DM filter the searched spectrogram "
+                        "(removes broadband undispersed RFI; channel "
+                        "excision is already covered by --zap/"
+                        "--rfi-auto upstream)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
@@ -1646,6 +1666,14 @@ def main(argv=None) -> int:
                    help="candidate rows printed (file gets all)")
     p.add_argument("--cand", help="write a candidate file (heimdall-"
                                   "style columns, '#' header)")
+    p.add_argument("--zap",
+                   help="PRODUCT channels to neutralize before the "
+                        "search, e.g. '12,100-110' (dsabf rfi's output "
+                        "frame divided by navg_freq)")
+    p.add_argument("--zerodm", action="store_true",
+                   help="subtract each sample's cross-channel mean "
+                        "(classic zero-DM filter: removes broadband "
+                        "undispersed RFI, costs ~1/F of pulse power)")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")

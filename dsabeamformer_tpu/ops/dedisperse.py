@@ -44,6 +44,7 @@ __all__ = [
     "delay_table",
     "dedisperse_bank",
     "Candidate",
+    "preprocess_spectrogram",
     "search_spectrogram",
     "SearchMonitor",
     "write_candidates",
@@ -263,6 +264,43 @@ def _cluster(
     return out
 
 
+def preprocess_spectrogram(
+    x: np.ndarray,
+    zap: Optional[Sequence[int]] = None,
+    zerodm: bool = False,
+) -> np.ndarray:
+    """RFI conditioning before dedispersion, float32 copy of ``[T, F]``.
+
+    ``zap`` channels are zeroed — a CONSTANT, so they contribute a
+    level every trial's median/MAD normalization removes, without
+    disturbing the delay table's channel indexing.  (Constant matters:
+    the streaming monitor preprocesses block-by-block, and any
+    block-dependent fill — e.g. a per-block median — would paint
+    steps into the zapped channel that boxcar filters detect as
+    pulses.)  ``zerodm``
+    subtracts each time sample's mean over the KEPT channels from the
+    kept channels (the classic zero-DM filter): broadband impulsive
+    RFI is undispersed, so it lives entirely in that projection, while
+    a dispersed pulse crosses one channel per sample and loses only
+    ~1/F of its amplitude.
+    """
+    x = np.array(x, np.float32, copy=True)
+    keep = np.ones(x.shape[1], bool)
+    if zap:
+        zap = np.asarray(sorted(set(int(c) for c in zap)))
+        if zap.size and (zap[0] < 0 or zap[-1] >= x.shape[1]):
+            raise ValueError(
+                f"zap channels {zap[zap < 0].tolist() + zap[zap >= x.shape[1]].tolist()} "
+                f"outside [0, {x.shape[1]})")
+        keep[zap] = False
+        if not keep.any():
+            raise ValueError("zap spec removes every channel")
+        x[:, ~keep] = 0.0
+    if zerodm:
+        x[:, keep] -= x[:, keep].mean(axis=1, keepdims=True)
+    return x
+
+
 def _search_chunk(
     chunk: np.ndarray,        # [T_ext, F] data incl. extension
     delays: np.ndarray,       # [n_dm, F]
@@ -311,6 +349,8 @@ def search_spectrogram(
     chunk_t: int = 16384,
     topk: int = 4,
     dm_link: Optional[int] = None,
+    zap: Optional[Sequence[int]] = None,
+    zerodm: bool = False,
 ) -> List[Candidate]:
     """Search an ascending-frequency ``[T, F]`` dynamic spectrum for
     dispersed single pulses over DM trials ``dms``.
@@ -326,7 +366,7 @@ def search_spectrogram(
 
     Returns candidates sorted by S/N (strongest first).
     """
-    power_tf = np.asarray(power_tf)
+    power_tf = preprocess_spectrogram(power_tf, zap, zerodm)
     t_total, f = power_tf.shape
     delays = delay_table(freqs_mhz, dms, tsamp_s)
     widths = tuple(int(w) for w in widths)
@@ -393,6 +433,8 @@ class SearchMonitor:
         chunk_t: int = 4096,
         topk: int = 4,
         dm_link: Optional[int] = None,
+        zap: Optional[Sequence[int]] = None,
+        zerodm: bool = False,
         on_candidate=None,
     ):
         self.freqs_mhz = np.asarray(freqs_mhz, np.float64)
@@ -404,6 +446,8 @@ class SearchMonitor:
         self.threshold = float(threshold)
         self.topk = int(topk)
         self.dm_link = dm_link
+        self.zap = tuple(int(c) for c in zap) if zap else None
+        self.zerodm = bool(zerodm)
         self.on_candidate = on_candidate
         self.delays = delay_table(self.freqs_mhz, self.dms, self.tsamp_s)
         self.band_span = self.delays.max(axis=1)
@@ -438,15 +482,21 @@ class SearchMonitor:
                 raise ValueError("search monitor targets the incoherent "
                                  "sum but the pipeline has no incoherent "
                                  "product enabled")
-            return np.asarray(inco, np.float32).T
-        if powers is None:
-            raise ValueError("search monitor needs the beam product")
-        if powers.ndim == 4:
-            powers = powers[:, :, 0]  # Stokes I plane
-        if not 0 <= self.beam < powers.shape[-1]:
-            raise ValueError(f"search beam {self.beam} out of range "
-                             f"(product has {powers.shape[-1]})")
-        return powers[:, :, self.beam].astype(np.float32).T
+            x = np.asarray(inco, np.float32).T
+        else:
+            if powers is None:
+                raise ValueError("search monitor needs the beam product")
+            if powers.ndim == 4:
+                powers = powers[:, :, 0]  # Stokes I plane
+            if not 0 <= self.beam < powers.shape[-1]:
+                raise ValueError(f"search beam {self.beam} out of range "
+                                 f"(product has {powers.shape[-1]})")
+            x = powers[:, :, self.beam].astype(np.float32).T
+        if self.zap or self.zerodm:
+            # Per-block conditioning equals whole-stream conditioning:
+            # the zap fill is a constant and zero-DM is per-sample.
+            x = preprocess_spectrogram(x, self.zap, self.zerodm)
+        return x
 
     def observe(self, seq: int, powers: Optional[np.ndarray],
                 inco: Optional[np.ndarray] = None) -> None:

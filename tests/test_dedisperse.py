@@ -153,6 +153,58 @@ def test_search_chunked_matches_whole():
     assert len(near) == 1
 
 
+def test_zerodm_kills_broadband_rfi_keeps_pulse():
+    """A broadband undispersed spike triggers at DM~0; the zero-DM
+    filter removes it while the dispersed pulse survives."""
+    dm_true, t0 = 90.0, 700
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, 4, amp=1.2,
+                                  seed=13)
+    x[300:302, :] += 4.0  # broadband impulsive RFI, all channels
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    dirty = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5)
+    rfi_hits = [c for c in dirty if abs(c.t_samp - 300) < 16]
+    assert rfi_hits and rfi_hits[0].dm < 10.0  # fires near DM 0
+    clean = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5,
+                               zerodm=True)
+    assert not [c for c in clean if abs(c.t_samp - 300) < 16]
+    pulse = [c for c in clean if abs(c.t_samp - t0) < 32]
+    assert pulse and abs(pulse[0].dm - dm_true) < 10.0
+
+
+def test_zap_kills_bursty_channel_keeps_pulse():
+    """One bursty channel manufactures candidates; zapping it
+    neutralizes them and the pulse (in other channels) survives."""
+    rng = np.random.default_rng(17)
+    dm_true, t0 = 90.0, 700
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, 4, amp=1.2,
+                                  seed=17)
+    bursts = rng.choice(1800, size=40, replace=False)
+    x[bursts, 20] += 30.0  # hot bursty channel
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    dirty = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5)
+    clean = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5,
+                               zap=[20])
+    assert len(clean) < len(dirty)
+    pulse = [c for c in clean if abs(c.t_samp - t0) < 32]
+    assert pulse and abs(pulse[0].dm - dm_true) < 10.0
+    # only the pulse remains
+    assert len(clean) == 1
+
+
+def test_preprocess_validation():
+    from dsabeamformer_tpu.ops.dedisperse import preprocess_spectrogram
+
+    x = np.ones((16, 4), np.float32)
+    with pytest.raises(ValueError, match="outside"):
+        preprocess_spectrogram(x, zap=[4])
+    with pytest.raises(ValueError, match="every channel"):
+        preprocess_spectrogram(x, zap=[0, 1, 2, 3])
+    y = preprocess_spectrogram(x, zap=[1], zerodm=True)
+    assert np.all(y[:, 1] == 0.0)
+    assert np.allclose(y[:, [0, 2, 3]], 0.0)  # constant rows -> mean out
+    assert x[0, 1] == 1.0  # input untouched
+
+
 def _write_fil(path, x_ascending, tsamp):
     """Minimal nbits=32 SIGPROC file via the package's own header
     encoder, stored in the standard descending-channel order."""
