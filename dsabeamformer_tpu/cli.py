@@ -422,7 +422,7 @@ def _cmd_run_pinned(args) -> int:
                 freqs_avg, tsamp_out, dms, beam=beam_idx,
                 incoherent=sm_inco, threshold=args.search_threshold,
                 chunk_t=args.search_chunk, zerodm=args.search_zerodm,
-                on_candidate=_cand_event)
+                method=args.search_method, on_candidate=_cand_event)
         except ValueError as e:
             if sink is not None:
                 sink.close()
@@ -1140,7 +1140,7 @@ def cmd_search(args) -> int:
         cands = search_spectrogram(
             x, freqs, tsamp, dms, widths=widths, threshold=args.threshold,
             chunk_t=args.chunk, topk=args.topk, zap=zap_chans,
-            zerodm=args.zerodm)
+            zerodm=args.zerodm, method=args.method)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1431,6 +1431,10 @@ def main(argv=None) -> int:
                         "(removes broadband undispersed RFI; channel "
                         "excision is already covered by --zap/"
                         "--rfi-auto upstream)")
+    p.add_argument("--search-method", default="direct",
+                   choices=["direct", "subband"],
+                   help="dedispersion bank (subband: ~20x less device "
+                        "work for <=1 extra sample of smearing)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
@@ -1674,6 +1678,12 @@ def main(argv=None) -> int:
                    help="subtract each sample's cross-channel mean "
                         "(classic zero-DM filter: removes broadband "
                         "undispersed RFI, costs ~1/F of pulse power)")
+    p.add_argument("--method", default="direct",
+                   choices=["direct", "subband"],
+                   help="dedispersion bank: brute-force (exact) or "
+                        "two-stage subband (~20x less device work, "
+                        "<=1 extra sample of smearing — use for wide "
+                        "DM ranges)")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")

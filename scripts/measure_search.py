@@ -44,15 +44,15 @@ for dm_max in (250.0, 500.0, 1000.0):
     delays = delay_table(f_mhz, dms, tsamp)
     max_d = int(delays.max())
     x = rng.normal(size=(T + max_d, cfg.n_chan)).astype(np.float32)
+    k = 4
+    span_s = T * tsamp
+
+    # --- direct (brute-force) bank: device-resident operands ---
     dev_x = jax.device_put(x.T)        # padded [F, T+max_d]
     dev_d = jax.device_put(delays)
-    k = 4
-
-    # compile + warm both programs
-    bank = _dedisperse_c(dev_x, dev_d, T)
+    bank = _dedisperse_c(dev_x, dev_d, T)   # compile + warm
     snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, k)
     float(np.asarray(snr).max())
-
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -61,11 +61,27 @@ for dm_max in (250.0, 500.0, 1000.0):
         float(np.asarray(snr).max())   # scalar fetch = execution fence
         best = min(best, time.perf_counter() - t0)
 
-    span_s = T * tsamp
+    # --- subband bank: timed end-to-end incl. host plan/packing ---
+    from dsabeamformer_tpu.ops.dedisperse import (
+        _snr_topk_c as _snr, subband_dedisperse_bank)
+    xt = x[: T]  # unpadded [T, F]; the bank pads itself
+    b, _ = subband_dedisperse_bank(xt, delays, n_sub=64)  # warm
+    float(np.asarray(_snr(b, DEFAULT_WIDTHS, k)[0]).max())
+    best_sub = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b, _ = subband_dedisperse_bank(xt, delays, n_sub=64)
+        s, _i = _snr(b, DEFAULT_WIDTHS, k)
+        float(np.asarray(s).max())
+        best_sub = min(best_sub, time.perf_counter() - t0)
+
     rows.append({
         "dm_max": dm_max, "n_dm": len(dms), "max_delay_samp": max_d,
-        "chunk_s": round(span_s, 3), "best_s": round(best, 3),
-        "rt_factor": round(span_s / best, 2),
+        "chunk_s": round(span_s, 3),
+        "direct_s": round(best, 3),
+        "direct_rt": round(span_s / best, 2),
+        "subband_s": round(best_sub, 3),
+        "subband_rt": round(span_s / best_sub, 2),
         "gather_adds_G": round(len(dms) * T * cfg.n_chan / 1e9, 1),
     })
     print(json.dumps(rows[-1]))

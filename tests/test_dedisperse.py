@@ -153,6 +153,72 @@ def test_search_chunked_matches_whole():
     assert len(near) == 1
 
 
+def test_subband_plan_error_bound():
+    """Every trial's within-group delay profile sits within
+    max_err_samples of its assigned coarse representative — the bound
+    the two-stage bank's accuracy claim rests on — and the coarse set
+    is substantially smaller than the trial set."""
+    from dsabeamformer_tpu.ops.dedisperse import subband_plan
+
+    freqs = _freqs(96)  # not divisible by n_sub=10 -> exercises pad
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=400.0, tol=1.25)
+    delays = delay_table(freqs, dms, TSAMP)
+    n_sub, err = 10, 1
+    intra_c, inter, rep_of, pad_f = subband_plan(delays, n_sub, err)
+    g, n_coarse, c = intra_c.shape
+    assert g == n_sub and pad_f == n_sub * c - 96
+    assert n_coarse < len(dms) / 3
+    padded = np.concatenate(
+        [delays, np.zeros((len(dms), pad_f), delays.dtype)], axis=1)
+    grouped = padded.reshape(len(dms), n_sub, c)
+    intra = grouped - inter[:, :, None]
+    intra[:, -1, c - pad_f:] = 0
+    for d in range(len(dms)):
+        assert np.abs(intra[d] - intra_c[:, rep_of[d], :]).max() <= err
+    # reconstruction: inter + intra == delays on real channels
+    recon = inter[:, :, None] + intra
+    assert np.array_equal(recon.reshape(len(dms), -1)[:, :96], delays)
+
+
+def test_subband_bank_exact_at_zero_budget():
+    """With max_err_samples=0 the two-stage bank must equal the
+    brute-force bank to float tolerance (same sums, same shifts)."""
+    from dsabeamformer_tpu.ops.dedisperse import subband_dedisperse_bank
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(512, 32)).astype(np.float32)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=200.0, tol=1.25)
+    delays = delay_table(_freqs(32), dms, TSAMP)
+    b0, v0 = dedisperse_bank(x, delays)
+    b1, v1 = subband_dedisperse_bank(x, delays, n_sub=4,
+                                     max_err_samples=0)
+    assert np.array_equal(v0, v1)
+    assert np.allclose(np.asarray(b0), np.asarray(b1),
+                       rtol=1e-4, atol=1e-3)
+
+
+def test_subband_search_recovers_pulse_comparably():
+    """method='subband' finds the injected pulse at the same (t, DM)
+    with S/N within ~10% of the exact bank (<=1 sample extra smear)."""
+    dm_true, t0 = 150.0, 900
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, 4, amp=1.0,
+                                  seed=31)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    direct = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5)
+    sub = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5,
+                             method="subband", n_sub=8)
+    assert direct and sub
+    d0, s0 = direct[0], sub[0]
+    assert abs(s0.t_samp - d0.t_samp) <= 4
+    assert abs(s0.dm - d0.dm) <= 4 * (dms[1] - dms[0])
+    assert s0.snr > 0.9 * d0.snr
+    # pure noise stays quiet under the approximate bank too
+    rng = np.random.default_rng(6)
+    noise = rng.normal(size=(2048, 64)).astype(np.float32)
+    assert search_spectrogram(noise, freqs, TSAMP, dms, threshold=8.0,
+                              method="subband", n_sub=8) == []
+
+
 def test_zerodm_kills_broadband_rfi_keeps_pulse():
     """A broadband undispersed spike triggers at DM~0; the zero-DM
     filter removes it while the dispersed pulse survives."""
