@@ -1094,27 +1094,61 @@ def cmd_search(args) -> int:
     file with the search parameters in the comment header."""
     from dsabeamformer_tpu.ops.dedisperse import (
         DEFAULT_WIDTHS,
+        coincidence_filter,
+        delay_table,
         dm_trial_grid,
         search_spectrogram,
         write_candidates,
         Candidate,
     )
-    from dsabeamformer_tpu.utils.quicklook import load_dynamic_spectrum
+    from dsabeamformer_tpu.utils.quicklook import load_dynamic_spectra
 
+    # Beam spec: an index, a '3,7,100-110' set, or 'all'.  Multiple
+    # input files (the per-beam .fil layout dsabf run --fil-dir
+    # writes) each contribute their own beam.
+    if args.beam.strip().lower() == "all":
+        beams = "all"
+    else:
+        try:
+            from dsabeamformer_tpu.models.weights import parse_zap
+
+            beams = parse_zap(args.beam)
+        except ValueError as e:
+            print(f"error: bad --beam spec: {e}", file=sys.stderr)
+            return 1
+    spectra = []  # (beam_label, [T, F])
+    meta = None
     try:
-        meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
-                                        stokes=args.stokes)
+        for path in args.paths:
+            m, pairs = load_dynamic_spectra(path, beams=beams,
+                                            stokes=args.stokes)
+            if meta is None:
+                meta = m
+            elif any(abs(m.get(k, 0) - meta.get(k, 1)) > 1e-9
+                     for k in ("f_lo_mhz", "f_hi_mhz", "tsamp_s")):
+                raise ValueError(
+                    f"{path}: band/cadence disagrees with {args.paths[0]} "
+                    f"(searching mixed products makes no sense)")
+            spectra.extend(pairs)
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
+        return 1
+    labels = [b for b, _ in spectra]
+    if len(set(labels)) != len(labels):
+        dup = sorted({b for b in labels if labels.count(b) > 1})
+        print(f"error: duplicate beam label(s) {dup} across inputs — "
+              f"per-beam .fil files must carry distinct ibeam headers "
+              f"(dsabf run --fil-dir stamps them)", file=sys.stderr)
         return 1
     for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
         if key not in meta:
             print(f"error: cannot search: product header lacks {key}",
                   file=sys.stderr)
             return 1
-    if x.shape[0] == 0:
+    if any(x.shape[0] == 0 for _, x in spectra):
         print("error: product file has no complete blocks", file=sys.stderr)
         return 1
+    x = spectra[0][1]
     tsamp = float(meta["tsamp_s"])
     freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], x.shape[1])
     if args.dm_step:
@@ -1124,6 +1158,16 @@ def cmd_search(args) -> int:
         dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"], tsamp,
                             dm_max=args.dm_max, dm_min=args.dm_min,
                             tol=args.dm_tol)
+    if len(dms) > 262144:
+        # Tol-spaced grids scale as dm_max/tsamp: a fast-cadence
+        # product searched to the default --dm-max can demand millions
+        # of trials, whose [n_dm, F] delay table alone is tens of GB.
+        # Fail with the knobs instead of OOMing the host.
+        print(f"error: DM grid has {len(dms)} trials "
+              f"(tsamp={tsamp:.3g}s, dm_max={args.dm_max:g}) — lower "
+              f"--dm-max, raise --dm-tol, or set an explicit --dm-step",
+              file=sys.stderr)
+        return 1
     widths = (tuple(args.widths) if args.widths else
               tuple(w for w in DEFAULT_WIDTHS if w < x.shape[0]))
     zap_chans = None
@@ -1136,21 +1180,43 @@ def cmd_search(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 1
     t0 = time.perf_counter()
+    by_beam = {}
     try:
-        cands = search_spectrogram(
-            x, freqs, tsamp, dms, widths=widths, threshold=args.threshold,
-            chunk_t=args.chunk, topk=args.topk, zap=zap_chans,
-            zerodm=args.zerodm, method=args.method)
+        for b, xb in spectra:
+            cs = search_spectrogram(
+                xb, freqs, tsamp, dms, widths=widths,
+                threshold=args.threshold, chunk_t=args.chunk,
+                topk=args.topk, zap=zap_chans, zerodm=args.zerodm,
+                method=args.method)
+            for c in cs:
+                c.beam = b
+            by_beam[b] = cs
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    n_rfi = 0
+    if len(spectra) > 1 and not args.no_coincidence:
+        band_span = delay_table(freqs, dms, tsamp).max(axis=1)
+        by_beam, rfi_events = coincidence_filter(
+            by_beam, band_span, n_beams_searched=len(spectra),
+            frac=args.coincidence_frac)
+        for ev in rfi_events:
+            print("[dsabf] search rfi-coincidence " + json.dumps(ev),
+                  file=sys.stderr)
+        n_rfi = len(rfi_events)
+    cands = sorted((c for cs in by_beam.values() for c in cs),
+                   key=lambda c: -c.snr)
     dt = time.perf_counter() - t0
     span_s = x.shape[0] * tsamp
-    print(f"# {args.path}: {x.shape[0]} samples x {x.shape[1]} chans "
-          f"({span_s:.2f} s), {len(dms)} DM trials "
+    src = (args.paths[0] if len(args.paths) == 1
+           else f"{len(args.paths)} files")
+    print(f"# {src}: {len(spectra)} beam(s) x {x.shape[0]} samples x "
+          f"{x.shape[1]} chans ({span_s:.2f} s), {len(dms)} DM trials "
           f"[{dms[0]:g}, {dms[-1]:.1f}] widths {list(widths)} "
-          f"thresh {args.threshold:g}  ->  {len(cands)} candidates "
-          f"in {dt:.2f} s ({span_s / dt:.1f}x realtime)", file=sys.stderr)
+          f"thresh {args.threshold:g}  ->  {len(cands)} candidates"
+          + (f" (+{n_rfi} coincidence-rejected RFI)" if n_rfi else "")
+          + f" in {dt:.2f} s ({len(spectra) * span_s / dt:.1f}x realtime)",
+          file=sys.stderr)
     print(Candidate.HEADER)
     for c in cands[: args.limit]:
         print(c.row())
@@ -1159,11 +1225,12 @@ def cmd_search(args) -> int:
               f"or see --cand file)")
     if args.cand:
         write_candidates(args.cand, cands, {
-            "file": args.path, "beam": meta["beam"],
+            "file": src, "beams": len(spectra),
             "stokes": meta["stokes"], "tsamp_s": tsamp,
             "f_lo_mhz": meta["f_lo_mhz"], "f_hi_mhz": meta["f_hi_mhz"],
             "n_dm_trials": len(dms), "dm_min": dms[0], "dm_max": dms[-1],
             "widths": list(widths), "threshold": args.threshold,
+            "coincidence_rejected": n_rfi,
         })
         print(f"# wrote {args.cand} ({len(cands)} candidates)",
               file=sys.stderr)
@@ -1643,9 +1710,14 @@ def main(argv=None) -> int:
     p = sub.add_parser(
         "search",
         help="single-pulse search of a product over a DM-trial bank")
-    p.add_argument("path", help=".fil or .dada beam-product file")
-    p.add_argument("--beam", type=int, default=0,
-                   help="beam index (DADA products)")
+    p.add_argument("paths", nargs="+", metavar="path",
+                   help=".fil or .dada beam-product file(s) — multiple "
+                        "per-beam .fil files search together with "
+                        "cross-beam coincidence RFI rejection")
+    p.add_argument("--beam", default="0",
+                   help="beams to search in DADA products: an index, "
+                        "a '3,7,100-110' set, or 'all' (multi-beam "
+                        "searches get coincidence RFI rejection)")
     p.add_argument("--stokes", default="I", choices=list("IQUV"),
                    help="Stokes plane to search (usually I)")
     p.add_argument("--dm-min", type=float, default=0.0)
@@ -1684,6 +1756,13 @@ def main(argv=None) -> int:
                         "two-stage subband (~20x less device work, "
                         "<=1 extra sample of smearing — use for wide "
                         "DM ranges)")
+    p.add_argument("--no-coincidence", action="store_true",
+                   help="keep candidates that fire in many beams at "
+                        "once (default: they are RFI — a sky pulse is "
+                        "localized, sidelobe RFI is everywhere)")
+    p.add_argument("--coincidence-frac", type=float, default=0.25,
+                   help="fraction of searched beams a linked cluster "
+                        "must hit to be tagged RFI (floor: 3 beams)")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("ring", help="inspect a ring's counters (JSON)")

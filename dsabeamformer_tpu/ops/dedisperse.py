@@ -46,6 +46,7 @@ __all__ = [
     "subband_plan",
     "subband_dedisperse_bank",
     "Candidate",
+    "coincidence_filter",
     "preprocess_spectrogram",
     "search_spectrogram",
     "SearchMonitor",
@@ -339,14 +340,16 @@ class Candidate:
     members: int         # raw (width, trial, peak) points merged in
     dm_lo: float         # DM extent of the cluster
     dm_hi: float
+    beam: int = -1       # beam index (-1: single-target search)
 
     def row(self) -> str:
         return (f"{self.snr:8.2f} {self.t_samp:10d} {self.time_s:12.6f} "
                 f"{self.width:6d} {self.dm_idx:7d} {self.dm:10.3f} "
-                f"{self.members:8d} {self.dm_lo:10.3f} {self.dm_hi:10.3f}")
+                f"{self.members:8d} {self.dm_lo:10.3f} {self.dm_hi:10.3f} "
+                f"{self.beam:5d}")
 
     HEADER = ("#    snr     t_samp       time_s  width  dm_idx         dm "
-              "members      dm_lo      dm_hi")
+              "members      dm_lo      dm_hi  beam")
 
 
 def _cluster(
@@ -542,6 +545,68 @@ def search_spectrogram(
         start = stop
     cands.sort(key=lambda c: -c.snr)
     return cands
+
+
+def coincidence_filter(
+    cands_by_beam: dict,
+    band_span: np.ndarray,
+    n_beams_searched: int,
+    frac: float = 0.25,
+    min_beams: int = 3,
+) -> Tuple[dict, List[dict]]:
+    """Cross-beam coincidence RFI rejection.
+
+    An astrophysical pulse enters through ONE sky position: it is
+    strong in the pointed beam and falls off through the beam pattern,
+    so it triggers a handful of adjacent beams at most.  Terrestrial
+    RFI enters through the sidelobes of EVERY beam at comparable
+    strength.  Candidates from all beams are linked with the same
+    smear-aware rule as in-beam clustering (time spans overlap within
+    boxcar widths + the trials' differential dispersion smear); a
+    linked cluster seen in ``>= max(min_beams, ceil(frac *
+    n_beams_searched))`` distinct beams is tagged RFI and removed.
+
+    Returns ``(kept_by_beam, rfi_events)`` — ``rfi_events`` summarizes
+    each rejected cluster by its brightest member plus ``n_beams``
+    hit, for the operator log.
+    """
+    if not 0 < frac <= 1:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    thresh = max(min_beams, int(np.ceil(frac * n_beams_searched)))
+    pts = [(c, b) for b, cs in cands_by_beam.items() for c in cs]
+    pts.sort(key=lambda p: -p[0].snr)
+    used = [False] * len(pts)
+    rfi_members: set = set()
+    rfi_events: List[dict] = []
+    for i, (c, b) in enumerate(pts):
+        if used[i]:
+            continue
+        used[i] = True
+        cluster = [i]
+        for j in range(i + 1, len(pts)):
+            if used[j]:
+                continue
+            cj, bj = pts[j]
+            pad = (max(c.width, cj.width)
+                   + abs(int(band_span[c.dm_idx])
+                         - int(band_span[cj.dm_idx])))
+            if (cj.t_samp < c.t_samp + c.width + pad
+                    and c.t_samp < cj.t_samp + cj.width + pad):
+                used[j] = True
+                cluster.append(j)
+        beams_hit = {pts[k][1] for k in cluster}
+        if len(beams_hit) >= thresh:
+            rfi_members.update(cluster)
+            rfi_events.append({
+                "snr": round(c.snr, 2), "dm": round(c.dm, 3),
+                "t_samp": c.t_samp, "width": c.width,
+                "n_beams": len(beams_hit),
+                "members": sum(pts[k][0].members for k in cluster),
+            })
+    rfi_ids = {id(pts[k][0]) for k in rfi_members}
+    kept = {b: [c for c in cs if id(c) not in rfi_ids]
+            for b, cs in cands_by_beam.items()}
+    return kept, rfi_events
 
 
 class SearchMonitor:

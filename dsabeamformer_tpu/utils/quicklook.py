@@ -31,6 +31,7 @@ from dsabeamformer_tpu.config import DM_CONST_S, dm_delays_s
 
 __all__ = [
     "load_dynamic_spectrum",
+    "load_dynamic_spectra",
     "dedisperse",
     "downsample_mean",
     "percentile_scale",
@@ -94,9 +95,15 @@ def load_dynamic_spectrum(
     from dsabeamformer_tpu.ingest.dada import read_product_file
 
     hdr, powers = read_product_file(path)
-    # powers: [n_blocks, F, T, B], [n_blocks, F, T, 4, B], or
-    # [n_blocks, F, T] (incoherent) — channels already ascending
-    # (kernel order).
+    x, beam_label = _dada_extract(hdr, powers, beam, stokes)
+    return _dada_meta(hdr, beam_label, stokes, x.shape[1]), x
+
+
+def _dada_extract(hdr, powers, beam, stokes: str):
+    """One beam's time-contiguous ``[T_total, F]`` float64 from a
+    loaded DADA product payload: ``[n_blocks, F, T, B]``,
+    ``[n_blocks, F, T, 4, B]`` (Stokes), or ``[n_blocks, F, T]``
+    (incoherent — no beam axis); channels already ascending."""
     if powers.ndim == 3:  # incoherent total power: no beam axis
         if stokes != "I":
             raise ValueError(f"no Stokes {stokes}: {hdr.get('PAYLOAD')} is "
@@ -123,6 +130,10 @@ def load_dynamic_spectrum(
     x = np.ascontiguousarray(
         x.transpose(0, 2, 1).reshape(-1, x.shape[1])
     ).astype(np.float64)
+    return x, beam_label
+
+
+def _dada_meta(hdr, beam_label, stokes: str, nchan_out: int) -> Dict:
     meta = dict(hdr, format="dada", beam=beam_label, stokes=stokes)
     try:
         f0 = float(hdr["FREQ_START_HZ"])
@@ -130,13 +141,52 @@ def load_dynamic_spectrum(
         navg = int(hdr.get("NAVG_FREQ", 1))
         # averaged-channel centers, ascending
         meta["f_lo_mhz"] = (f0 + df * navg * 0.5) / 1e6
-        meta["f_hi_mhz"] = (f0 + df * navg * (x.shape[1] - 0.5)) / 1e6
+        meta["f_hi_mhz"] = (f0 + df * navg * (nchan_out - 0.5)) / 1e6
         # output cadence: critically-sampled channel period x time avg
         meta["tsamp_s"] = (int(hdr["NCHAN_TOTAL"]) / float(hdr["BW_HZ"])
                            * int(hdr.get("NAVG_TIME", 1)))
     except (KeyError, ValueError):
         pass
-    return meta, x
+    return meta
+
+
+def load_dynamic_spectra(
+    path: str | Path, beams="all", stokes: str = "I"
+):
+    """Multi-beam variant of :func:`load_dynamic_spectrum`: ONE file
+    read, then ``(meta, [(beam, x), ...])`` for the requested beams —
+    what the multi-beam search (`dsabf search --beam all`) wants,
+    since re-reading a 256-beam product per beam would dominate the
+    search itself.
+
+    ``beams`` is ``"all"`` or an iterable of indices.  SIGPROC files
+    are single-beam products: the selection is ignored and the file
+    contributes its own ``ibeam`` (matching `load_dynamic_spectrum`,
+    whose ``beam`` argument never applied to ``.fil`` files either).
+    """
+    path = Path(path)
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:4] == (12).to_bytes(4, "little") and head[4:16] == b"HEADER_START":
+        meta, x = load_dynamic_spectrum(path, stokes=stokes)
+        return meta, [(meta["beam"], x)]
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+
+    hdr, powers = read_product_file(path)
+    if powers.ndim == 3:
+        idx = [0]
+    else:
+        n_beams = powers.shape[-1]
+        idx = list(range(n_beams)) if beams == "all" else [
+            int(b) for b in beams]
+    out = []
+    meta = None
+    for b in idx:
+        x, label = _dada_extract(hdr, powers, b, stokes)
+        if meta is None:
+            meta = _dada_meta(hdr, label, stokes, x.shape[1])
+        out.append((label if isinstance(label, int) else 0, x))
+    return meta, out
 
 
 def dedisperse(x: np.ndarray, meta: Dict, dm: float) -> np.ndarray:

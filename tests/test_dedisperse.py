@@ -271,14 +271,15 @@ def test_preprocess_validation():
     assert x[0, 1] == 1.0  # input untouched
 
 
-def _write_fil(path, x_ascending, tsamp):
+def _write_fil(path, x_ascending, tsamp, ibeam=0):
     """Minimal nbits=32 SIGPROC file via the package's own header
     encoder, stored in the standard descending-channel order."""
     from dsabeamformer_tpu.ingest.sigproc import _encode_header_dict
 
     t, nf = x_ascending.shape
     hdr = {"fch1": F_HI, "foff": -(F_HI - F_LO) / (nf - 1),
-           "nchans": nf, "nbits": 32, "nifs": 1, "tsamp": tsamp}
+           "nchans": nf, "nbits": 32, "nifs": 1, "tsamp": tsamp,
+           "ibeam": ibeam}
     with open(path, "wb") as fh:
         fh.write(_encode_header_dict(hdr))
         fh.write(np.ascontiguousarray(
@@ -308,6 +309,133 @@ def test_cli_search_fil_end_to_end(tmp_path, capsys):
     body = cand.read_text()
     assert "# threshold = 7.0" in body
     assert "# n_dm_trials" in body
+
+
+def test_coincidence_filter_unit():
+    """A cluster hitting most beams is RFI; a two-beam pulse is kept."""
+    from dsabeamformer_tpu.ops.dedisperse import coincidence_filter
+
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    delays = delay_table(_freqs(64), dms, TSAMP)
+    span = delays.max(axis=1)
+
+    def cand(snr, t, w, d, beam):
+        return Candidate(snr=snr, t_samp=t, time_s=t * TSAMP, width=w,
+                         dm_idx=d, dm=float(dms[d]), members=5,
+                         dm_lo=float(dms[d]), dm_hi=float(dms[d]),
+                         beam=beam)
+
+    by_beam = {}
+    for b in range(24):
+        cs = []
+        if b < 20:  # broadband RFI fires low-DM in 20 of 24 beams
+            cs.append(cand(9.0 + 0.1 * b, 300, 2, 1, b))
+        if b in (3, 4):  # the sky pulse: two adjacent beams
+            cs.append(cand(14.0 - b, 700, 4, 30, b))
+        by_beam[b] = cs
+    kept, rfi = coincidence_filter(by_beam, span, n_beams_searched=24)
+    assert len(rfi) == 1 and rfi[0]["n_beams"] == 20
+    assert rfi[0]["t_samp"] == 300
+    remaining = [c for cs in kept.values() for c in cs]
+    assert sorted(c.beam for c in remaining) == [3, 4]
+    # frac validation
+    with pytest.raises(ValueError):
+        coincidence_filter(by_beam, span, 24, frac=0.0)
+
+
+def test_cli_search_multibeam_fil_coincidence(tmp_path, capsys):
+    """Eight per-beam .fil files: an undispersed spike in every beam
+    is coincidence-rejected; a dispersed pulse in two beams survives
+    with its beam recorded."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    dm_true, t0 = 90.0, 700
+    paths = []
+    for b in range(8):
+        x, _ = _pulse_spectrogram(2048, 64, dm_true, t0, 4,
+                                  amp=1.0 if b in (3, 4) else 0.0,
+                                  seed=40 + b)
+        x[300:302, :] += 3.0  # broadband RFI in EVERY beam
+        p = tmp_path / f"beam_{b:04d}.fil"
+        _write_fil(p, x, TSAMP, ibeam=b)
+        paths.append(str(p))
+    cand = tmp_path / "multi.cand"
+    rc = cli_main(["search", *paths, "--dm-max", "300",
+                   "--threshold", "7", "--cand", str(cand)])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "rfi-coincidence" in cap.err
+    rows = [l.split() for l in cap.out.splitlines()
+            if l.strip() and not l.startswith("#")]
+    assert rows, cap.out
+    beams = {int(r[9]) for r in rows}
+    assert beams <= {3, 4}
+    assert all(abs(int(r[1]) - t0) < 32 for r in rows)
+    # and with --no-coincidence the spike candidates come back
+    capsys.readouterr()
+    rc = cli_main(["search", *paths, "--dm-max", "300",
+                   "--threshold", "7", "--no-coincidence"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [l.split() for l in out.splitlines()
+            if l.strip() and not l.startswith("#")]
+    assert any(abs(int(r[1]) - 300) < 16 for r in rows)
+
+
+def test_cli_search_dada_all_beams(tiny_cfg, tmp_path, capsys):
+    """--beam all on a DADA product searches every beam from one file
+    read; the drill pulse's strongest candidate sits in the pointed
+    beam."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.config import DM_CONST_S
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    dm = (16 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-dm", str(dm), "--pulse-t0", "8",
+                     "--pulse-width", "6", "--blocks", "6", "--distinct",
+                     "2", "--out-file", str(cap)]) == 0
+    out = tmp_path / "out.dada"
+    assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                     "--input-file", str(cap),
+                     "--output-file", str(out)]) == 0
+    capsys.readouterr()
+    # a coherent injected point source lands in MANY beams via
+    # sidelobes — exactly what coincidence rejects — so this drill
+    # runs with --no-coincidence and checks the beam ranking instead
+    # explicit --dm-max: at tiny's ns-scale cadence the tol-spaced
+    # grid to the default 1000 pc/cm^3 would need millions of trials
+    # (cmd_search now refuses; see its grid-size guard)
+    rc = cli_main(["search", str(out), "--beam", "all",
+                   "--threshold", "8", "--no-coincidence",
+                   "--dm-max", str(2 * dm), "--widths", "1", "2", "4"])
+    assert rc == 0
+    capd = capsys.readouterr()
+    assert f"{cfg.n_beams} beam(s)" in capd.err
+    rows = [l.split() for l in capd.out.splitlines()
+            if l.strip() and not l.startswith("#")]
+    assert rows
+    # linspace(-half, half, n_beams) has no beam AT boresight for even
+    # counts: the source sits between beams 15 and 16 — either may win
+    assert int(rows[0][9]) in (cfg.n_beams // 2 - 1, cfg.n_beams // 2)
+
+
+def test_cli_search_rejects_absurd_dm_grid(tmp_path, capsys):
+    """A fast-cadence product searched to a huge --dm-max fails with
+    the knobs named, instead of allocating a multi-GB delay table."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    x = np.random.default_rng(0).normal(size=(64, 16)).astype(np.float32)
+    p = tmp_path / "fast.fil"
+    _write_fil(p, x, tsamp=1e-9)
+    rc = cli_main(["search", str(p), "--dm-max", "1000"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "trials" in err and "--dm-step" in err
 
 
 def test_cli_search_rejects_headerless_product(tmp_path, capsys):
