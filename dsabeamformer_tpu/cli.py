@@ -1048,8 +1048,33 @@ def cmd_waterfall(args) -> int:
         print(f"error: --clip wants 0 <= LO < HI <= 100, got {lo:g} {hi:g}",
               file=sys.stderr)
         return 1
+    cand = None
+    if args.cand:
+        # Vetting flow: pull row --idx from a `dsabf search --cand`
+        # file, inherit its DM (and beam, for DADA products), and
+        # window the view on the detection so the pulse fills the
+        # frame instead of being one column in an hour of data.
+        from dsabeamformer_tpu.ops.dedisperse import read_candidates
+
+        try:
+            _, cands = read_candidates(args.cand)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if not 0 <= args.idx < len(cands):
+            print(f"error: --idx {args.idx}: {args.cand} has "
+                  f"{len(cands)} candidates", file=sys.stderr)
+            return 1
+        cand = cands[args.idx]
+        if args.dm is None:
+            args.dm = cand.dm
+        if args.beam is None and cand.beam >= 0:
+            args.beam = cand.beam
+        print(f"# candidate {args.idx}: snr {cand.snr:g}  "
+              f"DM {cand.dm:g}  t_samp {cand.t_samp}  width "
+              f"{cand.width}  beam {cand.beam}", file=sys.stderr)
     try:
-        meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
+        meta, x = load_dynamic_spectrum(args.path, beam=args.beam or 0,
                                         stokes=args.stokes)
         if args.dm is not None:
             x = dedisperse(x, meta, args.dm)
@@ -1059,6 +1084,17 @@ def cmd_waterfall(args) -> int:
     if x.shape[0] == 0:
         print("error: product file has no complete blocks", file=sys.stderr)
         return 1
+    if cand is not None:
+        # after dedispersion the pulse sits at its band-top arrival:
+        # window +-max(8 widths, half a frame's rows) around t_samp
+        half = max(8 * cand.width, args.rows * 4)
+        t0 = max(0, cand.t_samp - half)
+        x = x[t0: cand.t_samp + cand.width + half]
+        if x.shape[0] == 0:
+            print(f"error: candidate t_samp {cand.t_samp} is beyond "
+                  f"this product ({args.path} has fewer samples — "
+                  f"wrong file for this .cand?)", file=sys.stderr)
+            return 1
     small = downsample_mean(x, args.rows, args.cols)
     frame = render_ascii(percentile_scale(small, lo, hi))
     t, f = x.shape
@@ -1684,11 +1720,19 @@ def main(argv=None) -> int:
         "waterfall",
         help="quick-look time-frequency waterfall of a product file")
     p.add_argument("path", help=".fil or .dada beam-product file")
-    p.add_argument("--beam", type=int, default=0,
+    p.add_argument("--beam", type=int, default=None,
                    help="beam index (DADA products; .fil files are "
-                        "already per-beam)")
+                        "already per-beam; default 0, or the "
+                        "candidate's beam with --cand)")
     p.add_argument("--stokes", default="I", choices=list("IQUV"),
                    help="Stokes plane for nifs=4 / Stokes products")
+    p.add_argument("--cand", help="a `dsabf search --cand` file: vet "
+                                  "one of its rows — inherits the "
+                                  "row's DM/beam and windows the view "
+                                  "on the detection")
+    p.add_argument("--idx", type=int, default=0,
+                   help="candidate row to vet (0 = brightest; rows "
+                        "are SNR-sorted)")
     p.add_argument("--rows", type=int, default=32,
                    help="terminal rows (time bins)")
     p.add_argument("--cols", type=int, default=78,

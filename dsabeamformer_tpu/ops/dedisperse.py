@@ -51,6 +51,7 @@ __all__ = [
     "search_spectrogram",
     "SearchMonitor",
     "write_candidates",
+    "read_candidates",
 ]
 
 #: Boxcar widths (output samples) matched-filtered by default: powers
@@ -777,3 +778,41 @@ def write_candidates(path, cands: Sequence[Candidate], meta: dict) -> None:
         fh.write(Candidate.HEADER + "\n")
         for c in cands:
             fh.write(c.row() + "\n")
+
+
+def read_candidates(path) -> Tuple[dict, List[Candidate]]:
+    """Parse a `write_candidates` file back into ``(meta, cands)``.
+
+    Meta values are restored to int/float where they parse as one
+    (the writer stringified them).  Rows missing the ``beam`` column
+    (files written before multi-beam search) load with ``beam=-1``.
+    """
+    meta: dict = {}
+    cands: List[Candidate] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                key, sep, val = line[1:].partition(" = ")
+                if sep:
+                    val = val.strip()
+                    for conv in (int, float):
+                        try:
+                            val = conv(val)
+                            break
+                        except ValueError:
+                            pass
+                    meta[key.strip()] = val
+                continue  # the column-header line has no " = "
+            f = line.split()
+            if len(f) not in (9, 10):
+                raise ValueError(f"{path}: expected 9/10 columns, got "
+                                 f"{len(f)}: {line!r}")
+            cands.append(Candidate(
+                snr=float(f[0]), t_samp=int(f[1]), time_s=float(f[2]),
+                width=int(f[3]), dm_idx=int(f[4]), dm=float(f[5]),
+                members=int(f[6]), dm_lo=float(f[7]), dm_hi=float(f[8]),
+                beam=int(f[9]) if len(f) == 10 else -1))
+    return meta, cands

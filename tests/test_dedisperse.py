@@ -2,6 +2,8 @@
 math, golden-model agreement, pulse recovery, false-alarm floor, and
 chunking invariance."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -598,3 +600,48 @@ def test_write_candidates_roundtrip(tmp_path):
     assert float(row[0]) == 12.5
     assert int(row[1]) == 700
     assert float(row[5]) == pytest.approx(90.2)
+    # and back: read_candidates restores meta types and every field
+    from dsabeamformer_tpu.ops.dedisperse import read_candidates
+
+    meta, back = read_candidates(p)
+    assert meta["threshold"] == 7.0 and meta["file"] == "x.fil"
+    assert len(back) == 1 and back[0] == dataclasses.replace(c, beam=-1)
+    # a pre-multibeam 9-column row still parses (beam defaults to -1)
+    p9 = tmp_path / "old.cand"
+    p9.write_text(" ".join(c.row().split()[:9]) + "\n")
+    _, old = read_candidates(p9)
+    assert old[0].beam == -1 and old[0].t_samp == 700
+    # junk column counts fail with the path named
+    pbad = tmp_path / "bad.cand"
+    pbad.write_text("1 2 3\n")
+    with pytest.raises(ValueError, match="columns"):
+        read_candidates(pbad)
+
+
+def test_cli_waterfall_cand_vetting(tmp_path, capsys):
+    """`dsabf waterfall --cand f --idx 0` inherits the row's DM and
+    windows the frame on the detection."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    dm_true, t0 = 90.0, 1500
+    x, _ = _pulse_spectrogram(4096, 64, dm_true, t0, 4, amp=1.2, seed=3)
+    fil = tmp_path / "b.fil"
+    _write_fil(fil, x, TSAMP, ibeam=5)
+    cand = tmp_path / "b.cand"
+    assert cli_main(["search", str(fil), "--dm-max", "300",
+                     "--threshold", "7", "--cand", str(cand)]) == 0
+    capsys.readouterr()
+    rc = cli_main(["waterfall", str(fil), "--cand", str(cand)])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "# candidate 0:" in cap.err and "t_samp 1500" in cap.err
+    dm_vetted = float(cap.err.split("DM ")[1].split()[0])
+    assert abs(dm_vetted - dm_true) < 5  # nearest DM trial to truth
+    # the frame is the window, not the whole file
+    legend = [l for l in cap.out.splitlines() if l.startswith("#")][0]
+    n_samp = int(legend.split(" samples")[0].split()[-1])
+    assert n_samp < 4096
+    assert "profile(t)" in cap.out  # DM was inherited -> profile shown
+    # out-of-range --idx fails cleanly
+    assert cli_main(["waterfall", str(fil), "--cand", str(cand),
+                     "--idx", "999"]) == 1
