@@ -405,24 +405,45 @@ def _cmd_run_pinned(args) -> int:
         freqs_avg = _avg_freqs_mhz(cfg)
 
         def _cand_event(c):
-            print("[dsabf] search " + json.dumps({
-                "snr": round(c.snr, 2), "dm": round(c.dm, 3),
-                "time_s": round(c.time_s, 6), "width": c.width,
-                "members": c.members}), file=sys.stderr)
+            ev = {"snr": round(c.snr, 2), "dm": round(c.dm, 3),
+                  "time_s": round(c.time_s, 6), "width": c.width,
+                  "members": c.members}
+            if c.beam >= 0:
+                ev["beam"] = c.beam
+            print("[dsabf] search " + json.dumps(ev), file=sys.stderr)
+
+        def _rfi_event(ev):
+            print("[dsabf] search rfi-coincidence " + json.dumps(ev),
+                  file=sys.stderr)
 
         try:
-            beam_idx = 0 if sm_inco else int(args.search_beam)
-            if not sm_inco and not 0 <= beam_idx < cfg.n_beams:
-                raise ValueError(f"--search-beam {beam_idx} out of range "
-                                 f"(config forms {cfg.n_beams} beams)")
+            # target: 'incoherent', one index, a '3,7,100-110' set, or
+            # 'all' (sets/'all' search beam-batched with live
+            # cross-beam coincidence RFI rejection)
+            if sm_inco:
+                beam_arg = 0
+            elif args.search_beam.strip().lower() == "all":
+                beam_arg = "all"
+            else:
+                from dsabeamformer_tpu.models.weights import parse_zap
+
+                sel = parse_zap(args.search_beam)
+                bad = [b for b in sel if not 0 <= b < cfg.n_beams]
+                if bad:
+                    raise ValueError(
+                        f"--search-beam {bad} out of range (config "
+                        f"forms {cfg.n_beams} beams)")
+                beam_arg = sel[0] if len(sel) == 1 else sel
             dms = dm_trial_grid(
                 float(freqs_avg.min()), float(freqs_avg.max()), tsamp_out,
                 dm_max=args.search_dm_max)
             search_monitor = SearchMonitor(
-                freqs_avg, tsamp_out, dms, beam=beam_idx,
+                freqs_avg, tsamp_out, dms, beam=beam_arg,
                 incoherent=sm_inco, threshold=args.search_threshold,
                 chunk_t=args.search_chunk, zerodm=args.search_zerodm,
-                method=args.search_method, on_candidate=_cand_event)
+                method=args.search_method, on_candidate=_cand_event,
+                coincidence=not args.search_no_coincidence,
+                on_rfi=_rfi_event)
         except ValueError as e:
             if sink is not None:
                 sink.close()
@@ -439,9 +460,12 @@ def _cmd_run_pinned(args) -> int:
                     pass
 
             inco_sink = _DiscardSink()
+        target = ("incoherent sum" if sm_inco
+                  else f"all {cfg.n_beams} beams" if beam_arg == "all"
+                  else f"beams {args.search_beam}"
+                  if isinstance(beam_arg, list) else f"beam {beam_arg}")
         print(f"[dsabf] search: {len(dms)} DM trials "
-              f"[0, {dms[-1]:.1f}] on "
-              f"{'incoherent sum' if sm_inco else f'beam {beam_idx}'}, "
+              f"[0, {dms[-1]:.1f}] on {target}, "
               f"threshold {args.search_threshold:g}, window "
               f"{args.search_chunk} samples "
               f"(+{search_monitor.overlap} carried)", file=sys.stderr)
@@ -612,6 +636,8 @@ def _cmd_run_pinned(args) -> int:
             sm = search_monitor
             print(f"[dsabf] search: {len(sm.candidates)} candidate(s) in "
                   f"{sm.searched_windows} window(s)"
+                  + (f", {sm.rfi_rejected} coincidence-rejected RFI "
+                     f"cluster(s)" if sm.rfi_rejected else "")
                   + (f", {sm.gaps} stream gap(s) reset the sweep buffer"
                      if sm.gaps else ""), file=sys.stderr)
             if args.search_cand:
@@ -1134,6 +1160,7 @@ def cmd_search(args) -> int:
         delay_table,
         dm_trial_grid,
         search_spectrogram,
+        search_spectrograms,
         write_candidates,
         Candidate,
     )
@@ -1216,17 +1243,27 @@ def cmd_search(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 1
     t0 = time.perf_counter()
-    by_beam = {}
     try:
-        for b, xb in spectra:
-            cs = search_spectrogram(
-                xb, freqs, tsamp, dms, widths=widths,
+        if len(spectra) > 1 and len({xb.shape for _, xb in spectra}) == 1:
+            # one observation's beams share [T, F]: beam-batched
+            # device path (two dispatches per chunk-group, not per
+            # beam — see ops.dedisperse.search_spectrograms)
+            by_beam = search_spectrograms(
+                spectra, freqs, tsamp, dms, widths=widths,
                 threshold=args.threshold, chunk_t=args.chunk,
                 topk=args.topk, zap=zap_chans, zerodm=args.zerodm,
                 method=args.method)
-            for c in cs:
-                c.beam = b
-            by_beam[b] = cs
+        else:
+            by_beam = {}
+            for b, xb in spectra:
+                cs = search_spectrogram(
+                    xb, freqs, tsamp, dms, widths=widths,
+                    threshold=args.threshold, chunk_t=args.chunk,
+                    topk=args.topk, zap=zap_chans, zerodm=args.zerodm,
+                    method=args.method)
+                for c in cs:
+                    c.beam = b
+                by_beam[b] = cs
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1518,8 +1555,15 @@ def main(argv=None) -> int:
                         "this DM [pc/cm^3] (trial grid auto-spaced "
                         "from the band + cadence; ops/dedisperse.py)")
     p.add_argument("--search-beam", default="0",
-                   help="what to search: a beam index, or "
-                        "'incoherent' for the all-antenna sum")
+                   help="what to search: a beam index, a '3,7,100-110' "
+                        "set, 'all', or 'incoherent' for the "
+                        "all-antenna sum (sets/'all' search "
+                        "beam-batched with live cross-beam "
+                        "coincidence RFI rejection)")
+    p.add_argument("--search-no-coincidence", action="store_true",
+                   help="multi-beam live search: keep candidates that "
+                        "fire in many beams at once (default: "
+                        "rejected as RFI)")
     p.add_argument("--search-threshold", type=float, default=7.0,
                    help="matched-filter S/N floor for live candidates")
     p.add_argument("--search-chunk", type=int, default=4096,

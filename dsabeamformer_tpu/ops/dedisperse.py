@@ -43,12 +43,15 @@ __all__ = [
     "dm_trial_grid",
     "delay_table",
     "dedisperse_bank",
+    "dedisperse_bank_batch",
     "subband_plan",
     "subband_dedisperse_bank",
+    "subband_dedisperse_bank_batch",
     "Candidate",
     "coincidence_filter",
     "preprocess_spectrogram",
     "search_spectrogram",
+    "search_spectrograms",
     "SearchMonitor",
     "write_candidates",
     "read_candidates",
@@ -177,6 +180,18 @@ def _subband_jit(power_gct, intra_c, offsets, t1: int, t_out: int):
 
 _subband_c = jax.jit(_subband_jit, static_argnums=(3, 4))
 
+# Beam-batched variants: the SAME kernels vmapped over a leading beam
+# axis, so a multi-beam search is one device dispatch per (chunk,
+# beam-group) instead of one per beam.  On TPU the dispatch overhead
+# (launch + relay round-trip) dominates per-beam work at search
+# scale, and the batched gather keeps the VPU fed; the beam-group
+# size is capped by bank HBM (see `search_spectrograms`).
+_dedisperse_batch_c = jax.jit(
+    jax.vmap(_dedisperse_jit, in_axes=(0, None, None)), static_argnums=2)
+_subband_batch_c = jax.jit(
+    jax.vmap(_subband_jit, in_axes=(0, None, None, None, None)),
+    static_argnums=(3, 4))
+
 
 def subband_plan(delays: np.ndarray, n_sub: int,
                  max_err_samples: int = 1):
@@ -295,6 +310,69 @@ def dedisperse_bank(
     return bank, valid_len
 
 
+def dedisperse_bank_batch(
+    power_btf: np.ndarray, delays: np.ndarray
+) -> Tuple[jax.Array, np.ndarray]:
+    """`dedisperse_bank` over a ``[B, T, F]`` beam stack in one device
+    dispatch — bank ``[B, n_dm, T]``; padding fill is each BEAM's own
+    per-channel median.  ``valid_len`` is shared (same delay table,
+    same T)."""
+    b, t, f = power_btf.shape
+    if delays.shape[1] != f:
+        raise ValueError(
+            f"delay table covers {delays.shape[1]} channels, data has {f}")
+    if delays.min() < 0:
+        raise ValueError("negative delays: delay_table is referenced to the "
+                         "band top; check channel ordering (ascending)")
+    max_delay = int(delays.max())
+    x = np.asarray(power_btf, np.float32)
+    fill = np.median(x, axis=1).astype(np.float32)  # [B, F]
+    padded = np.concatenate(
+        [x, np.broadcast_to(fill[:, None, :], (b, max_delay, f))], axis=1)
+    bank = _dedisperse_batch_c(
+        jnp.asarray(np.ascontiguousarray(padded.transpose(0, 2, 1))),
+        jnp.asarray(delays), t)
+    valid_len = np.maximum(t - delays.max(axis=1), 0).astype(np.int64)
+    return bank, valid_len
+
+
+def subband_dedisperse_bank_batch(
+    power_btf: np.ndarray,
+    delays: np.ndarray,
+    n_sub: int = 64,
+    max_err_samples: int = 1,
+) -> Tuple[jax.Array, np.ndarray]:
+    """`subband_dedisperse_bank` over a ``[B, T, F]`` beam stack: the
+    plan is computed ONCE (the delay table is shared), stage 1+2 run
+    vmapped over beams in one dispatch."""
+    b, t, f = power_btf.shape
+    if delays.shape[1] != f:
+        raise ValueError(
+            f"delay table covers {delays.shape[1]} channels, data has {f}")
+    if delays.min() < 0:
+        raise ValueError("negative delays: delay_table is referenced to the "
+                         "band top; check channel ordering (ascending)")
+    intra_c, inter, rep_of, pad_f = subband_plan(
+        delays, n_sub, max_err_samples)
+    g, n_coarse, c = intra_c.shape
+    t1 = t + int(inter.max())
+    t_pad = t1 + int(intra_c.max()) if intra_c.size else t1
+    x = np.asarray(power_btf, np.float32)
+    fill = np.median(x, axis=1).astype(np.float32)  # [B, F]
+    cols = np.concatenate(
+        [x, np.broadcast_to(fill[:, None, :], (b, t_pad - t, f))], axis=1)
+    if pad_f:
+        cols = np.concatenate(
+            [cols, np.zeros((b, t_pad, pad_f), np.float32)], axis=2)
+    power_bgct = np.ascontiguousarray(
+        cols.transpose(0, 2, 1).reshape(b, g, c, t_pad))
+    offsets = (rep_of[None, :] * t1 + inter.T).astype(np.int32)  # [G, n_dm]
+    bank = _subband_batch_c(jnp.asarray(power_bgct), jnp.asarray(intra_c),
+                            jnp.asarray(offsets), t1, t)
+    valid_len = np.maximum(t - delays.max(axis=1), 0).astype(np.int64)
+    return bank, valid_len
+
+
 def _snr_topk_jit(bank, widths: Tuple[int, ...], k: int):
     """Robust-normalize each trial series, then for each boxcar width
     return the top-k S/N peaks per trial.
@@ -326,6 +404,9 @@ def _snr_topk_jit(bank, widths: Tuple[int, ...], k: int):
 
 
 _snr_topk_c = jax.jit(_snr_topk_jit, static_argnums=(1, 2))
+_snr_topk_batch_c = jax.jit(
+    jax.vmap(_snr_topk_jit, in_axes=(0, None, None)),
+    static_argnums=(1, 2))
 
 
 @dataclasses.dataclass
@@ -466,20 +547,69 @@ def _search_chunk(
         raise ValueError(f"method must be direct|subband, got {method!r}")
     snr, idx = _snr_topk_c(bank, widths,
                            min(topk, bank.shape[1] - max_w + 1))
-    snr, idx = np.asarray(snr), np.asarray(idx)
-    points = []
-    for wi, w in enumerate(widths):
-        for d in range(len(dms)):
-            # searchable extent of this trial in this window: inside
-            # the data-covered region, and owned by this window (peaks
-            # in the extension belong to the next window).
-            lim = valid_len[d] if own is None else min(valid_len[d], own)
-            limit = min(valid_len[d] - w + 1, lim)
-            for kk in range(snr.shape[2]):
-                s, t0 = snr[wi, d, kk], idx[wi, d, kk]
-                if s >= threshold and t0 < limit:
-                    points.append((float(s), d, int(t0) + t_offset, w))
+    points = _threshold_points(np.asarray(snr), np.asarray(idx), widths,
+                               valid_len, own, t_offset, threshold)
     return _cluster(points, np.asarray(dms), tsamp_s, band_span, dm_link)
+
+
+def _threshold_points(
+    snr: np.ndarray,          # [n_w, n_dm, k]
+    idx: np.ndarray,
+    widths: Tuple[int, ...],
+    valid_len: np.ndarray,
+    own: Optional[int],
+    t_offset: int,
+    threshold: float,
+) -> List[tuple]:
+    """Host thresholding of the fetched top-k grid into raw candidate
+    points.  The searchable extent of each (width, trial) is the
+    data-covered region minus the boxcar, clipped to the samples this
+    window OWNS (peaks in the extension belong to the next window)."""
+    w_arr = np.asarray(widths, np.int64)[:, None]
+    lim = valid_len if own is None else np.minimum(valid_len, own)
+    limit = np.minimum(valid_len[None, :] - w_arr + 1, lim[None, :])
+    mask = (snr >= threshold) & (idx < limit[:, :, None])
+    return [(float(snr[wi, d, kk]), int(d), int(idx[wi, d, kk]) + t_offset,
+             int(widths[wi]))
+            for wi, d, kk in np.argwhere(mask)]
+
+
+def _search_chunk_batch(
+    chunk_btf: np.ndarray,    # [B, T_ext, F] beam-stacked window
+    delays: np.ndarray,
+    dms: np.ndarray,
+    tsamp_s: float,
+    band_span: np.ndarray,
+    widths: Tuple[int, ...],
+    threshold: float,
+    topk: int,
+    own: Optional[int],
+    t_offset: int,
+    dm_link: Optional[int],
+    method: str = "direct",
+    n_sub: int = 64,
+) -> List[List[Candidate]]:
+    """`_search_chunk` over a beam stack: TWO device dispatches for the
+    whole group (batched bank + batched top-k) instead of two per
+    beam; thresholding/clustering stays per-beam on host."""
+    max_w = max(widths)
+    if method == "subband":
+        bank, valid_len = subband_dedisperse_bank_batch(
+            chunk_btf, delays, n_sub=min(n_sub, chunk_btf.shape[2]))
+    elif method == "direct":
+        bank, valid_len = dedisperse_bank_batch(chunk_btf, delays)
+    else:
+        raise ValueError(f"method must be direct|subband, got {method!r}")
+    snr, idx = _snr_topk_batch_c(bank, widths,
+                                 min(topk, bank.shape[2] - max_w + 1))
+    snr, idx = np.asarray(snr), np.asarray(idx)  # [B, n_w, n_dm, k]
+    dms = np.asarray(dms)
+    return [
+        _cluster(_threshold_points(snr[bi], idx[bi], widths, valid_len,
+                                   own, t_offset, threshold),
+                 dms, tsamp_s, band_span, dm_link)
+        for bi in range(chunk_btf.shape[0])
+    ]
 
 
 def search_spectrogram(
@@ -546,6 +676,86 @@ def search_spectrogram(
         start = stop
     cands.sort(key=lambda c: -c.snr)
     return cands
+
+
+def search_spectrograms(
+    spectra: Sequence[Tuple[int, np.ndarray]],
+    freqs_mhz: np.ndarray,
+    tsamp_s: float,
+    dms: np.ndarray,
+    widths: Sequence[int] = DEFAULT_WIDTHS,
+    threshold: float = 7.0,
+    chunk_t: int = 16384,
+    topk: int = 4,
+    dm_link: Optional[int] = None,
+    zap: Optional[Sequence[int]] = None,
+    zerodm: bool = False,
+    method: str = "direct",
+    n_sub: int = 64,
+    beam_batch: Optional[int] = None,
+) -> dict:
+    """Multi-beam `search_spectrogram`: ``spectra`` is ``[(beam_label,
+    [T, F]), ...]`` with ONE shared shape (what a DADA product or a
+    per-beam .fil directory of one observation yields); returns
+    ``{beam_label: [Candidate, ...]}`` with each candidate's ``beam``
+    set.
+
+    Beams are stacked and searched ``beam_batch`` at a time through
+    the vmapped bank + top-k kernels — two device dispatches per
+    (chunk, group) instead of two PER BEAM, which is what makes a
+    256-beam search on TPU dispatch-bound rather than beam-count
+    bound.  ``beam_batch=None`` sizes groups so the ``[g, n_dm, T]``
+    bank plus the padded operand stay under ~256 MB of HBM.  Group
+    and chunk shapes are fixed across the run, so the device programs
+    compile once (+ one tail-shape each)."""
+    if not spectra:
+        raise ValueError("no spectra to search")
+    labels = [b for b, _ in spectra]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate beam labels: {sorted(labels)}")
+    shapes = {x.shape for _, x in spectra}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"beam spectra shapes differ ({sorted(shapes)}): batched "
+            f"search needs one [T, F] shape across beams")
+    xs = np.stack([preprocess_spectrogram(x, zap, zerodm)
+                   for _, x in spectra])  # [B, T, F]
+    b, t_total, f = xs.shape
+    delays = delay_table(freqs_mhz, dms, tsamp_s)
+    widths = tuple(int(w) for w in widths)
+    max_w = max(widths)
+    overlap = int(delays.max()) + max_w
+    band_span = delays.max(axis=1)
+    if beam_batch is None:
+        t_c = min(chunk_t, t_total)
+        per_beam = 4 * (len(dms) * t_c + f * (t_c + overlap))
+        beam_batch = max(1, min(b, int(256e6 // max(per_beam, 1))))
+    by_beam: dict = {lab: [] for lab in labels}
+    start = 0
+    while start < t_total:
+        stop = min(start + chunk_t, t_total)
+        ext_stop = min(stop + overlap, t_total)
+        final = ext_stop >= t_total
+        chunk = xs[:, start:ext_stop]
+        if chunk.shape[1] <= max_w:
+            break
+        for g0 in range(0, b, beam_batch):
+            per_beam_cands = _search_chunk_batch(
+                chunk[g0:g0 + beam_batch], delays, dms, tsamp_s,
+                band_span, widths, threshold, topk,
+                own=None if final else (stop - start), t_offset=start,
+                dm_link=dm_link, method=method, n_sub=n_sub)
+            for bi, cs in enumerate(per_beam_cands):
+                lab = labels[g0 + bi]
+                for c in cs:
+                    c.beam = lab
+                by_beam[lab].extend(cs)
+        if final:
+            break
+        start = stop
+    for cs in by_beam.values():
+        cs.sort(key=lambda c: -c.snr)
+    return by_beam
 
 
 def coincidence_filter(
@@ -619,12 +829,23 @@ class SearchMonitor:
     The pipeline hands :meth:`observe` each drained block's product
     (host-side, after the D2H the sink already paid); the monitor
     keeps a rolling ``[T, F]`` buffer of the selected beam (or the
-    incoherent sum), and whenever ``chunk_t`` owned samples have
-    accumulated it searches them extended by ``max_delay + max_width``
+    incoherent sum; or ``[B, T, F]`` for a beam set / ``beam="all"``),
+    and whenever ``chunk_t`` owned samples have accumulated it
+    searches them extended by ``max_delay + max_width``
     carried-forward samples — identical windowing to the offline chunk
     loop (`_search_chunk`), so a pulse straddling block or window
     boundaries is found exactly once.  Fixed window shape means the
     two device programs compile once and are reused for the whole run.
+
+    Multi-beam targets run the beam-batched kernels (two dispatches
+    per window for the whole set) and apply per-window cross-beam
+    coincidence RFI rejection — the live FRB trigger gets the same
+    "localized on the sky?" veto the offline multi-file search has.
+    Windows are synchronized across beams, so each window's filter
+    sees every beam's candidates for the same samples; a cluster
+    whose members straddle a window-ownership boundary can split
+    across windows and evade the veto (kept, not dropped — the
+    conservative failure mode).
 
     A sequence-number gap (ring overrun drops) breaks the dispersion
     sweep's continuity: the buffer is flushed through a final-owned
@@ -639,7 +860,7 @@ class SearchMonitor:
         tsamp_s: float,
         dms: np.ndarray,
         *,
-        beam: int = 0,
+        beam=0,
         incoherent: bool = False,
         widths: Sequence[int] = DEFAULT_WIDTHS,
         threshold: float = 7.0,
@@ -651,14 +872,48 @@ class SearchMonitor:
         method: str = "direct",
         n_sub: int = 64,
         on_candidate=None,
+        coincidence: bool = True,
+        coincidence_frac: float = 0.25,
+        on_rfi=None,
     ):
         if method not in ("direct", "subband"):
             raise ValueError(f"method must be direct|subband, got {method!r}")
         self.freqs_mhz = np.asarray(freqs_mhz, np.float64)
         self.tsamp_s = float(tsamp_s)
         self.dms = np.asarray(dms, np.float64)
-        self.beam = int(beam)
+        # Beam target: one index (the legacy live path), a set of
+        # indices, or "all" — multi-beam targets search through the
+        # beam-batched kernels with per-window cross-beam coincidence
+        # RFI rejection (`coincidence_filter`).  "all" resolves its
+        # labels from the first observed product.
+        if isinstance(beam, str) and beam.strip().lower() == "all":
+            self._beam_sel = "all"
+            self.beam = -1
+        elif isinstance(beam, (list, tuple, np.ndarray)):
+            sel = [int(b) for b in beam]
+            if not sel:
+                raise ValueError("empty beam set")
+            if len(sel) != len(set(sel)):
+                raise ValueError(f"duplicate beams in {sel}")
+            if len(sel) == 1:
+                self._beam_sel = None
+                self.beam = sel[0]
+            else:
+                self._beam_sel = sel
+                self.beam = -1
+        else:
+            self._beam_sel = None
+            self.beam = int(beam)
+        self._labels: Optional[List[int]] = (
+            self._beam_sel if isinstance(self._beam_sel, list) else None)
+        self.coincidence = bool(coincidence)
+        self.coincidence_frac = float(coincidence_frac)
+        self.on_rfi = on_rfi
+        self.rfi_rejected = 0
         self.incoherent = bool(incoherent)
+        if self.incoherent and self._beam_sel is not None:
+            raise ValueError("incoherent target is a single spectrogram; "
+                             "beam sets/'all' don't apply")
         self.widths = tuple(int(w) for w in widths)
         self.threshold = float(threshold)
         self.topk = int(topk)
@@ -695,7 +950,8 @@ class SearchMonitor:
                  inco: Optional[np.ndarray]) -> np.ndarray:
         """One block's ``[T_out, F]`` float32 spectrogram from the
         product the pipeline drained: ``[F, T]`` incoherent,
-        ``[F, T, B]`` power, or ``[F, T, 4, B]`` Stokes (plane I)."""
+        ``[F, T, B]`` power, or ``[F, T, 4, B]`` Stokes (plane I).
+        Multi-beam targets return ``[B_sel, T_out, F]``."""
         if self.incoherent:
             if inco is None:
                 raise ValueError("search monitor targets the incoherent "
@@ -707,9 +963,25 @@ class SearchMonitor:
                 raise ValueError("search monitor needs the beam product")
             if powers.ndim == 4:
                 powers = powers[:, :, 0]  # Stokes I plane
-            if not 0 <= self.beam < powers.shape[-1]:
+            nb = powers.shape[-1]
+            if self._beam_sel is not None:
+                if self._labels is None:  # "all": resolve on first block
+                    self._labels = list(range(nb))
+                bad = [b for b in self._labels if not 0 <= b < nb]
+                if bad:
+                    raise ValueError(f"search beams {bad} out of range "
+                                     f"(product has {nb})")
+                x = np.ascontiguousarray(
+                    powers[:, :, self._labels].transpose(2, 1, 0)
+                ).astype(np.float32)  # [B_sel, T, F]
+                if self.zap or self.zerodm:
+                    x = np.stack([
+                        preprocess_spectrogram(xb, self.zap, self.zerodm)
+                        for xb in x])
+                return x
+            if not 0 <= self.beam < nb:
                 raise ValueError(f"search beam {self.beam} out of range "
-                                 f"(product has {powers.shape[-1]})")
+                                 f"(product has {nb})")
             x = powers[:, :, self.beam].astype(np.float32).T
         if self.zap or self.zerodm:
             # Per-block conditioning equals whole-stream conditioning:
@@ -726,13 +998,14 @@ class SearchMonitor:
             self._t_base += self.overlap  # nominal; times stay per-run
         self._next_seq = seq + 1
         self._buf.append(x)
-        self._buffered += x.shape[0]
+        self._buffered += x.shape[-2]
         while self._buffered >= self.chunk_t + self.overlap:
             self._search_front()
 
     def _concat(self) -> np.ndarray:
+        # time is the second-to-last axis for both [T, F] and [B, T, F]
         if len(self._buf) > 1:
-            self._buf = [np.concatenate(self._buf, axis=0)]
+            self._buf = [np.concatenate(self._buf, axis=-2)]
         return self._buf[0]
 
     def _emit(self, cands: List[Candidate]) -> None:
@@ -742,15 +1015,46 @@ class SearchMonitor:
             if self.on_candidate is not None:
                 self.on_candidate(c)
 
+    def _search_window(self, window: np.ndarray,
+                       own: Optional[int]) -> List[Candidate]:
+        """Search one window — single-beam via `_search_chunk`,
+        multi-beam via the batched kernels with per-window cross-beam
+        coincidence (windows are synchronized across beams, so the
+        filter sees every beam's candidates for these samples)."""
+        if self._beam_sel is None:
+            return _search_chunk(
+                window, self.delays, self.dms, self.tsamp_s,
+                self.band_span, self.widths, self.threshold, self.topk,
+                own=own, t_offset=self._t_base, dm_link=self.dm_link,
+                method=self.method, n_sub=self.n_sub)
+        per_beam = _search_chunk_batch(
+            window, self.delays, self.dms, self.tsamp_s, self.band_span,
+            self.widths, self.threshold, self.topk, own=own,
+            t_offset=self._t_base, dm_link=self.dm_link,
+            method=self.method, n_sub=self.n_sub)
+        by_beam = {}
+        for lab, cs in zip(self._labels, per_beam):
+            for c in cs:
+                c.beam = lab
+            by_beam[lab] = cs
+        if self.coincidence:
+            by_beam, events = coincidence_filter(
+                by_beam, self.band_span,
+                n_beams_searched=len(self._labels),
+                frac=self.coincidence_frac)
+            self.rfi_rejected += len(events)
+            if self.on_rfi is not None:
+                for ev in events:
+                    self.on_rfi(ev)
+        out = [c for cs in by_beam.values() for c in cs]
+        out.sort(key=lambda c: -c.snr)
+        return out
+
     def _search_front(self) -> None:
         x = self._concat()
-        window = x[: self.chunk_t + self.overlap]
-        self._emit(_search_chunk(
-            window, self.delays, self.dms, self.tsamp_s, self.band_span,
-            self.widths, self.threshold, self.topk, own=self.chunk_t,
-            t_offset=self._t_base, dm_link=self.dm_link,
-            method=self.method, n_sub=self.n_sub))
-        self._buf = [x[self.chunk_t:]]
+        window = x[..., : self.chunk_t + self.overlap, :]
+        self._emit(self._search_window(window, own=self.chunk_t))
+        self._buf = [x[..., self.chunk_t:, :]]
         self._buffered -= self.chunk_t
         self._t_base += self.chunk_t
 
@@ -759,12 +1063,7 @@ class SearchMonitor:
         data covers), then reset the buffer.  Called at end of stream
         and on a sequence gap."""
         if self._buffered > self.max_w:
-            x = self._concat()
-            self._emit(_search_chunk(
-                x, self.delays, self.dms, self.tsamp_s, self.band_span,
-                self.widths, self.threshold, self.topk, own=None,
-                t_offset=self._t_base, dm_link=self.dm_link,
-                method=self.method, n_sub=self.n_sub))
+            self._emit(self._search_window(self._concat(), own=None))
         self._t_base += self._buffered
         self._buf, self._buffered = [], 0
 

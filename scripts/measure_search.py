@@ -86,4 +86,52 @@ for dm_max in (250.0, 500.0, 1000.0):
     })
     print(json.dumps(rows[-1]))
 
+# --- beam-batched vs per-beam dispatch (dsabf search --beam all) ---
+# Device-resident operands (as above): isolates the dispatch/batching
+# effect from the CI relay's H2D.  The batched path runs the vmapped
+# bank+topk once per beam GROUP; the loop path dispatches per beam.
+from dsabeamformer_tpu.ops.dedisperse import (
+    _dedisperse_batch_c, _snr_topk_batch_c)
+
+B = 8
+dms = dm_trial_grid(f_lo, f_hi, tsamp, dm_max=250.0, tol=1.25)
+delays = delay_table(f_mhz, dms, tsamp)
+max_d = int(delays.max())
+xs = rng.normal(size=(B, cfg.n_chan, T + max_d)).astype(np.float32)
+dev_xs = jax.device_put(xs)
+dev_xl = [jax.device_put(xs[i]) for i in range(B)]
+dev_d = jax.device_put(delays)
+span_s = B * T * tsamp
+
+s, _ = _snr_topk_batch_c(_dedisperse_batch_c(dev_xs, dev_d, T),
+                         DEFAULT_WIDTHS, 4)            # warm batch
+float(np.asarray(s).max())
+for xi in dev_xl[:1]:                                  # warm loop
+    s, _ = _snr_topk_c(_dedisperse_c(xi, dev_d, T), DEFAULT_WIDTHS, 4)
+    float(np.asarray(s).max())
+
+best_batch = best_loop = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    s, _ = _snr_topk_batch_c(_dedisperse_batch_c(dev_xs, dev_d, T),
+                             DEFAULT_WIDTHS, 4)
+    float(np.asarray(s).max())
+    best_batch = min(best_batch, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for xi in dev_xl:
+        s, _ = _snr_topk_c(_dedisperse_c(xi, dev_d, T), DEFAULT_WIDTHS, 4)
+        float(np.asarray(s).max())
+    best_loop = min(best_loop, time.perf_counter() - t0)
+
+row = {
+    "beams": B, "dm_max": 250.0, "n_dm": len(dms),
+    "batched_s": round(best_batch, 3),
+    "batched_rt": round(span_s / best_batch, 2),
+    "loop_s": round(best_loop, 3),
+    "loop_rt": round(span_s / best_loop, 2),
+    "batch_speedup": round(best_loop / best_batch, 2),
+}
+rows.append(row)
+print(json.dumps(row))
+
 print(json.dumps({"rows": rows}))

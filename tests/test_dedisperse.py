@@ -313,6 +313,48 @@ def test_cli_search_fil_end_to_end(tmp_path, capsys):
     assert "# n_dm_trials" in body
 
 
+def test_batched_search_matches_per_beam():
+    """search_spectrograms (vmapped beam-batched device path) returns
+    exactly search_spectrogram's candidates per beam, for both bank
+    methods, across chunk boundaries and partial beam groups."""
+    from dsabeamformer_tpu.ops.dedisperse import (
+        search_spectrogram, search_spectrograms)
+
+    freqs = _freqs(64)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0)
+    spectra = []
+    for b in range(5):
+        x, _ = _pulse_spectrogram(1500, 64, 90.0, 400 + 50 * b, 4,
+                                  amp=0.8 if b % 2 else 0.0, seed=b)
+        spectra.append((b, x))
+    for method in ("direct", "subband"):
+        by_beam = search_spectrograms(
+            spectra, freqs, TSAMP, dms, threshold=7.0, chunk_t=512,
+            method=method, beam_batch=2)  # 2+2+1: exercises tail group
+        for b, x in spectra:
+            ref = search_spectrogram(x, freqs, TSAMP, dms,
+                                     threshold=7.0, chunk_t=512,
+                                     method=method)
+            got = by_beam[b]
+            assert len(got) == len(ref), (method, b)
+            for cg, cr in zip(got, ref):
+                assert cg == dataclasses.replace(cr, beam=b), (method, b)
+
+
+def test_batched_search_validation():
+    from dsabeamformer_tpu.ops.dedisperse import search_spectrograms
+
+    freqs = _freqs(16)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=50.0)
+    x = np.zeros((256, 16), np.float32)
+    with pytest.raises(ValueError, match="no spectra"):
+        search_spectrograms([], freqs, TSAMP, dms)
+    with pytest.raises(ValueError, match="duplicate"):
+        search_spectrograms([(0, x), (0, x)], freqs, TSAMP, dms)
+    with pytest.raises(ValueError, match="shapes differ"):
+        search_spectrograms([(0, x), (1, x[:-1])], freqs, TSAMP, dms)
+
+
 def test_coincidence_filter_unit():
     """A cluster hitting most beams is RFI; a two-beam pulse is kept."""
     from dsabeamformer_tpu.ops.dedisperse import coincidence_filter
@@ -540,6 +582,73 @@ def test_search_monitor_incoherent_and_stokes_extraction():
         mon3.observe(0, np.zeros((32, 128, 2), np.float32))
 
 
+def test_search_monitor_multibeam_coincidence():
+    """beam='all' live-searches every beam batched: broadband RFI that
+    fires in all beams is rejected per window, the localized pulse
+    survives with its beam label; a beam-set target and coincidence=False
+    behave as documented."""
+    from dsabeamformer_tpu.ops.dedisperse import SearchMonitor
+
+    dm_true, t0 = 90.0, 700
+    n_beams, t_out, T = 8, 128, 2048
+    xs, freqs = [], None
+    for b in range(n_beams):
+        x, freqs = _pulse_spectrogram(T, 64, dm_true, t0, 4,
+                                      amp=1.0 if b in (3, 4) else 0.0,
+                                      seed=60 + b)
+        x[300:302, :] += 3.0  # broadband RFI in EVERY beam
+        xs.append(x)
+    blocks = [np.stack([xs[b][i * t_out:(i + 1) * t_out].T
+                        for b in range(n_beams)], axis=-1)  # [F, t, B]
+              for i in range(T // t_out)]
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+
+    rfi_log = []
+    mon = SearchMonitor(freqs, TSAMP, dms, beam="all", threshold=7.0,
+                        chunk_t=512, on_rfi=rfi_log.append)
+    assert mon.wants_beams
+    for i, blk in enumerate(blocks):
+        mon.observe(i, blk)
+    mon.flush()
+    assert mon.rfi_rejected >= 1 and rfi_log
+    assert max(ev["n_beams"] for ev in rfi_log) >= 6
+    hits = {c.beam for c in mon.candidates if abs(c.t_samp - t0) < 32}
+    assert hits and hits <= {3, 4}
+    assert not any(abs(c.t_samp - 300) < 16 for c in mon.candidates)
+
+    # beam-set target: only those beams searched; thresh=max(3, 1) so
+    # the 4-beam RFI still rejects while the 2-beam pulse survives
+    mon2 = SearchMonitor(freqs, TSAMP, dms, beam=[2, 3, 4, 5],
+                         threshold=7.0, chunk_t=512)
+    for i, blk in enumerate(blocks):
+        mon2.observe(i, blk)
+    mon2.flush()
+    assert mon2.rfi_rejected >= 1
+    labels = {c.beam for c in mon2.candidates}
+    assert labels <= {2, 3, 4, 5}
+    assert any(abs(c.t_samp - t0) < 32 for c in mon2.candidates)
+
+    # coincidence off: the RFI candidates come through, labelled
+    mon3 = SearchMonitor(freqs, TSAMP, dms, beam="all", threshold=7.0,
+                         chunk_t=512, coincidence=False)
+    for i, blk in enumerate(blocks):
+        mon3.observe(i, blk)
+    mon3.flush()
+    assert mon3.rfi_rejected == 0
+    assert any(abs(c.t_samp - 300) < 16 for c in mon3.candidates)
+
+    # constructor validation
+    with pytest.raises(ValueError, match="duplicate"):
+        SearchMonitor(freqs, TSAMP, dms, beam=[1, 1])
+    with pytest.raises(ValueError, match="empty"):
+        SearchMonitor(freqs, TSAMP, dms, beam=[])
+    with pytest.raises(ValueError, match="incoherent"):
+        SearchMonitor(freqs, TSAMP, dms, beam="all", incoherent=True)
+    mon4 = SearchMonitor(freqs, TSAMP, dms, beam=[1, 99])
+    with pytest.raises(ValueError, match="out of range"):
+        mon4.observe(0, np.zeros((64, 128, 8), np.float32))
+
+
 def test_cli_run_live_search(tiny_cfg, tmp_path, capsys):
     """dsabf run --search-dm-max: the injected-FRB drill fires the
     live trigger and writes a candidate file at exit."""
@@ -585,6 +694,19 @@ def test_cli_run_live_search(tiny_cfg, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "incoherent sum" in err
     assert "[dsabf] search {" in err
+    # multi-beam live target: every beam searched batched, events carry
+    # the beam label (coincidence off — a coherent injected source
+    # lights many beams via sidelobes, exactly what the veto rejects)
+    capsys.readouterr()
+    rc = cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                   "--input-file", str(cap),
+                   "--search-dm-max", str(3 * dm),
+                   "--search-beam", "all", "--search-no-coincidence",
+                   "--search-threshold", "8"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "all 32 beams" in err
+    assert '"beam":' in err
 
 
 def test_write_candidates_roundtrip(tmp_path):
