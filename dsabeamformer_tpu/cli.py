@@ -22,6 +22,9 @@ subcommands:
   dsabf fil         — inspect a SIGPROC filterbank product
   dsabf splice      — merge per-subband .fil products into one band
   dsabf waterfall   — ASCII/PGM time-frequency quick-look of a product
+  dsabf search      — single-pulse (FRB) search over a DM-trial bank
+  dsabf fold        — fold a product at a pulsar period (known-source
+                      validation)
 
 Run ``dsabf <cmd> --help`` for flags.  Config presets come from
 ``dsabeamformer_tpu.config``; any geometry field can be overridden with
@@ -1148,6 +1151,68 @@ def cmd_waterfall(args) -> int:
     return 0
 
 
+def cmd_fold(args) -> int:
+    """Fold a beam product at a pulsar period — the known-source
+    validation an operator runs after pointing at a catalog pulsar:
+    dedisperse at its DM, fold at its period, and the pulse stands up
+    as one bright phase row with S/N growing as sqrt(periods folded).
+    Prints the phase-frequency frame, the frequency-collapsed phase
+    profile, and a JSON summary (peak S/N, peak phase, periods
+    folded)."""
+    from dsabeamformer_tpu.utils.quicklook import (
+        dedisperse,
+        downsample_mean,
+        fold_spectrogram,
+        load_dynamic_spectrum,
+        percentile_scale,
+        profile_snr,
+        render_ascii,
+        write_pgm,
+    )
+
+    try:
+        meta, x = load_dynamic_spectrum(args.path, beam=args.beam,
+                                        stokes=args.stokes)
+        if x.shape[0] == 0:
+            raise ValueError("product file has no complete blocks")
+        if args.dm:
+            x = dedisperse(x, meta, args.dm)
+        if "tsamp_s" not in meta:
+            raise ValueError("cannot fold: product header lacks tsamp_s")
+        tsamp = float(meta["tsamp_s"])
+        prof, counts = fold_spectrogram(x, tsamp, args.period,
+                                        n_bins=args.bins)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    snr, peak = profile_snr(prof, counts)
+    n_periods = x.shape[0] * tsamp / args.period
+    small = downsample_mean(prof, args.bins, args.cols)
+    print(f"# {args.path}  beam={meta['beam']}  stokes={meta['stokes']}  "
+          f"folded {n_periods:.1f} periods of {args.period:g}s into "
+          f"{prof.shape[0]} phase bins x {prof.shape[1]} chans "
+          f"(phase down, freq right"
+          + (f"; DM {args.dm:g}" if args.dm else "") + ")")
+    print(render_ascii(percentile_scale(small, *args.clip)))
+    p1 = prof.mean(axis=1)[None, :]
+    print("# profile(phase): "
+          + render_ascii(percentile_scale(
+              downsample_mean(p1.T, args.cols, 1).T, *args.clip)))
+    if args.out:
+        write_pgm(args.out, percentile_scale(prof, *args.clip))
+        print(f"# wrote {args.out} ({prof.shape[0]}x{prof.shape[1]})",
+              file=sys.stderr)
+    print(json.dumps({
+        "period_s": args.period, "dm": args.dm or 0.0,
+        "n_bins": prof.shape[0], "n_periods": round(n_periods, 2),
+        "peak_bin": peak,
+        "peak_phase": round((peak + 0.5) / prof.shape[0], 4),
+        "snr": round(snr, 2),
+        "min_bin_occupancy": int(counts.min()),
+    }))
+    return 0
+
+
 def cmd_search(args) -> int:
     """Single-pulse search of a beam product over a DM-trial bank —
     the detection stage the reference deployment outsources to an
@@ -1794,6 +1859,29 @@ def main(argv=None) -> int:
     p.add_argument("--full", action="store_true",
                    help="PGM at native resolution (no downsample)")
     p.set_defaults(fn=cmd_waterfall)
+
+    p = sub.add_parser(
+        "fold",
+        help="fold a product at a pulsar period (known-source check)")
+    p.add_argument("path", help=".fil or .dada beam-product file")
+    p.add_argument("--period", type=float, required=True,
+                   help="fold period [s] (the catalog pulsar's)")
+    p.add_argument("--dm", type=float, default=0.0,
+                   help="dedisperse at this DM [pc/cm^3] before folding")
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam index (DADA products)")
+    p.add_argument("--stokes", default="I", choices=list("IQUV"),
+                   help="Stokes plane for Stokes products")
+    p.add_argument("--bins", type=int, default=64,
+                   help="phase bins (capped at period/tsamp)")
+    p.add_argument("--cols", type=int, default=78,
+                   help="terminal columns (frequency bins)")
+    p.add_argument("--clip", type=float, nargs=2, default=(1.0, 99.0),
+                   metavar=("LO", "HI"),
+                   help="contrast percentiles")
+    p.add_argument("--out", help="also write the [bins, F] profile as "
+                                 "an 8-bit PGM image")
+    p.set_defaults(fn=cmd_fold)
 
     p = sub.add_parser(
         "search",

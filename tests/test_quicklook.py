@@ -415,3 +415,73 @@ def test_cli_simulate_pulse_only_first_block(tiny_cfg, tmp_path, capsys):
                      "--rows", "4", "--cols", "4"]) == 0
     text = capsys.readouterr().out
     assert "DM 0" in text and "# profile" in text
+
+
+def test_fold_spectrogram_recovers_pulsar():
+    """Folding at the true period stands the pulse up at its phase;
+    a wrong period spreads it; validation errors are clean."""
+    from dsabeamformer_tpu.utils.quicklook import (
+        fold_spectrogram, profile_snr)
+
+    rng = np.random.default_rng(5)
+    tsamp, period, t, f = 1e-3, 0.05, 4000, 32  # 50 samples/period
+    x = rng.normal(size=(t, f)).astype(np.float32)
+    for k in range(int(t * tsamp / period)):  # pulses at phase 0.3
+        t0 = int(round((k + 0.3) * period / tsamp))
+        if t0 < t:
+            x[t0] += 3.0
+    prof, counts = fold_spectrogram(x, tsamp, period, n_bins=25)
+    snr, peak = profile_snr(prof, counts)
+    assert snr > 20
+    assert abs((peak + 0.5) / prof.shape[0] - 0.3) < 0.1
+    assert counts.sum() == t
+    # wrong period: the fold spreads the pulse and S/N collapses
+    prof_w, counts_w = fold_spectrogram(x, tsamp, period * 1.37, n_bins=25)
+    snr_w, _ = profile_snr(prof_w, counts_w)
+    assert snr_w < snr / 3
+    # validation
+    with pytest.raises(ValueError, match="exceed"):
+        fold_spectrogram(x, tsamp, tsamp / 2)
+    with pytest.raises(ValueError, match="2 periods"):
+        fold_spectrogram(x[:50], tsamp, period)
+    with pytest.raises(ValueError, match="n_bins"):
+        fold_spectrogram(x, tsamp, period, n_bins=1)
+    # bins are capped at period/tsamp (finer bins would be empty)
+    prof_c, _ = fold_spectrogram(x, tsamp, period, n_bins=1000)
+    assert prof_c.shape[0] == 50
+
+
+def test_cmd_fold_end_to_end(tmp_path, capsys):
+    """dsabf fold on a synthetic-pulsar .fil: JSON summary carries a
+    strong S/N at the injected phase; PGM written; clean errors."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.sigproc import _encode_header_dict
+
+    rng = np.random.default_rng(7)
+    tsamp, period, t, f = 1e-3, 0.05, 3000, 16
+    x = rng.normal(size=(t, f)).astype(np.float32)
+    for k in range(int(t * tsamp / period)):
+        x[int(round((k + 0.5) * period / tsamp))] += 4.0
+    hdr = {"fch1": 1500.0, "foff": -1.0, "nchans": f, "nbits": 32,
+           "nifs": 1, "tsamp": tsamp, "ibeam": 0}
+    p = tmp_path / "psr.fil"
+    with open(p, "wb") as fh:
+        fh.write(_encode_header_dict(hdr))
+        fh.write(np.ascontiguousarray(x[:, ::-1]).astype("<f4").tobytes())
+    out = tmp_path / "fold.pgm"
+    rc = cli_main(["fold", str(p), "--period", str(period),
+                   "--bins", "20", "--out", str(out)])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    summary = json.loads(txt.strip().splitlines()[-1])
+    assert summary["snr"] > 10
+    assert abs(summary["peak_phase"] - 0.5) < 0.1
+    assert summary["n_periods"] == pytest.approx(60, abs=1)
+    assert summary["min_bin_occupancy"] > 0
+    assert out.exists()
+    assert "# profile(phase):" in txt
+    # period shorter than a sample: clean error, not a traceback
+    assert cli_main(["fold", str(p), "--period", str(tsamp / 3)]) == 1
+    assert "error:" in capsys.readouterr().err
