@@ -681,7 +681,21 @@ def cmd_simulate(args) -> int:
         else:
             blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
     first_block = None
-    if args.pulse_dm is not None:
+    pulsar_angle = None
+    if args.pulse_period is not None:
+        # Injected-PULSAR drill (`dsabf fold` validation): every block
+        # is generated fresh with t0 shifted by -i*t_block, so the
+        # train stays phase-coherent across block boundaries (the
+        # --distinct pool can't represent that unless the period
+        # divides t_block; per-block generation costs host CPU but
+        # drills run at small geometries).
+        if args.pulse_period <= args.pulse_width:
+            print(f"error: --pulse-period {args.pulse_period} must "
+                  f"exceed --pulse-width {args.pulse_width}",
+                  file=sys.stderr)
+            return 2
+        pulsar_angle = np.deg2rad(args.source_angle or 0.0)
+    elif args.pulse_dm is not None:
         # Injected-FRB drill: the FIRST emitted block (only — a pulse
         # in the cycled pool would repeat every --distinct blocks)
         # carries a dispersed pulse on the same noise floor, so a
@@ -695,6 +709,13 @@ def cmd_simulate(args) -> int:
             noise_rms=args.rms, seed=1234)
 
     def block_at(i):
+        if pulsar_angle is not None:
+            return make_dispersed_pulse_block(
+                cfg, args.pulse_dm or 0.0, angle_rad=pulsar_angle,
+                t0_sample=args.pulse_t0 - i * cfg.t_block,
+                width_samples=args.pulse_width,
+                period_samples=args.pulse_period,
+                noise_rms=args.rms, seed=1234 + i)
         if i == 0 and first_block is not None:
             return first_block
         return blocks[i % len(blocks)]
@@ -1690,6 +1711,12 @@ def main(argv=None) -> int:
                    help="pulse start sample at the top of the band")
     p.add_argument("--pulse-width", type=int, default=16,
                    help="pulse width in raw samples")
+    p.add_argument("--pulse-period", type=int,
+                   help="make the pulse a PULSAR: a phase-coherent "
+                        "periodic train at this period [raw samples] "
+                        "across every block (blocks are generated "
+                        "per-block; the known-source `dsabf fold` "
+                        "drill — fold at period*sample_period_s)")
     p.add_argument("--distinct", type=int, default=4,
                    help="number of distinct pre-generated blocks")
     p.add_argument("--nbufs", type=int, default=4,

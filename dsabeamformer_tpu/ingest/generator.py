@@ -110,6 +110,7 @@ def make_dispersed_pulse_block(
     amplitude: float = 6.0,
     noise_rms: float = 0.5,
     seed: int = 0,
+    period_samples: int | None = None,
 ) -> np.ndarray:
     """A broadband pulse dispersed at ``dm`` on top of receiver noise —
     the injected-FRB end-to-end drill (generator -> kernel -> product
@@ -124,9 +125,18 @@ def make_dispersed_pulse_block(
     physical scale: at the real presets' ~30 ns sample period,
     astrophysical DMs disperse across many blocks — tests compute a
     ``dm`` that spans a few samples instead.
+
+    ``period_samples`` makes the pulse a PULSAR: an infinite periodic
+    train (pulses at ``t_arr + k*period`` for every integer ``k``,
+    before and after ``t0``), the known-source drill for `dsabf fold`.
+    Phase-coherent multi-block trains come from shifting ``t0_sample``
+    by ``-i * t_block`` per block (see `cli.cmd_simulate`).
     """
     from dsabeamformer_tpu.config import dm_delays_s
 
+    if period_samples is not None and period_samples <= width_samples:
+        raise ValueError(f"period_samples {period_samples} must exceed "
+                         f"width_samples {width_samples}")
     rng = np.random.default_rng(seed)
     layout = layout if layout is not None else array_for(cfg)
     f = cfg.freqs_hz()[:, None, None]                       # [F,1,1]
@@ -138,8 +148,12 @@ def make_dispersed_pulse_block(
     delays = dm_delays_s(f_mhz, dm, f_mhz.max())
     t_arr = t0_sample + np.rint(delays / cfg.sample_period_s).astype(int)
     t = np.arange(cfg.t_block)[None, :]                     # [1,T]
-    window = ((t >= t_arr[:, None])
-              & (t < t_arr[:, None] + width_samples))       # [F,T]
+    if period_samples is not None:
+        # Python's % is non-negative, so the train extends to t < t0
+        window = ((t - t_arr[:, None]) % period_samples) < width_samples
+    else:
+        window = ((t >= t_arr[:, None])
+                  & (t < t_arr[:, None] + width_samples))   # [F,T]
     sig = amplitude / np.sqrt(2) * (
         rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))
         + 1j * rng.standard_normal((cfg.n_chan, cfg.t_block, cfg.n_pol))

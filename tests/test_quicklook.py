@@ -485,3 +485,46 @@ def test_cmd_fold_end_to_end(tmp_path, capsys):
     # period shorter than a sample: clean error, not a traceback
     assert cli_main(["fold", str(p), "--period", str(tsamp / 3)]) == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_pulsar_fold_drill(tiny_cfg, tmp_path, capsys):
+    """simulate --pulse-period -> run -> fold: the injected pulsar
+    train survives the full pipeline (phase-coherent across block
+    boundaries) and stands up at its phase; a wrong period collapses."""
+    import json
+
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    period = 16  # wire samples = 8 output samples; 4 pulses/block
+    cap = tmp_path / "psr.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-period", str(period), "--pulse-width", "2",
+                     "--pulse-t0", "3", "--blocks", "8",
+                     "--out-file", str(cap)]) == 0
+    out = tmp_path / "out.dada"
+    assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                     "--input-file", str(cap),
+                     "--output-file", str(out)]) == 0
+    capsys.readouterr()
+    period_s = period * cfg.sample_period_s
+    beam = str(cfg.n_beams // 2)
+    rc = cli_main(["fold", str(out), "--period", str(period_s),
+                   "--beam", beam, "--bins", "8"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["snr"] > 10
+    assert summary["n_periods"] == pytest.approx(32, abs=0.1)
+    # pulses start at wire sample 3 -> phase ~3/16 of the period
+    assert abs(summary["peak_phase"] - 3 / 16) < 0.2
+    # wrong period: the fold spreads the train and S/N collapses
+    capsys.readouterr()
+    rc = cli_main(["fold", str(out), "--period", str(period_s * 1.29),
+                   "--beam", beam, "--bins", "8"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["snr"] < summary["snr"] / 2
+    # period <= width is a clean simulate error
+    assert cli_main(["simulate", "--config", "tiny",
+                     "--pulse-period", "4", "--pulse-width", "8",
+                     "--out-file", str(tmp_path / "x.dada")]) == 2
