@@ -446,6 +446,7 @@ def _cmd_run_pinned(args) -> int:
                 chunk_t=args.search_chunk, zerodm=args.search_zerodm,
                 method=args.search_method, on_candidate=_cand_event,
                 coincidence=not args.search_no_coincidence,
+                coincidence_frac=args.search_coincidence_frac,
                 on_rfi=_rfi_event)
         except ValueError as e:
             if sink is not None:
@@ -1252,6 +1253,11 @@ def cmd_search(args) -> int:
     )
     from dsabeamformer_tpu.utils.quicklook import load_dynamic_spectra
 
+    if not 0 < args.coincidence_frac <= 1:
+        # validate BEFORE the search runs, not in the filter after it
+        print(f"error: --coincidence-frac must be in (0, 1], got "
+              f"{args.coincidence_frac}", file=sys.stderr)
+        return 1
     # Beam spec: an index, a '3,7,100-110' set, or 'all'.  Multiple
     # input files (the per-beam .fil layout dsabf run --fil-dir
     # writes) each contribute their own beam.
@@ -1650,6 +1656,9 @@ def main(argv=None) -> int:
                    help="multi-beam live search: keep candidates that "
                         "fire in many beams at once (default: "
                         "rejected as RFI)")
+    p.add_argument("--search-coincidence-frac", type=float, default=0.25,
+                   help="fraction of searched beams a linked cluster "
+                        "must hit to be tagged RFI (floor: 3 beams)")
     p.add_argument("--search-threshold", type=float, default=7.0,
                    help="matched-filter S/N floor for live candidates")
     p.add_argument("--search-chunk", type=int, default=4096,

@@ -907,6 +907,10 @@ class SearchMonitor:
         self._labels: Optional[List[int]] = (
             self._beam_sel if isinstance(self._beam_sel, list) else None)
         self.coincidence = bool(coincidence)
+        if not 0 < coincidence_frac <= 1:
+            # fail at construction, not mid-stream in the first window
+            raise ValueError(
+                f"coincidence_frac must be in (0, 1], got {coincidence_frac}")
         self.coincidence_frac = float(coincidence_frac)
         self.on_rfi = on_rfi
         self.rfi_rejected = 0

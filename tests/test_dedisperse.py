@@ -767,3 +767,16 @@ def test_cli_waterfall_cand_vetting(tmp_path, capsys):
     # out-of-range --idx fails cleanly
     assert cli_main(["waterfall", str(fil), "--cand", str(cand),
                      "--idx", "999"]) == 1
+
+
+def test_cli_search_rejects_bad_coincidence_frac(tmp_path, capsys):
+    """An out-of-range --coincidence-frac fails BEFORE the search runs
+    (a bad value after minutes of dedispersion would be a traceback)."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    p = tmp_path / "b.fil"
+    _write_fil(p, np.zeros((64, 8), np.float32), TSAMP)
+    rc = cli_main(["search", str(p), str(p), "--dm-max", "10",
+                   "--coincidence-frac", "1.5"])
+    assert rc == 1
+    assert "coincidence-frac" in capsys.readouterr().err
