@@ -1235,12 +1235,180 @@ def cmd_fold(args) -> int:
     return 0
 
 
+def _search_live_ring(args) -> int:
+    """``dsabf search --key``: attach to a beamformer's OUTPUT product
+    ring and search blocks as they are produced — the reference
+    deployment's heimdall-reads-the-DADA-buffer topology, as a
+    separate process on the same SearchMonitor the in-process
+    ``dsabf run --search-dm-max`` uses (same windowing, same batched
+    kernels, same live coincidence veto)."""
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+    from dsabeamformer_tpu.models.weights import parse_zap
+    from dsabeamformer_tpu.ops.dedisperse import (
+        Candidate,
+        DEFAULT_WIDTHS,
+        SearchMonitor,
+        dm_trial_grid,
+        write_candidates,
+    )
+    from dsabeamformer_tpu.utils.quicklook import _dada_meta
+
+    ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
+    try:
+        if ring.readers > 0:
+            print(f"[dsabf] WARNING: ring {args.key!r} already has "
+                  f"{ring.readers} attached reader(s) — the ring is "
+                  f"single-consumer; both readers will see gaps.",
+                  file=sys.stderr)
+        hdr = dada.parse_header(ring.read_header(timeout_s=args.timeout))
+        payload = hdr.get("PAYLOAD", "")
+        if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV",
+                           "INCOHERENT_POWER"):
+            print(f"error: ring {args.key!r} carries "
+                  f"PAYLOAD={payload!r}, not a beam product — point "
+                  f"--key at `dsabf run --output-key`'s ring, not the "
+                  f"voltage capture", file=sys.stderr)
+            return 1
+        inco = payload == "INCOHERENT_POWER"
+        shape = [int(hdr["OUT_NCHAN"]), int(hdr["OUT_NTIME"])]
+        if payload == "BEAM_STOKES_IQUV":
+            shape.append(int(hdr.get("OUT_NSTOKES", 4)))
+        if not inco:
+            shape.append(int(hdr["OUT_NBEAM"]))
+        meta = _dada_meta(hdr, 0, "I", shape[0])
+        for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
+            if key not in meta:
+                print(f"error: cannot search: ring header lacks the "
+                      f"band/cadence fields ({key})", file=sys.stderr)
+                return 1
+        sel = args.beam.strip().lower()
+        if inco or sel in ("inco", "incoherent"):
+            if not inco:
+                print("error: --beam incoherent needs an "
+                      "INCOHERENT_POWER ring", file=sys.stderr)
+                return 1
+            beam_arg = 0
+        elif sel == "all":
+            beam_arg = "all"
+        else:
+            try:
+                beams = parse_zap(args.beam)
+            except ValueError as e:
+                print(f"error: bad --beam spec: {e}", file=sys.stderr)
+                return 1
+            beam_arg = beams[0] if len(beams) == 1 else beams
+        if args.dm_step:
+            dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
+                            args.dm_step)
+        else:
+            dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"],
+                                float(meta["tsamp_s"]),
+                                dm_max=args.dm_max, dm_min=args.dm_min,
+                                tol=args.dm_tol)
+        if len(dms) > 262144:  # same guard as the offline path
+            print(f"error: DM grid has {len(dms)} trials — lower "
+                  f"--dm-max, raise --dm-tol, or set --dm-step",
+                  file=sys.stderr)
+            return 1
+
+        def _cand_event(c):
+            ev = {"snr": round(c.snr, 2), "dm": round(c.dm, 3),
+                  "time_s": round(c.time_s, 6), "width": c.width,
+                  "members": c.members}
+            if c.beam >= 0:
+                ev["beam"] = c.beam
+            print("[dsabf] search " + json.dumps(ev), file=sys.stderr)
+
+        def _rfi_event(ev):
+            print("[dsabf] search rfi-coincidence " + json.dumps(ev),
+                  file=sys.stderr)
+
+        freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], shape[0])
+        try:
+            mon = SearchMonitor(
+                freqs, float(meta["tsamp_s"]), dms, beam=beam_arg,
+                incoherent=inco, threshold=args.threshold,
+                widths=(tuple(args.widths) if args.widths
+                        else DEFAULT_WIDTHS),
+                chunk_t=args.chunk, topk=args.topk,
+                zap=parse_zap(args.zap) if args.zap else None,
+                zerodm=args.zerodm, method=args.method,
+                on_candidate=_cand_event,
+                coincidence=not args.no_coincidence,
+                coincidence_frac=args.coincidence_frac,
+                on_rfi=_rfi_event)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(f"[dsabf] search: attached to ring {args.key!r} "
+              f"({payload}, {shape[0]} chan x {shape[1]} samp/block), "
+              f"{len(dms)} DM trials [0, {dms[-1]:.1f}], threshold "
+              f"{args.threshold:g}", file=sys.stderr)
+        per_block = int(np.prod(shape)) * 4
+        if per_block != ring.bufsz:
+            print(f"error: ring bufsz {ring.bufsz} != header block "
+                  f"size {per_block} (mismatched producer?)",
+                  file=sys.stderr)
+            return 1
+        n = 0
+        try:
+            while args.blocks is None or n < args.blocks:
+                item = ring.read_block(timeout_s=args.timeout)
+                if item is None:
+                    if not ring.eod():
+                        print(f"[dsabf] WARNING: ring read timed out "
+                              f"after {args.timeout:g}s with {n} "
+                              f"block(s) searched (producer stalled?)",
+                              file=sys.stderr)
+                    break
+                seq, raw = item
+                block = raw.view(np.float32).reshape(shape)
+                if inco:
+                    mon.observe(seq, None, inco=block)
+                else:
+                    mon.observe(seq, block)
+                n += 1
+        except KeyboardInterrupt:
+            print("[dsabf] interrupted — flushing search buffer",
+                  file=sys.stderr)
+        mon.flush()
+        cands = sorted(mon.candidates, key=lambda c: -c.snr)
+        print(f"# ring {args.key}: {n} block(s), "
+              f"{mon.searched_windows} window(s), {len(cands)} "
+              f"candidate(s)"
+              + (f" (+{mon.rfi_rejected} coincidence-rejected RFI)"
+                 if mon.rfi_rejected else "")
+              + (f", {mon.gaps} stream gap(s)" if mon.gaps else ""),
+              file=sys.stderr)
+        print(Candidate.HEADER)
+        for c in cands[: args.limit]:
+            print(c.row())
+        if args.cand:
+            write_candidates(args.cand, cands, {
+                "ring": args.key, "beam": args.beam,
+                "tsamp_s": meta["tsamp_s"],
+                "f_lo_mhz": meta["f_lo_mhz"],
+                "f_hi_mhz": meta["f_hi_mhz"],
+                "n_dm_trials": len(dms), "dm_min": dms[0],
+                "dm_max": dms[-1], "threshold": args.threshold,
+                "live": True, "coincidence_rejected": mon.rfi_rejected,
+            })
+            print(f"# wrote {args.cand} ({len(cands)} candidates)",
+                  file=sys.stderr)
+        return 0
+    finally:
+        ring.close()
+
+
 def cmd_search(args) -> int:
     """Single-pulse search of a beam product over a DM-trial bank —
     the detection stage the reference deployment outsources to an
     external GPU pipeline (heimdall), run on the TPU in-framework.
     Prints a heimdall-style candidate table; ``--cand`` writes it to a
-    file with the search parameters in the comment header."""
+    file with the search parameters in the comment header.  With
+    ``--key`` it instead attaches to a LIVE output-product ring (see
+    `_search_live_ring`)."""
     from dsabeamformer_tpu.ops.dedisperse import (
         DEFAULT_WIDTHS,
         coincidence_filter,
@@ -1257,6 +1425,15 @@ def cmd_search(args) -> int:
         # validate BEFORE the search runs, not in the filter after it
         print(f"error: --coincidence-frac must be in (0, 1], got "
               f"{args.coincidence_frac}", file=sys.stderr)
+        return 1
+    if args.key and args.paths:
+        print("error: give product file(s) OR --key, not both",
+              file=sys.stderr)
+        return 1
+    if args.key:
+        return _search_live_ring(args)
+    if not args.paths:
+        print("error: need product file(s) or --key", file=sys.stderr)
         return 1
     # Beam spec: an index, a '3,7,100-110' set, or 'all'.  Multiple
     # input files (the per-beam .fil layout dsabf run --fil-dir
@@ -1922,10 +2099,19 @@ def main(argv=None) -> int:
     p = sub.add_parser(
         "search",
         help="single-pulse search of a product over a DM-trial bank")
-    p.add_argument("paths", nargs="+", metavar="path",
+    p.add_argument("paths", nargs="*", metavar="path",
                    help=".fil or .dada beam-product file(s) — multiple "
                         "per-beam .fil files search together with "
                         "cross-beam coincidence RFI rejection")
+    p.add_argument("--key", help="search a LIVE output-product ring "
+                                 "(`dsabf run --output-key`) instead "
+                                 "of files — the separate-process "
+                                 "search-consumer deployment")
+    p.add_argument("--timeout", type=float, default=5.0,
+                   help="ring attach/read timeout (s)")
+    p.add_argument("--blocks", type=int,
+                   help="stop after N ring blocks (default: until "
+                        "end-of-data)")
     p.add_argument("--beam", default="0",
                    help="beams to search in DADA products: an index, "
                         "a '3,7,100-110' set, or 'all' (multi-beam "

@@ -780,3 +780,63 @@ def test_cli_search_rejects_bad_coincidence_frac(tmp_path, capsys):
                    "--coincidence-frac", "1.5"])
     assert rc == 1
     assert "coincidence-frac" in capsys.readouterr().err
+
+
+def test_cli_search_live_ring(tiny_cfg, tmp_path, capsys):
+    """The separate-process search consumer: `dsabf run --output-key`
+    writes products into a ring, `dsabf search --key` attaches and
+    finds the drill pulse — the reference's heimdall-reads-the-DADA-
+    buffer topology."""
+    import os as _os
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    dm = (16 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-dm", str(dm), "--pulse-t0", "8",
+                     "--pulse-width", "6", "--blocks", "6", "--distinct",
+                     "2", "--out-file", str(cap)]) == 0
+    key = f"tsearch{_os.getpid()}"
+    try:
+        assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                         "--input-file", str(cap), "--output-key", key,
+                         "--nbufs", "10"]) == 0
+        capsys.readouterr()
+        cand = tmp_path / "ring.cand"
+        rc = cli_main(["search", "--key", key, "--beam", "all",
+                       "--no-coincidence", "--dm-max", str(2 * dm),
+                       "--threshold", "8", "--widths", "1", "2", "4",
+                       "--cand", str(cand), "--timeout", "2"])
+        assert rc == 0
+        out = capsys.readouterr()
+        assert "attached to ring" in out.err
+        rows = [l.split() for l in out.out.splitlines()
+                if l.strip() and not l.startswith("#")]
+        assert rows
+        assert int(rows[0][9]) in (cfg.n_beams // 2 - 1, cfg.n_beams // 2)
+        assert "# ring = " + key in cand.read_text()
+    finally:
+        try:
+            RingBuffer(key, connect_timeout_s=1).destroy()
+        except Exception:
+            pass
+    # a non-product ring is rejected with guidance
+    key2 = f"tsearchw{_os.getpid()}"
+    with RingBuffer(key2, create=True, nbufs=2, bufsz=1024) as r:
+        r.write_header("HDR_VERSION 1.0\nNCHAN 8\n")
+        capsys.readouterr()
+        assert cli_main(["search", "--key", key2, "--dm-max", "10",
+                         "--timeout", "1"]) == 1
+        assert "not a beam product" in capsys.readouterr().err
+        r.destroy()
+    # files + --key is ambiguous; neither is an error too
+    capsys.readouterr()
+    assert cli_main(["search", str(cap), "--key", "x",
+                     "--dm-max", "10"]) == 1
+    assert cli_main(["search", "--dm-max", "10"]) == 1
