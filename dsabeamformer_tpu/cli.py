@@ -1241,7 +1241,17 @@ def _search_live_ring(args) -> int:
     deployment's heimdall-reads-the-DADA-buffer topology, as a
     separate process on the same SearchMonitor the in-process
     ``dsabf run --search-dm-max`` uses (same windowing, same batched
-    kernels, same live coincidence veto)."""
+    kernels, same live coincidence veto).
+
+    ``--key`` takes a comma-separated list to join the one-process-
+    per-subband deployment's product rings into ONE full-band live
+    search: rings are band-ordered by their header's FREQ_START_HZ,
+    validated contiguous, and each step reads one seq-aligned block
+    from every ring and concatenates along the channel axis (a ring
+    that dropped a block forces the others to skip to the next common
+    seq; the monitor's gap logic flushes the sweep buffer, identical
+    to a single-ring drop).  Searching per subband instead would cost
+    DM resolution — the sweep is measured ACROSS the band."""
     from dsabeamformer_tpu.ingest import dada
     from dsabeamformer_tpu.ingest.ring import RingBuffer
     from dsabeamformer_tpu.models.weights import parse_zap
@@ -1254,28 +1264,76 @@ def _search_live_ring(args) -> int:
     )
     from dsabeamformer_tpu.utils.quicklook import _dada_meta
 
-    ring = RingBuffer(args.key, connect_timeout_s=args.timeout)
+    keys = [k.strip() for k in args.key.split(",") if k.strip()]
+    if not keys:
+        print("error: empty --key", file=sys.stderr)
+        return 1
+    if len(set(keys)) != len(keys):
+        print(f"error: duplicate ring keys in {keys} (two attachments "
+              f"to one single-consumer ring interleave reads)",
+              file=sys.stderr)
+        return 1
+    rings = []
     try:
-        if ring.readers > 0:
-            print(f"[dsabf] WARNING: ring {args.key!r} already has "
-                  f"{ring.readers} attached reader(s) — the ring is "
-                  f"single-consumer; both readers will see gaps.",
+        entries = []  # (f_start, key, ring, hdr, shape)
+        payloads = set()
+        for key in keys:
+            ring = RingBuffer(key, connect_timeout_s=args.timeout)
+            rings.append(ring)
+            if ring.readers > 0:
+                print(f"[dsabf] WARNING: ring {key!r} already has "
+                      f"{ring.readers} attached reader(s) — the ring "
+                      f"is single-consumer; both readers will see "
+                      f"gaps.", file=sys.stderr)
+            hdr = dada.parse_header(ring.read_header(
+                timeout_s=args.timeout))
+            payload = hdr.get("PAYLOAD", "")
+            if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV",
+                               "INCOHERENT_POWER"):
+                print(f"error: ring {key!r} carries "
+                      f"PAYLOAD={payload!r}, not a beam product — "
+                      f"point --key at `dsabf run --output-key`'s "
+                      f"ring, not the voltage capture", file=sys.stderr)
+                return 1
+            payloads.add(payload)
+            shp = [int(hdr["OUT_NCHAN"]), int(hdr["OUT_NTIME"])]
+            if payload == "BEAM_STOKES_IQUV":
+                shp.append(int(hdr.get("OUT_NSTOKES", 4)))
+            if payload != "INCOHERENT_POWER":
+                shp.append(int(hdr["OUT_NBEAM"]))
+            per_block = int(np.prod(shp)) * 4
+            if per_block != ring.bufsz:
+                print(f"error: ring {key!r} bufsz {ring.bufsz} != "
+                      f"header block size {per_block} (mismatched "
+                      f"producer?)", file=sys.stderr)
+                return 1
+            entries.append((float(hdr.get("FREQ_START_HZ", 0.0)), key,
+                            ring, hdr, shp))
+        if len(payloads) != 1:
+            print(f"error: rings carry mixed payloads {sorted(payloads)}",
                   file=sys.stderr)
-        hdr = dada.parse_header(ring.read_header(timeout_s=args.timeout))
-        payload = hdr.get("PAYLOAD", "")
-        if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV",
-                           "INCOHERENT_POWER"):
-            print(f"error: ring {args.key!r} carries "
-                  f"PAYLOAD={payload!r}, not a beam product — point "
-                  f"--key at `dsabf run --output-key`'s ring, not the "
-                  f"voltage capture", file=sys.stderr)
             return 1
+        payload = payloads.pop()
         inco = payload == "INCOHERENT_POWER"
-        shape = [int(hdr["OUT_NCHAN"]), int(hdr["OUT_NTIME"])]
-        if payload == "BEAM_STOKES_IQUV":
-            shape.append(int(hdr.get("OUT_NSTOKES", 4)))
-        if not inco:
-            shape.append(int(hdr["OUT_NBEAM"]))
+        entries.sort(key=lambda e: e[0])  # ascending band order
+        hdr = entries[0][3]
+        if any(e[4][1:] != entries[0][4][1:] for e in entries):
+            print(f"error: subband rings disagree beyond the channel "
+                  f"axis: {[e[4] for e in entries]}", file=sys.stderr)
+            return 1
+        # contiguity: each subband must start where the previous ended
+        df = float(hdr["BW_HZ"]) / int(hdr["NCHAN_TOTAL"])
+        navg_f = int(hdr.get("NAVG_FREQ", 1))
+        for (f0, k0, _, _, s0), (f1, k1, _, _, _) in zip(entries,
+                                                         entries[1:]):
+            if abs(f0 + s0[0] * navg_f * df - f1) > abs(df) * 0.5:
+                print(f"error: rings {k0!r} and {k1!r} are not "
+                      f"band-contiguous ({f0 + s0[0] * navg_f * df:g} "
+                      f"vs {f1:g} Hz)", file=sys.stderr)
+                return 1
+        shapes = [e[4] for e in entries]
+        shape = list(shapes[0])
+        shape[0] = sum(s[0] for s in shapes)  # joined channel count
         meta = _dada_meta(hdr, 0, "I", shape[0])
         for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
             if key not in meta:
@@ -1341,33 +1399,64 @@ def _search_live_ring(args) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
-        print(f"[dsabf] search: attached to ring {args.key!r} "
-              f"({payload}, {shape[0]} chan x {shape[1]} samp/block), "
+        print(f"[dsabf] search: attached to {len(entries)} ring(s) "
+              f"{[e[1] for e in entries]} ({payload}, joined "
+              f"{shape[0]} chan x {shape[1]} samp/block), "
               f"{len(dms)} DM trials [0, {dms[-1]:.1f}], threshold "
               f"{args.threshold:g}", file=sys.stderr)
-        per_block = int(np.prod(shape)) * 4
-        if per_block != ring.bufsz:
-            print(f"error: ring bufsz {ring.bufsz} != header block "
-                  f"size {per_block} (mismatched producer?)",
-                  file=sys.stderr)
-            return 1
-        n = 0
-        try:
-            while args.blocks is None or n < args.blocks:
+
+        def _read_at_least(entry, target):
+            """Next block from one ring with seq >= target (stale
+            blocks from before a join-skip are consumed and dropped).
+            Returns (seq, [F_sub, ...]) or None on timeout/EOD."""
+            _, key, ring, _, shp = entry
+            while True:
                 item = ring.read_block(timeout_s=args.timeout)
                 if item is None:
                     if not ring.eod():
-                        print(f"[dsabf] WARNING: ring read timed out "
-                              f"after {args.timeout:g}s with {n} "
-                              f"block(s) searched (producer stalled?)",
-                              file=sys.stderr)
-                    break
+                        print(f"[dsabf] WARNING: ring {key!r} read "
+                              f"timed out after {args.timeout:g}s "
+                              f"(producer stalled?)", file=sys.stderr)
+                    return None
                 seq, raw = item
-                block = raw.view(np.float32).reshape(shape)
+                if target is None or seq >= target:
+                    return seq, raw.view(np.float32).reshape(shp)
+                print(f"[dsabf] join: ring {key!r} seq {seq} < "
+                      f"common seq {target}, skipped", file=sys.stderr)
+
+        n, skews = 0, 0
+        try:
+            while args.blocks is None or n < args.blocks:
+                # One seq-aligned row across every subband ring: read
+                # each at the current common target; if any ring came
+                # back ahead (it dropped the target block), raise the
+                # target and re-read the laggards.  Seqs only grow, so
+                # this converges.
+                target = None
+                got = [None] * len(entries)
+                ok = True
+                while True:
+                    for i, e in enumerate(entries):
+                        if got[i] is None or (target is not None
+                                              and got[i][0] < target):
+                            got[i] = _read_at_least(e, target)
+                            if got[i] is None:
+                                ok = False
+                                break
+                            if target is None or got[i][0] > target:
+                                if target is not None:
+                                    skews += 1
+                                target = got[i][0]
+                    if not ok or all(g[0] == target for g in got):
+                        break
+                if not ok:
+                    break
+                block = (got[0][1] if len(got) == 1
+                         else np.concatenate([g[1] for g in got], axis=0))
                 if inco:
-                    mon.observe(seq, None, inco=block)
+                    mon.observe(target, None, inco=block)
                 else:
-                    mon.observe(seq, block)
+                    mon.observe(target, block)
                 n += 1
         except KeyboardInterrupt:
             print("[dsabf] interrupted — flushing search buffer",
@@ -1379,7 +1468,8 @@ def _search_live_ring(args) -> int:
               f"candidate(s)"
               + (f" (+{mon.rfi_rejected} coincidence-rejected RFI)"
                  if mon.rfi_rejected else "")
-              + (f", {mon.gaps} stream gap(s)" if mon.gaps else ""),
+              + (f", {mon.gaps} stream gap(s)" if mon.gaps else "")
+              + (f", {skews} subband join skew(s)" if skews else ""),
               file=sys.stderr)
         print(Candidate.HEADER)
         for c in cands[: args.limit]:
@@ -1398,7 +1488,8 @@ def _search_live_ring(args) -> int:
                   file=sys.stderr)
         return 0
     finally:
-        ring.close()
+        for ring in rings:
+            ring.close()
 
 
 def cmd_search(args) -> int:
@@ -2103,10 +2194,14 @@ def main(argv=None) -> int:
                    help=".fil or .dada beam-product file(s) — multiple "
                         "per-beam .fil files search together with "
                         "cross-beam coincidence RFI rejection")
-    p.add_argument("--key", help="search a LIVE output-product ring "
+    p.add_argument("--key", help="search LIVE output-product ring(s) "
                                  "(`dsabf run --output-key`) instead "
                                  "of files — the separate-process "
-                                 "search-consumer deployment")
+                                 "search-consumer deployment; a "
+                                 "comma-separated list joins the "
+                                 "per-subband deployment's rings into "
+                                 "one full-band search (band-ordered, "
+                                 "contiguity-checked, seq-aligned)")
     p.add_argument("--timeout", type=float, default=5.0,
                    help="ring attach/read timeout (s)")
     p.add_argument("--blocks", type=int,

@@ -815,7 +815,7 @@ def test_cli_search_live_ring(tiny_cfg, tmp_path, capsys):
                        "--cand", str(cand), "--timeout", "2"])
         assert rc == 0
         out = capsys.readouterr()
-        assert "attached to ring" in out.err
+        assert "attached to 1 ring(s)" in out.err
         rows = [l.split() for l in out.out.splitlines()
                 if l.strip() and not l.startswith("#")]
         assert rows
@@ -840,3 +840,72 @@ def test_cli_search_live_ring(tiny_cfg, tmp_path, capsys):
     assert cli_main(["search", str(cap), "--key", "x",
                      "--dm-max", "10"]) == 1
     assert cli_main(["search", "--dm-max", "10"]) == 1
+
+
+def test_cli_search_live_ring_join(tiny_cfg, tmp_path, capsys):
+    """Joined multi-subband live search: two `run --output-key`
+    producers (one per subband capture) feed one `dsabf search --key
+    k0,k1` consumer, which band-orders the rings (keys given
+    reversed), validates contiguity, and searches the joined full
+    band."""
+    import os as _os
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    # ~2 output samples of sweep across the FULL band: effectively
+    # undispersed, so the per-subband generators (each referenced to
+    # its own band top) stay aligned when joined
+    dm = (2 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    keys = []
+    try:
+        for i in range(2):
+            cap = tmp_path / f"cap{i}.dada"
+            assert cli_main(["simulate", "--config", "tiny",
+                             "--set", "navg_time=2", "--subband", f"{i}/2",
+                             "--pulse-dm", str(dm), "--pulse-t0", "8",
+                             "--pulse-width", "6", "--blocks", "6",
+                             "--distinct", "2", "--out-file", str(cap)]) == 0
+            key = f"tjoin{_os.getpid()}_{i}"
+            keys.append(key)
+            assert cli_main(["run", "--config", "tiny",
+                             "--set", "navg_time=2",
+                             "--input-file", str(cap), "--output-key", key,
+                             "--nbufs", "10"]) == 0
+        capsys.readouterr()
+        rc = cli_main(["search", "--key", f"{keys[1]},{keys[0]}",
+                       "--beam", "all", "--no-coincidence",
+                       "--dm-max", str(4 * dm), "--threshold", "8",
+                       "--widths", "1", "2", "4", "--timeout", "2"])
+        assert rc == 0
+        out = capsys.readouterr()
+        assert "attached to 2 ring(s)" in out.err
+        # band-ordered despite reversed keys, channels joined
+        assert f"joined {cfg.n_chan // cfg.navg_freq} chan" in out.err
+        rows = [l.split() for l in out.out.splitlines()
+                if l.strip() and not l.startswith("#")]
+        assert rows
+        assert int(rows[0][9]) in (cfg.n_beams // 2 - 1, cfg.n_beams // 2)
+        assert abs(int(rows[0][1]) - 8 // cfg.navg_time) <= 8
+        # non-contiguous join (two copies of the SAME subband) rejected
+        key2 = f"tjoin{_os.getpid()}_dup"
+        cap0 = tmp_path / "cap0.dada"
+        assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                         "--input-file", str(cap0), "--output-key", key2,
+                         "--nbufs", "10"]) == 0
+        keys.append(key2)
+        capsys.readouterr()
+        rc = cli_main(["search", "--key", f"{keys[0]},{key2}",
+                       "--dm-max", str(4 * dm), "--timeout", "1"])
+        assert rc == 1
+        assert "not band-contiguous" in capsys.readouterr().err
+    finally:
+        for key in keys:
+            try:
+                RingBuffer(key, connect_timeout_s=1).destroy()
+            except Exception:
+                pass
