@@ -220,6 +220,56 @@ def _flag_ant_list(args):
     return tuple(parse_zap(spec)) if spec else ()
 
 
+def _parse_beam_target(spec: str, n_beams=None):
+    """A search-target spec -> ``"incoherent"``, ``"all"``, an int, or
+    a list of ints; raises ValueError on a bad spec or (when
+    ``n_beams`` is known) an out-of-range index.  One parser for the
+    in-process live search (`cmd_run`) and the ring consumer
+    (`_search_live_ring`)."""
+    s = spec.strip().lower()
+    if s in ("inco", "incoherent"):
+        return "incoherent"
+    if s == "all":
+        return "all"
+    from dsabeamformer_tpu.models.weights import parse_zap
+
+    sel = parse_zap(spec)
+    if n_beams is not None:
+        bad = [b for b in sel if not 0 <= b < n_beams]
+        if bad:
+            raise ValueError(
+                f"beam(s) {bad} out of range (0..{n_beams - 1})")
+    return sel[0] if len(sel) == 1 else sel
+
+
+def _emit_search_candidate(c):
+    """One live-candidate JSON line on stderr (the FRB trigger feed)."""
+    ev = {"snr": round(c.snr, 2), "dm": round(c.dm, 3),
+          "time_s": round(c.time_s, 6), "width": c.width,
+          "members": c.members}
+    if c.beam >= 0:
+        ev["beam"] = c.beam
+    print("[dsabf] search " + json.dumps(ev), file=sys.stderr)
+
+
+def _emit_search_rfi(ev):
+    print("[dsabf] search rfi-coincidence " + json.dumps(ev),
+          file=sys.stderr)
+
+
+#: Tol-spaced DM grids scale as dm_max/tsamp; past this count the
+#: [n_dm, F] delay table alone is GBs — fail with the knobs named.
+_DM_TRIAL_CAP = 262144
+
+
+def _dm_grid_error(dms, tsamp, dm_max):
+    if len(dms) <= _DM_TRIAL_CAP:
+        return None
+    return (f"DM grid has {len(dms)} trials (tsamp={tsamp:.3g}s, "
+            f"dm_max={dm_max:g}) — lower --dm-max, raise --dm-tol, or "
+            f"set an explicit --dm-step")
+
+
 def _make_weights(cfg, args, extra_zap=()):
     """Generate + quantize the run's weights from the CLI flags.
     ``extra_zap`` (LOCAL channel indices) unions with ``--zap`` — the
@@ -403,40 +453,15 @@ def _cmd_run_pinned(args) -> int:
             dm_trial_grid,
         )
 
-        sm_inco = args.search_beam.strip().lower() in ("inco", "incoherent")
         tsamp_out = cfg.sample_period_s * cfg.navg_time
         freqs_avg = _avg_freqs_mhz(cfg)
-
-        def _cand_event(c):
-            ev = {"snr": round(c.snr, 2), "dm": round(c.dm, 3),
-                  "time_s": round(c.time_s, 6), "width": c.width,
-                  "members": c.members}
-            if c.beam >= 0:
-                ev["beam"] = c.beam
-            print("[dsabf] search " + json.dumps(ev), file=sys.stderr)
-
-        def _rfi_event(ev):
-            print("[dsabf] search rfi-coincidence " + json.dumps(ev),
-                  file=sys.stderr)
-
         try:
             # target: 'incoherent', one index, a '3,7,100-110' set, or
             # 'all' (sets/'all' search beam-batched with live
             # cross-beam coincidence RFI rejection)
-            if sm_inco:
-                beam_arg = 0
-            elif args.search_beam.strip().lower() == "all":
-                beam_arg = "all"
-            else:
-                from dsabeamformer_tpu.models.weights import parse_zap
-
-                sel = parse_zap(args.search_beam)
-                bad = [b for b in sel if not 0 <= b < cfg.n_beams]
-                if bad:
-                    raise ValueError(
-                        f"--search-beam {bad} out of range (config "
-                        f"forms {cfg.n_beams} beams)")
-                beam_arg = sel[0] if len(sel) == 1 else sel
+            target = _parse_beam_target(args.search_beam, cfg.n_beams)
+            sm_inco = target == "incoherent"
+            beam_arg = 0 if sm_inco else target
             dms = dm_trial_grid(
                 float(freqs_avg.min()), float(freqs_avg.max()), tsamp_out,
                 dm_max=args.search_dm_max)
@@ -444,10 +469,11 @@ def _cmd_run_pinned(args) -> int:
                 freqs_avg, tsamp_out, dms, beam=beam_arg,
                 incoherent=sm_inco, threshold=args.search_threshold,
                 chunk_t=args.search_chunk, zerodm=args.search_zerodm,
-                method=args.search_method, on_candidate=_cand_event,
+                method=args.search_method,
+                on_candidate=_emit_search_candidate,
                 coincidence=not args.search_no_coincidence,
                 coincidence_frac=args.search_coincidence_frac,
-                on_rfi=_rfi_event)
+                on_rfi=_emit_search_rfi)
         except ValueError as e:
             if sink is not None:
                 sink.close()
@@ -498,7 +524,7 @@ def _cmd_run_pinned(args) -> int:
 
         chan0 = getattr(args, "_chan_offset", 0)
 
-        def _rfi_event(ev):
+        def _rfi_auto_event(ev):
             # Log in the FULL-band frame (what --zap speaks).
             shown = dict(ev)
             for k in ("new", "zapped", "flagged"):
@@ -533,7 +559,7 @@ def _cmd_run_pinned(args) -> int:
                 sample=args.rfi_sample,
                 threshold=args.rfi_threshold,
                 max_fraction=args.rfi_max_fraction,
-                on_event=_rfi_event,
+                on_event=_rfi_auto_event,
                 seed_zapped=(_local_zap_chans(cfg, args)
                              if getattr(args, "zap", None) else ()),
             )
@@ -675,12 +701,13 @@ def cmd_simulate(args) -> int:
         print("error: --distinct must be >= 1", file=sys.stderr)
         return 2
     blocks = []
-    for s in range(args.distinct):
-        if args.source_angle is not None:
-            blocks.append(make_point_source_block(
-                cfg, np.deg2rad(args.source_angle), seed=s))
-        else:
-            blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
+    if args.pulse_period is None:  # pulsar mode never reads the pool
+        for s in range(args.distinct):
+            if args.source_angle is not None:
+                blocks.append(make_point_source_block(
+                    cfg, np.deg2rad(args.source_angle), seed=s))
+            else:
+                blocks.append(make_noise_block(cfg, rms=args.rms, seed=s))
     first_block = None
     pulsar_angle = None
     if args.pulse_period is not None:
@@ -1136,16 +1163,20 @@ def cmd_waterfall(args) -> int:
         print("error: product file has no complete blocks", file=sys.stderr)
         return 1
     if cand is not None:
+        if cand.t_samp >= x.shape[0]:
+            # explicit bound check: a t_samp just past EOF would still
+            # slice a non-empty (pulse-free) window and silently render
+            # noise the operator reads as "not real"
+            print(f"error: candidate t_samp {cand.t_samp} is beyond "
+                  f"this product ({args.path} has {x.shape[0]} "
+                  f"samples — wrong file for this .cand?)",
+                  file=sys.stderr)
+            return 1
         # after dedispersion the pulse sits at its band-top arrival:
         # window +-max(8 widths, half a frame's rows) around t_samp
         half = max(8 * cand.width, args.rows * 4)
         t0 = max(0, cand.t_samp - half)
         x = x[t0: cand.t_samp + cand.width + half]
-        if x.shape[0] == 0:
-            print(f"error: candidate t_samp {cand.t_samp} is beyond "
-                  f"this product ({args.path} has fewer samples — "
-                  f"wrong file for this .cand?)", file=sys.stderr)
-            return 1
     small = downsample_mean(x, args.rows, args.cols)
     frame = render_ascii(percentile_scale(small, lo, hi))
     t, f = x.shape
@@ -1207,7 +1238,7 @@ def cmd_fold(args) -> int:
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    snr, peak = profile_snr(prof, counts)
+    snr, peak = profile_snr(prof)
     n_periods = x.shape[0] * tsamp / args.period
     small = downsample_mean(prof, args.bins, args.cols)
     print(f"# {args.path}  beam={meta['beam']}  stokes={meta['stokes']}  "
@@ -1278,15 +1309,26 @@ def _search_live_ring(args) -> int:
         entries = []  # (f_start, key, ring, hdr, shape)
         payloads = set()
         for key in keys:
-            ring = RingBuffer(key, connect_timeout_s=args.timeout)
+            try:
+                ring = RingBuffer(key, connect_timeout_s=args.timeout)
+            except OSError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
             rings.append(ring)
             if ring.readers > 0:
                 print(f"[dsabf] WARNING: ring {key!r} already has "
                       f"{ring.readers} attached reader(s) — the ring "
                       f"is single-consumer; both readers will see "
                       f"gaps.", file=sys.stderr)
-            hdr = dada.parse_header(ring.read_header(
-                timeout_s=args.timeout))
+            try:
+                hdr = dada.parse_header(ring.read_header(
+                    timeout_s=args.timeout))
+            except TimeoutError:
+                print(f"error: ring {key!r} has no committed header "
+                      f"after {args.timeout:g}s — is the producer "
+                      f"(`dsabf run --output-key {key}`) up?",
+                      file=sys.stderr)
+                return 1
             payload = hdr.get("PAYLOAD", "")
             if payload not in ("BEAM_POWERS", "BEAM_STOKES_IQUV",
                                "INCOHERENT_POWER"):
@@ -1340,22 +1382,24 @@ def _search_live_ring(args) -> int:
                 print(f"error: cannot search: ring header lacks the "
                       f"band/cadence fields ({key})", file=sys.stderr)
                 return 1
-        sel = args.beam.strip().lower()
-        if inco or sel in ("inco", "incoherent"):
-            if not inco:
-                print("error: --beam incoherent needs an "
-                      "INCOHERENT_POWER ring", file=sys.stderr)
-                return 1
-            beam_arg = 0
-        elif sel == "all":
-            beam_arg = "all"
-        else:
-            try:
-                beams = parse_zap(args.beam)
-            except ValueError as e:
-                print(f"error: bad --beam spec: {e}", file=sys.stderr)
-                return 1
-            beam_arg = beams[0] if len(beams) == 1 else beams
+        try:
+            # beam indices validated against the ring's OWN beam count
+            # here at attach time, not on the first observed block
+            target = _parse_beam_target(
+                args.beam, None if inco else shape[-1])
+        except ValueError as e:
+            print(f"error: bad --beam spec: {e}", file=sys.stderr)
+            return 1
+        if inco and target not in ("incoherent", 0):
+            print(f"error: --beam {args.beam}: {payload} has no beam "
+                  f"axis (the incoherent product sums all antennas)",
+                  file=sys.stderr)
+            return 1
+        if target == "incoherent" and not inco:
+            print("error: --beam incoherent needs an "
+                  "INCOHERENT_POWER ring", file=sys.stderr)
+            return 1
+        beam_arg = 0 if inco else target
         if args.dm_step:
             dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
                             args.dm_step)
@@ -1364,23 +1408,10 @@ def _search_live_ring(args) -> int:
                                 float(meta["tsamp_s"]),
                                 dm_max=args.dm_max, dm_min=args.dm_min,
                                 tol=args.dm_tol)
-        if len(dms) > 262144:  # same guard as the offline path
-            print(f"error: DM grid has {len(dms)} trials — lower "
-                  f"--dm-max, raise --dm-tol, or set --dm-step",
-                  file=sys.stderr)
+        err = _dm_grid_error(dms, float(meta["tsamp_s"]), args.dm_max)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
             return 1
-
-        def _cand_event(c):
-            ev = {"snr": round(c.snr, 2), "dm": round(c.dm, 3),
-                  "time_s": round(c.time_s, 6), "width": c.width,
-                  "members": c.members}
-            if c.beam >= 0:
-                ev["beam"] = c.beam
-            print("[dsabf] search " + json.dumps(ev), file=sys.stderr)
-
-        def _rfi_event(ev):
-            print("[dsabf] search rfi-coincidence " + json.dumps(ev),
-                  file=sys.stderr)
 
         freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], shape[0])
         try:
@@ -1392,10 +1423,10 @@ def _search_live_ring(args) -> int:
                 chunk_t=args.chunk, topk=args.topk,
                 zap=parse_zap(args.zap) if args.zap else None,
                 zerodm=args.zerodm, method=args.method,
-                on_candidate=_cand_event,
+                on_candidate=_emit_search_candidate,
                 coincidence=not args.no_coincidence,
                 coincidence_frac=args.coincidence_frac,
-                on_rfi=_rfi_event)
+                on_rfi=_emit_search_rfi)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -1408,16 +1439,31 @@ def _search_live_ring(args) -> int:
         def _read_at_least(entry, target):
             """Next block from one ring with seq >= target (stale
             blocks from before a join-skip are consumed and dropped).
-            Returns (seq, [F_sub, ...]) or None on timeout/EOD."""
+            A read timeout is a WAIT, not end-of-stream — the producer
+            may still be in its multi-second warmup compile, or mid
+            transient stall; only EOD (or ``--max-idle``) ends the
+            search.  Returns (seq, [F_sub, ...]) or None at
+            EOD/max-idle."""
             _, key, ring, _, shp = entry
+            waited = 0.0
             while True:
                 item = ring.read_block(timeout_s=args.timeout)
                 if item is None:
-                    if not ring.eod():
-                        print(f"[dsabf] WARNING: ring {key!r} read "
-                              f"timed out after {args.timeout:g}s "
-                              f"(producer stalled?)", file=sys.stderr)
-                    return None
+                    if ring.eod():
+                        return None
+                    waited += args.timeout
+                    if (args.max_idle is not None
+                            and waited >= args.max_idle):
+                        print(f"[dsabf] ring {key!r}: no data for "
+                              f"{waited:.0f}s (--max-idle) — stopping",
+                              file=sys.stderr)
+                        return None
+                    if waited <= args.timeout:
+                        print(f"[dsabf] ring {key!r}: waiting for data "
+                              f"(producer warming up or stalled; "
+                              f"Ctrl-C or --max-idle bounds the wait)",
+                              file=sys.stderr)
+                    continue
                 seq, raw = item
                 if target is None or seq >= target:
                     return seq, raw.view(np.float32).reshape(shp)
@@ -1461,6 +1507,9 @@ def _search_live_ring(args) -> int:
         except KeyboardInterrupt:
             print("[dsabf] interrupted — flushing search buffer",
                   file=sys.stderr)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         mon.flush()
         cands = sorted(mon.candidates, key=lambda c: -c.snr)
         print(f"# ring {args.key}: {n} block(s), "
@@ -1581,15 +1630,9 @@ def cmd_search(args) -> int:
         dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"], tsamp,
                             dm_max=args.dm_max, dm_min=args.dm_min,
                             tol=args.dm_tol)
-    if len(dms) > 262144:
-        # Tol-spaced grids scale as dm_max/tsamp: a fast-cadence
-        # product searched to the default --dm-max can demand millions
-        # of trials, whose [n_dm, F] delay table alone is tens of GB.
-        # Fail with the knobs instead of OOMing the host.
-        print(f"error: DM grid has {len(dms)} trials "
-              f"(tsamp={tsamp:.3g}s, dm_max={args.dm_max:g}) — lower "
-              f"--dm-max, raise --dm-tol, or set an explicit --dm-step",
-              file=sys.stderr)
+    err = _dm_grid_error(dms, tsamp, args.dm_max)
+    if err:
+        print(f"error: {err}", file=sys.stderr)
         return 1
     widths = (tuple(args.widths) if args.widths else
               tuple(w for w in DEFAULT_WIDTHS if w < x.shape[0]))
@@ -2203,7 +2246,11 @@ def main(argv=None) -> int:
                                  "one full-band search (band-ordered, "
                                  "contiguity-checked, seq-aligned)")
     p.add_argument("--timeout", type=float, default=5.0,
-                   help="ring attach/read timeout (s)")
+                   help="ring attach timeout / read poll interval (s)")
+    p.add_argument("--max-idle", type=float,
+                   help="give up after this many seconds without data "
+                        "(default: wait until end-of-data — producer "
+                        "warmup compiles take tens of seconds)")
     p.add_argument("--blocks", type=int,
                    help="stop after N ring blocks (default: until "
                         "end-of-data)")

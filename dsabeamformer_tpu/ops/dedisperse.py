@@ -786,6 +786,20 @@ def coincidence_filter(
     thresh = max(min_beams, int(np.ceil(frac * n_beams_searched)))
     pts = [(c, b) for b, cs in cands_by_beam.items() for c in cs]
     pts.sort(key=lambda p: -p[0].snr)
+    if not pts:
+        return dict(cands_by_beam), []
+    # Time index: a pair can only link within max(width)+max smear
+    # difference of each other, so each seed tests only a time window
+    # of candidates instead of every pair — the RFI-storm case this
+    # filter exists for is exactly the one where O(N^2) over all
+    # beams' candidates would dominate the search itself.
+    t_arr = np.array([p[0].t_samp for p in pts], np.int64)
+    w_max = int(max(p[0].width for p in pts))
+    span_max = (int(band_span.max() - band_span.min())
+                if len(band_span) else 0)
+    order = np.argsort(t_arr, kind="stable")
+    t_sorted = t_arr[order]
+    reach = 2 * w_max + span_max  # >= width-sum/2 + |smear diff| bound
     used = [False] * len(pts)
     rfi_members: set = set()
     rfi_events: List[dict] = []
@@ -794,17 +808,19 @@ def coincidence_filter(
             continue
         used[i] = True
         cluster = [i]
-        for j in range(i + 1, len(pts)):
+        lo = np.searchsorted(t_sorted, c.t_samp - reach, "left")
+        hi = np.searchsorted(t_sorted, c.t_samp + c.width + reach, "right")
+        for j in order[lo:hi]:
             if used[j]:
                 continue
-            cj, bj = pts[j]
+            cj = pts[j][0]
             pad = (max(c.width, cj.width)
                    + abs(int(band_span[c.dm_idx])
                          - int(band_span[cj.dm_idx])))
             if (cj.t_samp < c.t_samp + c.width + pad
                     and c.t_samp < cj.t_samp + cj.width + pad):
                 used[j] = True
-                cluster.append(j)
+                cluster.append(int(j))
         beams_hit = {pts[k][1] for k in cluster}
         if len(beams_hit) >= thresh:
             rfi_members.update(cluster)
@@ -1026,11 +1042,18 @@ class SearchMonitor:
         coincidence (windows are synchronized across beams, so the
         filter sees every beam's candidates for these samples)."""
         if self._beam_sel is None:
-            return _search_chunk(
+            cands = _search_chunk(
                 window, self.delays, self.dms, self.tsamp_s,
                 self.band_span, self.widths, self.threshold, self.topk,
                 own=own, t_offset=self._t_base, dm_link=self.dm_link,
                 method=self.method, n_sub=self.n_sub)
+            if not self.incoherent:
+                # label with the target beam (offline searches label
+                # in cmd_search; the monitor knows its own target) so
+                # .cand vetting inherits the right beam
+                for c in cands:
+                    c.beam = self.beam
+            return cands
         per_beam = _search_chunk_batch(
             window, self.delays, self.dms, self.tsamp_s, self.band_span,
             self.widths, self.threshold, self.topk, own=own,

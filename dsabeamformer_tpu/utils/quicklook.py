@@ -101,8 +101,8 @@ def load_dynamic_spectrum(
     return _dada_meta(hdr, beam_label, stokes, x.shape[1]), x
 
 
-def _dada_extract(hdr, powers, beam, stokes: str):
-    """One beam's time-contiguous ``[T_total, F]`` float64 from a
+def _dada_extract(hdr, powers, beam, stokes: str, dtype=np.float64):
+    """One beam's time-contiguous ``[T_total, F]`` (``dtype``) from a
     loaded DADA product payload: ``[n_blocks, F, T, B]``,
     ``[n_blocks, F, T, 4, B]`` (Stokes), or ``[n_blocks, F, T]``
     (incoherent — no beam axis); channels already ascending."""
@@ -131,7 +131,7 @@ def _dada_extract(hdr, powers, beam, stokes: str):
     # [n_blocks, F, T] -> time-contiguous [T_total, F]
     x = np.ascontiguousarray(
         x.transpose(0, 2, 1).reshape(-1, x.shape[1])
-    ).astype(np.float64)
+    ).astype(dtype)
     return x, beam_label
 
 
@@ -165,17 +165,25 @@ def load_dynamic_spectra(
     are single-beam products: the selection is ignored and the file
     contributes its own ``ibeam`` (matching `load_dynamic_spectrum`,
     whose ``beam`` argument never applied to ``.fil`` files either).
+
+    Arrays come back **float32** (the products' native dtype and what
+    the search stage consumes) — at 256 beams a float64 copy per beam
+    would triple the peak host footprint for no precision gain.
     """
     path = Path(path)
     with open(path, "rb") as f:
         head = f.read(16)
     if head[:4] == (12).to_bytes(4, "little") and head[4:16] == b"HEADER_START":
         meta, x = load_dynamic_spectrum(path, stokes=stokes)
-        return meta, [(meta["beam"], x)]
+        return meta, [(meta["beam"], x.astype(np.float32))]
     from dsabeamformer_tpu.ingest.dada import read_product_file
 
     hdr, powers = read_product_file(path)
     if powers.ndim == 3:
+        if beams != "all" and list(beams) != [0]:
+            raise ValueError(
+                f"beams {list(beams)}: {hdr.get('PAYLOAD')} has no "
+                f"beam axis (the incoherent product sums all antennas)")
         idx = [0]
     else:
         n_beams = powers.shape[-1]
@@ -184,7 +192,8 @@ def load_dynamic_spectra(
     out = []
     meta = None
     for b in idx:
-        x, label = _dada_extract(hdr, powers, b, stokes)
+        x, label = _dada_extract(hdr, powers, b, stokes,
+                                 dtype=np.float32)
         if meta is None:
             meta = _dada_meta(hdr, label, stokes, x.shape[1])
         out.append((label if isinstance(label, int) else 0, x))
@@ -266,12 +275,15 @@ def fold_spectrogram(
     return prof, counts
 
 
-def profile_snr(prof: np.ndarray, counts: np.ndarray,
+def profile_snr(prof: np.ndarray,
                 off_frac: float = 0.5) -> Tuple[float, int]:
     """Peak S/N of a folded frequency-collapsed profile against its
     quietest ``off_frac`` of phase bins (robust off-pulse baseline:
-    mean/std over the bins least likely to contain the pulse),
-    weighted for unequal bin occupancy.  Returns ``(snr, peak_bin)``."""
+    mean/std over the bins least likely to contain the pulse).
+    Sigma is measured ON the folded bins, so unequal bin occupancy
+    (`fold_spectrogram`'s ragged last period, at most one period's
+    worth) is already baked into the estimate — no per-bin
+    reweighting.  Returns ``(snr, peak_bin)``."""
     p = prof.mean(axis=1)
     order = np.argsort(p)
     n_off = max(2, int(off_frac * p.size))
@@ -280,9 +292,6 @@ def profile_snr(prof: np.ndarray, counts: np.ndarray,
     if sigma == 0:
         sigma = 1e-30
     peak = int(np.argmax(p))
-    # the folded mean of counts[peak] samples has noise sigma/sqrt(c);
-    # sigma here is measured ON folded bins, so occupancy differences
-    # between peak and off bins are second-order — fold-level S/N
     return float((p[peak] - base) / sigma), peak
 
 

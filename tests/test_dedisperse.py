@@ -909,3 +909,64 @@ def test_cli_search_live_ring_join(tiny_cfg, tmp_path, capsys):
                 RingBuffer(key, connect_timeout_s=1).destroy()
             except Exception:
                 pass
+
+
+def test_search_review_fixes(tmp_path, capsys):
+    """Review regressions: (a) an explicit --beam on an incoherent
+    product errors instead of silently searching the sum; (b) live
+    single-beam candidates carry their beam label; (c) a headered but
+    empty ring exits cleanly at --max-idle."""
+    import os as _os
+
+    import dataclasses as _dc
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+    from dsabeamformer_tpu.ops.dedisperse import SearchMonitor
+
+    # (a) incoherent product + --beam 7
+    from dsabeamformer_tpu.utils.quicklook import load_dynamic_spectra
+    from dsabeamformer_tpu.ingest.dada import encode_header
+    from dsabeamformer_tpu.config import TINY
+
+    cfg = TINY
+    inco = tmp_path / "inco.dada"
+    f_out, t_out, _ = cfg.out_block_shape
+    hdr = encode_header(cfg, PAYLOAD="INCOHERENT_POWER",
+                        OUT_DTYPE="float32", OUT_NCHAN=f_out,
+                        OUT_NTIME=t_out)
+    with open(inco, "wb") as fh:
+        fh.write(hdr.encode().ljust(4096, b"\0"))
+        fh.write(np.zeros((f_out, t_out), np.float32).tobytes())
+    with pytest.raises(ValueError, match="no beam axis"):
+        load_dynamic_spectra(inco, beams=[7])
+    capsys.readouterr()
+    assert cli_main(["search", str(inco), "--beam", "7",
+                     "--dm-max", "0.001"]) == 1
+    assert "no beam axis" in capsys.readouterr().err
+
+    # (b) single-beam monitor labels its candidates
+    dm_true, t0 = 90.0, 700
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, 4, amp=1.0,
+                                  seed=21)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    mon = SearchMonitor(freqs, TSAMP, dms, beam=1, threshold=7.5,
+                        chunk_t=512)
+    blk = np.zeros((64, 2048, 3), np.float32)
+    blk[:, :, 1] = x.T
+    mon.observe(0, blk)
+    mon.flush()
+    assert mon.candidates and all(c.beam == 1 for c in mon.candidates)
+
+    # (c) headered-but-empty ring + --max-idle exits cleanly
+    key = f"tidle{_os.getpid()}"
+    with RingBuffer(key, create=True, nbufs=2,
+                    bufsz=f_out * t_out * 4) as r:
+        r.write_header(hdr)
+        capsys.readouterr()
+        rc = cli_main(["search", "--key", key, "--dm-max", "0.001",
+                       "--timeout", "0.2", "--max-idle", "0.5"])
+        err = capsys.readouterr().err
+        assert rc == 0, err
+        assert "waiting for data" in err and "--max-idle" in err
+        r.destroy()

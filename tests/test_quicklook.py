@@ -431,13 +431,13 @@ def test_fold_spectrogram_recovers_pulsar():
         if t0 < t:
             x[t0] += 3.0
     prof, counts = fold_spectrogram(x, tsamp, period, n_bins=25)
-    snr, peak = profile_snr(prof, counts)
+    snr, peak = profile_snr(prof)
     assert snr > 20
     assert abs((peak + 0.5) / prof.shape[0] - 0.3) < 0.1
     assert counts.sum() == t
     # wrong period: the fold spreads the pulse and S/N collapses
     prof_w, counts_w = fold_spectrogram(x, tsamp, period * 1.37, n_bins=25)
-    snr_w, _ = profile_snr(prof_w, counts_w)
+    snr_w, _ = profile_snr(prof_w)
     assert snr_w < snr / 3
     # validation
     with pytest.raises(ValueError, match="exceed"):
