@@ -1511,34 +1511,157 @@ def _search_live_ring(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 1
         mon.flush()
-        cands = sorted(mon.candidates, key=lambda c: -c.snr)
-        print(f"# ring {args.key}: {n} block(s), "
-              f"{mon.searched_windows} window(s), {len(cands)} "
-              f"candidate(s)"
-              + (f" (+{mon.rfi_rejected} coincidence-rejected RFI)"
-                 if mon.rfi_rejected else "")
-              + (f", {mon.gaps} stream gap(s)" if mon.gaps else "")
-              + (f", {skews} subband join skew(s)" if skews else ""),
-              file=sys.stderr)
-        print(Candidate.HEADER)
-        for c in cands[: args.limit]:
-            print(c.row())
-        if args.cand:
-            write_candidates(args.cand, cands, {
-                "ring": args.key, "beam": args.beam,
-                "tsamp_s": meta["tsamp_s"],
-                "f_lo_mhz": meta["f_lo_mhz"],
-                "f_hi_mhz": meta["f_hi_mhz"],
-                "n_dm_trials": len(dms), "dm_min": dms[0],
-                "dm_max": dms[-1], "threshold": args.threshold,
-                "live": True, "coincidence_rejected": mon.rfi_rejected,
-            })
-            print(f"# wrote {args.cand} ({len(cands)} candidates)",
-                  file=sys.stderr)
+        _finish_monitor_search(
+            mon, f"ring {args.key}", args, meta, dms, n,
+            extra_note=f", {skews} subband join skew(s)" if skews else "",
+            src_meta={"ring": args.key})
         return 0
     finally:
         for ring in rings:
             ring.close()
+
+
+def _finish_monitor_search(mon, src: str, args, meta, dms, n_blocks,
+                           extra_note: str = "", src_meta=None) -> None:
+    """Shared tail of the monitor-fed search paths (`--key` ring
+    consumer, `--stream` file feed): summary line, candidate table,
+    optional .cand file."""
+    from dsabeamformer_tpu.ops.dedisperse import (
+        Candidate,
+        write_candidates,
+    )
+
+    cands = sorted(mon.candidates, key=lambda c: -c.snr)
+    print(f"# {src}: {n_blocks} block(s), "
+          f"{mon.searched_windows} window(s), {len(cands)} "
+          f"candidate(s)"
+          + (f" (+{mon.rfi_rejected} coincidence-rejected RFI)"
+             if mon.rfi_rejected else "")
+          + (f", {mon.gaps} stream gap(s)" if mon.gaps else "")
+          + extra_note, file=sys.stderr)
+    print(Candidate.HEADER)
+    for c in cands[: args.limit]:
+        print(c.row())
+    if args.cand:
+        write_candidates(args.cand, cands, dict(src_meta or {}, **{
+            "beam": args.beam,
+            "tsamp_s": meta["tsamp_s"],
+            "f_lo_mhz": meta["f_lo_mhz"],
+            "f_hi_mhz": meta["f_hi_mhz"],
+            "n_dm_trials": len(dms), "dm_min": dms[0],
+            "dm_max": dms[-1], "threshold": args.threshold,
+            "live": True, "coincidence_rejected": mon.rfi_rejected,
+        }))
+        print(f"# wrote {args.cand} ({len(cands)} candidates)",
+              file=sys.stderr)
+
+
+def _search_stream_file(args) -> int:
+    """``dsabf search big.dada --stream``: block-fed offline search of
+    ONE DADA product through the SearchMonitor — the product memmap is
+    read one block at a time, so peak memory is a block, not the
+    observation (a whole-night 256-beam product doesn't fit in host
+    RAM as a beam stack).  Coincidence applies per window (the live
+    semantics) instead of over the whole run."""
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+    from dsabeamformer_tpu.models.weights import parse_zap
+    from dsabeamformer_tpu.ops.dedisperse import (
+        DEFAULT_WIDTHS,
+        SearchMonitor,
+        dm_trial_grid,
+    )
+    from dsabeamformer_tpu.utils.quicklook import (
+        _STOKES_INDEX,
+        _dada_meta,
+    )
+
+    path = args.paths[0]
+    try:
+        hdr, powers = read_product_file(path)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if powers.shape[0] == 0:
+        print("error: product file has no complete blocks",
+              file=sys.stderr)
+        return 1
+    inco = powers.ndim == 3
+    stokes = powers.ndim == 5
+    if args.stokes != "I" and not stokes:
+        print(f"error: no Stokes {args.stokes}: power-only product",
+              file=sys.stderr)
+        return 1
+    meta = _dada_meta(hdr, 0, args.stokes, powers.shape[1])
+    for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
+        if key not in meta:
+            print(f"error: cannot search: product header lacks {key}",
+                  file=sys.stderr)
+            return 1
+    try:
+        target = _parse_beam_target(
+            args.beam, None if inco else int(powers.shape[-1]))
+    except ValueError as e:
+        print(f"error: bad --beam spec: {e}", file=sys.stderr)
+        return 1
+    if inco and target not in ("incoherent", 0):
+        print(f"error: --beam {args.beam}: this product has no beam "
+              f"axis (the incoherent product sums all antennas)",
+              file=sys.stderr)
+        return 1
+    if target == "incoherent" and not inco:
+        print("error: --beam incoherent needs an INCOHERENT_POWER "
+              "product", file=sys.stderr)
+        return 1
+    tsamp = float(meta["tsamp_s"])
+    if args.dm_step:
+        dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
+                        args.dm_step)
+    else:
+        dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"], tsamp,
+                            dm_max=args.dm_max, dm_min=args.dm_min,
+                            tol=args.dm_tol)
+    err = _dm_grid_error(dms, tsamp, args.dm_max)
+    if err:
+        print(f"error: {err}", file=sys.stderr)
+        return 1
+    freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"],
+                        powers.shape[1])
+    try:
+        mon = SearchMonitor(
+            freqs, tsamp, dms,
+            beam=0 if inco else target, incoherent=inco,
+            threshold=args.threshold,
+            widths=(tuple(args.widths) if args.widths
+                    else DEFAULT_WIDTHS),
+            chunk_t=args.chunk, topk=args.topk,
+            zap=parse_zap(args.zap) if args.zap else None,
+            zerodm=args.zerodm, method=args.method,
+            on_candidate=_emit_search_candidate,
+            coincidence=not args.no_coincidence,
+            coincidence_frac=args.coincidence_frac,
+            on_rfi=_emit_search_rfi)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    n = powers.shape[0] if args.blocks is None else min(
+        args.blocks, powers.shape[0])
+    s_idx = _STOKES_INDEX[args.stokes]
+    try:
+        for i in range(n):
+            blk = powers[i]
+            if stokes:
+                blk = blk[:, :, s_idx]  # [F, T, B] plane
+            if inco:
+                mon.observe(i, None, inco=blk)
+            else:
+                mon.observe(i, np.ascontiguousarray(blk))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    mon.flush()
+    _finish_monitor_search(mon, path, args, meta, dms, n,
+                           src_meta={"file": path, "stream": True})
+    return 0
 
 
 def cmd_search(args) -> int:
@@ -1575,6 +1698,12 @@ def cmd_search(args) -> int:
     if not args.paths:
         print("error: need product file(s) or --key", file=sys.stderr)
         return 1
+    if args.stream:
+        if len(args.paths) != 1:
+            print("error: --stream takes ONE DADA product (per-beam "
+                  ".fil sets load whole by design)", file=sys.stderr)
+            return 1
+        return _search_stream_file(args)
     # Beam spec: an index, a '3,7,100-110' set, or 'all'.  Multiple
     # input files (the per-beam .fil layout dsabf run --fil-dir
     # writes) each contribute their own beam.
@@ -2251,6 +2380,11 @@ def main(argv=None) -> int:
                    help="give up after this many seconds without data "
                         "(default: wait until end-of-data — producer "
                         "warmup compiles take tens of seconds)")
+    p.add_argument("--stream", action="store_true",
+                   help="feed ONE DADA product block-by-block through "
+                        "the streaming monitor instead of loading it "
+                        "whole — bounded memory for whole-night "
+                        "products (coincidence applies per window)")
     p.add_argument("--blocks", type=int,
                    help="stop after N ring blocks (default: until "
                         "end-of-data)")

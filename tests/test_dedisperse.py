@@ -970,3 +970,42 @@ def test_search_review_fixes(tmp_path, capsys):
         assert rc == 0, err
         assert "waiting for data" in err and "--max-idle" in err
         r.destroy()
+
+
+def test_cli_search_stream_matches_whole(tiny_cfg, tmp_path, capsys):
+    """--stream (block-fed monitor) finds the same candidates as the
+    whole-load search on the same DADA product."""
+    from dsabeamformer_tpu.cli import main as cli_main
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    dm = (16 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-dm", str(dm), "--pulse-t0", "8",
+                     "--pulse-width", "6", "--blocks", "6", "--distinct",
+                     "2", "--out-file", str(cap)]) == 0
+    out = tmp_path / "out.dada"
+    assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                     "--input-file", str(cap),
+                     "--output-file", str(out)]) == 0
+    base = ["search", str(out), "--beam", "all", "--no-coincidence",
+            "--dm-max", str(2 * dm), "--threshold", "8",
+            "--widths", "1", "2", "4"]
+    capsys.readouterr()
+    assert cli_main(base) == 0
+    whole = [l for l in capsys.readouterr().out.splitlines()
+             if l.strip() and not l.startswith("#")]
+    assert cli_main(base + ["--stream"]) == 0
+    streamed = [l for l in capsys.readouterr().out.splitlines()
+                if l.strip() and not l.startswith("#")]
+    assert whole and streamed == whole
+    # --stream with several paths is rejected; bad beam too
+    capsys.readouterr()
+    assert cli_main(["search", str(out), str(out), "--stream",
+                     "--dm-max", "1"]) == 1
+    assert cli_main(["search", str(out), "--stream", "--beam", "99",
+                     "--dm-max", str(2 * dm)]) == 1
+    assert "out of range" in capsys.readouterr().err
