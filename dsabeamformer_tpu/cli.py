@@ -647,6 +647,16 @@ def _cmd_run_pinned(args) -> int:
         return 130
     finally:
         if sink is not None:
+            out_drops = getattr(sink, "dropped", 0)
+            if out_drops:
+                # writer-never-blocks is the real-time contract, but
+                # the loss must be VISIBLE: an absent/slow downstream
+                # consumer (e.g. `dsabf search --key` still importing)
+                # otherwise silently eats product blocks
+                print(f"[dsabf] WARNING: output ring dropped "
+                      f"{out_drops} product block(s) — downstream "
+                      f"consumer absent or too slow (it sees seq gaps)",
+                      file=sys.stderr)
             sink.close()
             if getattr(sink, "nbits", 32) == 8:
                 print(f"[dsabf] 8-bit per-beam scales written to "

@@ -254,6 +254,12 @@ class RingSink:
     def write(self, seq: int, powers: np.ndarray) -> None:
         self.ring.write_block(np.ascontiguousarray(powers, dtype=np.float32))
 
+    @property
+    def dropped(self) -> int:
+        """Product blocks the ring discarded because the downstream
+        consumer was absent or too slow (writer never blocks)."""
+        return self.ring.dropped
+
     def close(self) -> None:
         """Mark end-of-data for the downstream consumer, then detach.
         Safe on every exit path (idempotent at the C layer)."""

@@ -1009,3 +1009,30 @@ def test_cli_search_stream_matches_whole(tiny_cfg, tmp_path, capsys):
     assert cli_main(["search", str(out), "--stream", "--beam", "99",
                      "--dm-max", str(2 * dm)]) == 1
     assert "out of range" in capsys.readouterr().err
+
+
+def test_cli_run_reports_output_ring_drops(tiny_cfg, tmp_path, capsys):
+    """Writer-never-blocks on the output product ring must be VISIBLE:
+    with no consumer and a small ring, run warns about dropped product
+    blocks."""
+    import os as _os
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--blocks", "6",
+                     "--out-file", str(cap)]) == 0
+    key = f"tdrop{_os.getpid()}"
+    capsys.readouterr()
+    try:
+        assert cli_main(["run", "--config", "tiny",
+                         "--input-file", str(cap), "--output-key", key,
+                         "--nbufs", "2"]) == 0
+        err = capsys.readouterr().err
+        assert "output ring dropped" in err
+    finally:
+        try:
+            RingBuffer(key, connect_timeout_s=1).destroy()
+        except Exception:
+            pass
