@@ -262,6 +262,20 @@ def _emit_search_rfi(ev):
 _DM_TRIAL_CAP = 262144
 
 
+def _epoch_meta(meta) -> dict:
+    """Observation-epoch fields from a product header, for .cand files
+    (candidate times are product-relative; the epoch anchors them):
+    .fil tstart [MJD], DADA MJD_START / UTC_START when stamped."""
+    out = {}
+    if meta.get("tstart"):
+        out["tstart_mjd"] = meta["tstart"]
+    if meta.get("MJD_START"):
+        out["tstart_mjd"] = meta["MJD_START"]
+    if meta.get("UTC_START"):
+        out["utc_start"] = meta["UTC_START"]
+    return out
+
+
 def _dm_grid_error(dms, tsamp, dm_max):
     if len(dms) <= _DM_TRIAL_CAP:
         return None
@@ -395,6 +409,14 @@ def _cmd_run_pinned(args) -> int:
     out_mult = 4 if args.products == "stokes" else 1
     sink = None
     inco_sink = None
+    # Observation epoch: stamped into every product header so
+    # downstream tooling can place candidates on an absolute timeline
+    # (PSRDADA convention: UTC_START; .fil carries tstart MJD).
+    epoch_hdr = {}
+    if args.utc_start:
+        epoch_hdr["UTC_START"] = args.utc_start
+    if args.tstart_mjd:
+        epoch_hdr["MJD_START"] = repr(args.tstart_mjd)
     try:
         if args.fil_dir:
             from dsabeamformer_tpu.ingest.sigproc import FilterbankSink
@@ -408,14 +430,17 @@ def _cmd_run_pinned(args) -> int:
                                   tstart_mjd=args.tstart_mjd,
                                   nbits=args.fil_bits, scale=scale)
         elif args.output_file:
-            sink = FileSink(args.output_file, cfg, products=args.products)
+            sink = FileSink(args.output_file, cfg, products=args.products,
+                            extra_header=epoch_hdr)
         elif args.output_key:
             out_bytes = int(np.prod(cfg.out_block_shape)) * 4 * out_mult
             out_ring = RingBuffer(args.output_key, create=True,
                                   nbufs=args.nbufs, bufsz=out_bytes)
-            sink = RingSink(out_ring, cfg, products=args.products)
+            sink = RingSink(out_ring, cfg, products=args.products,
+                            extra_header=epoch_hdr)
         inco_sink = (FileSink(args.incoherent_file, cfg,
-                              products="incoherent")
+                              products="incoherent",
+                              extra_header=epoch_hdr)
                      if args.incoherent_file else None)
         if inco_sink is not None and getattr(args, "zap", None):
             # The incoherent product is data-side — weight zapping
@@ -1553,15 +1578,17 @@ def _finish_monitor_search(mon, src: str, args, meta, dms, n_blocks,
     for c in cands[: args.limit]:
         print(c.row())
     if args.cand:
-        write_candidates(args.cand, cands, dict(src_meta or {}, **{
-            "beam": args.beam,
-            "tsamp_s": meta["tsamp_s"],
-            "f_lo_mhz": meta["f_lo_mhz"],
-            "f_hi_mhz": meta["f_hi_mhz"],
-            "n_dm_trials": len(dms), "dm_min": dms[0],
-            "dm_max": dms[-1], "threshold": args.threshold,
-            "live": True, "coincidence_rejected": mon.rfi_rejected,
-        }))
+        write_candidates(args.cand, cands, dict(
+            src_meta or {}, **_epoch_meta(meta), **{
+                "beam": args.beam,
+                "tsamp_s": meta["tsamp_s"],
+                "f_lo_mhz": meta["f_lo_mhz"],
+                "f_hi_mhz": meta["f_hi_mhz"],
+                "n_dm_trials": len(dms), "dm_min": dms[0],
+                "dm_max": dms[-1], "threshold": args.threshold,
+                "live": True,
+                "coincidence_rejected": mon.rfi_rejected,
+            }))
         print(f"# wrote {args.cand} ({len(cands)} candidates)",
               file=sys.stderr)
 
@@ -1839,14 +1866,14 @@ def cmd_search(args) -> int:
         print(f"# ... {len(cands) - args.limit} more (raise --limit, "
               f"or see --cand file)")
     if args.cand:
-        write_candidates(args.cand, cands, {
+        write_candidates(args.cand, cands, dict(_epoch_meta(meta), **{
             "file": src, "beams": len(spectra),
             "stokes": meta["stokes"], "tsamp_s": tsamp,
             "f_lo_mhz": meta["f_lo_mhz"], "f_hi_mhz": meta["f_hi_mhz"],
             "n_dm_trials": len(dms), "dm_min": dms[0], "dm_max": dms[-1],
             "widths": list(widths), "threshold": args.threshold,
             "coincidence_rejected": n_rfi,
-        })
+        }))
         print(f"# wrote {args.cand} ({len(cands)} candidates)",
               file=sys.stderr)
     return 0
@@ -2048,9 +2075,13 @@ def main(argv=None) -> int:
     p.add_argument("--fil-beams",
                    help="comma-separated beam indices for --fil-dir "
                         "(default: all beams)")
+    p.add_argument("--utc-start",
+                   help="observation start (PSRDADA UTC_START string) "
+                        "stamped into DADA product headers")
     p.add_argument("--tstart-mjd", type=float, default=0.0,
                    help="observation start MJD stamped into --fil-dir "
-                        "headers")
+                        "headers (tstart) and DADA product headers "
+                        "(MJD_START)")
     p.add_argument("--fil-bits", type=int, default=32, choices=[8, 32],
                    help="filterbank sample width; 8 quarters product IO "
                         "(power only — what search back-ends ingest)")

@@ -198,7 +198,7 @@ class FileSink:
     RingSink's output stream header."""
 
     def __init__(self, path: str | Path, cfg: Optional[ObsConfig] = None,
-                 products: str = "power"):
+                 products: str = "power", extra_header=None):
         self._f = open(path, "wb")
         if cfg is not None and str(path).endswith(".dada"):
             f_out, t_out, b_out = cfg.out_block_shape
@@ -209,6 +209,7 @@ class FileSink:
             if products != "incoherent":
                 # The incoherent product has no beam axis ([F', T']).
                 extra["OUT_NBEAM"] = b_out
+            extra.update(extra_header or {})
             text = dada.encode_header(
                 cfg,
                 HDR_SIZE=dada.DADA_HDR_SIZE,
@@ -235,11 +236,12 @@ class RingSink:
     DADA header analog) when given the config."""
 
     def __init__(self, ring: RingBuffer, cfg: Optional[ObsConfig] = None,
-                 products: str = "power"):
+                 products: str = "power", extra_header=None):
         self.ring = ring
         if cfg is not None:
             f, t, b = cfg.out_block_shape
             extra = {"OUT_NSTOKES": 4} if products == "stokes" else {}
+            extra.update(extra_header or {})
             self.ring.write_header(dada.encode_header(
                 cfg,
                 PAYLOAD=("BEAM_STOKES_IQUV" if products == "stokes"

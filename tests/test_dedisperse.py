@@ -1036,3 +1036,39 @@ def test_cli_run_reports_output_ring_drops(tiny_cfg, tmp_path, capsys):
             RingBuffer(key, connect_timeout_s=1).destroy()
         except Exception:
             pass
+
+
+def test_epoch_stamping_flows_to_cand(tiny_cfg, tmp_path, capsys):
+    """run --utc-start/--tstart-mjd stamp the DADA product header and
+    the epoch rides into the .cand file, anchoring candidate times."""
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+    from dsabeamformer_tpu.ops.dedisperse import read_candidates
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    dm = (16 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-dm", str(dm), "--pulse-t0", "8",
+                     "--pulse-width", "6", "--blocks", "6", "--distinct",
+                     "2", "--out-file", str(cap)]) == 0
+    out = tmp_path / "out.dada"
+    assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                     "--input-file", str(cap), "--output-file", str(out),
+                     "--utc-start", "2026-08-18-04:00:00",
+                     "--tstart-mjd", "61270.1666"]) == 0
+    hdr, _ = read_product_file(out)
+    assert hdr["UTC_START"] == "2026-08-18-04:00:00"
+    assert float(hdr["MJD_START"]) == pytest.approx(61270.1666)
+    cand = tmp_path / "e.cand"
+    capsys.readouterr()
+    assert cli_main(["search", str(out), "--beam", "all",
+                     "--no-coincidence", "--dm-max", str(2 * dm),
+                     "--threshold", "8", "--widths", "1", "2", "4",
+                     "--cand", str(cand)]) == 0
+    meta, _ = read_candidates(cand)
+    assert meta["utc_start"] == "2026-08-18-04:00:00"
+    assert float(meta["tstart_mjd"]) == pytest.approx(61270.1666)
