@@ -1072,3 +1072,45 @@ def test_epoch_stamping_flows_to_cand(tiny_cfg, tmp_path, capsys):
     meta, _ = read_candidates(cand)
     assert meta["utc_start"] == "2026-08-18-04:00:00"
     assert float(meta["tstart_mjd"]) == pytest.approx(61270.1666)
+
+
+def test_cli_search_live_ring_stokes(tiny_cfg, tmp_path, capsys):
+    """The ring consumer searches Stokes products (plane I of
+    [F, T, 4, B] blocks) end-to-end."""
+    import os as _os
+
+    from dsabeamformer_tpu.cli import main as cli_main
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    dm = (16 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    cap = tmp_path / "cap.dada"
+    assert cli_main(["simulate", "--config", "tiny", "--set", "navg_time=2",
+                     "--pulse-dm", str(dm), "--pulse-t0", "8",
+                     "--pulse-width", "6", "--blocks", "6", "--distinct",
+                     "2", "--out-file", str(cap)]) == 0
+    key = f"tstok{_os.getpid()}"
+    try:
+        assert cli_main(["run", "--config", "tiny", "--set", "navg_time=2",
+                         "--input-file", str(cap), "--output-key", key,
+                         "--products", "stokes", "--nbufs", "10"]) == 0
+        capsys.readouterr()
+        rc = cli_main(["search", "--key", key, "--beam", "all",
+                       "--no-coincidence", "--dm-max", str(2 * dm),
+                       "--threshold", "8", "--widths", "1", "2", "4",
+                       "--timeout", "2"])
+        assert rc == 0
+        out = capsys.readouterr()
+        assert "BEAM_STOKES_IQUV" in out.err
+        rows = [l.split() for l in out.out.splitlines()
+                if l.strip() and not l.startswith("#")]
+        assert rows
+        assert int(rows[0][9]) in (cfg.n_beams // 2 - 1, cfg.n_beams // 2)
+    finally:
+        try:
+            RingBuffer(key, connect_timeout_s=1).destroy()
+        except Exception:
+            pass
