@@ -317,10 +317,18 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
             p_mat = sq[:, :a_compute] + sq[:, a_compute:]  # [P*tt, a]
             ant = jax.lax.broadcasted_iota(jnp.int32, (a_compute, 1), 0)
             ones = (ant < sk_active).astype(jnp.float32)
+            # p <= 128 is bf16-exact, so s1 rides the MXU at default
+            # precision; p^2 <= 16384 is NOT (bf16 holds integers to
+            # 256), and the Mosaic default truncates the s2 operand to
+            # bf16 — measured 7.7e-4 systematic s2 deficit on v5e.
+            # HIGHEST forces the 3-pass f32 matvec (cost is ~0.1% of
+            # the main GEMM's MACs, same argument as the incoherent
+            # matvec above).
             s1v = jnp.dot(p_mat, ones,
                           preferred_element_type=jnp.float32)
             s2v = jnp.dot(p_mat * p_mat, ones,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (1, sk_ref.shape[2]), 1)
             row = jnp.where(lane == 0, s1v.sum(), 0.0) \
