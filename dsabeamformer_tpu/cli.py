@@ -1320,15 +1320,10 @@ def _search_live_ring(args) -> int:
     DM resolution — the sweep is measured ACROSS the band."""
     from dsabeamformer_tpu.ingest import dada
     from dsabeamformer_tpu.ingest.ring import RingBuffer
-    from dsabeamformer_tpu.models.weights import parse_zap
-    from dsabeamformer_tpu.ops.dedisperse import (
-        Candidate,
-        DEFAULT_WIDTHS,
-        SearchMonitor,
-        dm_trial_grid,
-        write_candidates,
+    from dsabeamformer_tpu.utils.quicklook import (
+        _STOKES_INDEX,
+        _dada_meta,
     )
-    from dsabeamformer_tpu.utils.quicklook import _dada_meta
 
     keys = [k.strip() for k in args.key.split(",") if k.strip()]
     if not keys:
@@ -1411,57 +1406,19 @@ def _search_live_ring(args) -> int:
         shapes = [e[4] for e in entries]
         shape = list(shapes[0])
         shape[0] = sum(s[0] for s in shapes)  # joined channel count
-        meta = _dada_meta(hdr, 0, "I", shape[0])
-        for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
-            if key not in meta:
-                print(f"error: cannot search: ring header lacks the "
-                      f"band/cadence fields ({key})", file=sys.stderr)
-                return 1
+        stokes = payload == "BEAM_STOKES_IQUV"
+        if args.stokes != "I" and not stokes:
+            print(f"error: no Stokes {args.stokes}: {payload} ring "
+                  f"carries no Stokes axis", file=sys.stderr)
+            return 1
+        s_idx = _STOKES_INDEX[args.stokes]
+        meta = _dada_meta(hdr, 0, args.stokes, shape[0])
         try:
             # beam indices validated against the ring's OWN beam count
             # here at attach time, not on the first observed block
-            target = _parse_beam_target(
-                args.beam, None if inco else shape[-1])
-        except ValueError as e:
-            print(f"error: bad --beam spec: {e}", file=sys.stderr)
-            return 1
-        if inco and target not in ("incoherent", 0):
-            print(f"error: --beam {args.beam}: {payload} has no beam "
-                  f"axis (the incoherent product sums all antennas)",
-                  file=sys.stderr)
-            return 1
-        if target == "incoherent" and not inco:
-            print("error: --beam incoherent needs an "
-                  "INCOHERENT_POWER ring", file=sys.stderr)
-            return 1
-        beam_arg = 0 if inco else target
-        if args.dm_step:
-            dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
-                            args.dm_step)
-        else:
-            dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"],
-                                float(meta["tsamp_s"]),
-                                dm_max=args.dm_max, dm_min=args.dm_min,
-                                tol=args.dm_tol)
-        err = _dm_grid_error(dms, float(meta["tsamp_s"]), args.dm_max)
-        if err:
-            print(f"error: {err}", file=sys.stderr)
-            return 1
-
-        freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], shape[0])
-        try:
-            mon = SearchMonitor(
-                freqs, float(meta["tsamp_s"]), dms, beam=beam_arg,
-                incoherent=inco, threshold=args.threshold,
-                widths=(tuple(args.widths) if args.widths
-                        else DEFAULT_WIDTHS),
-                chunk_t=args.chunk, topk=args.topk,
-                zap=parse_zap(args.zap) if args.zap else None,
-                zerodm=args.zerodm, method=args.method,
-                on_candidate=_emit_search_candidate,
-                coincidence=not args.no_coincidence,
-                coincidence_frac=args.coincidence_frac,
-                on_rfi=_emit_search_rfi)
+            mon, dms = _build_search_monitor(
+                args, meta, inco, None if inco else shape[-1],
+                shape[0], src_kind="ring")
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -1537,6 +1494,8 @@ def _search_live_ring(args) -> int:
                 if inco:
                     mon.observe(target, None, inco=block)
                 else:
+                    if stokes:  # [F, T, S, B] -> requested plane
+                        block = np.ascontiguousarray(block[:, :, s_idx])
                     mon.observe(target, block)
                 n += 1
         except KeyboardInterrupt:
@@ -1549,18 +1508,74 @@ def _search_live_ring(args) -> int:
         _finish_monitor_search(
             mon, f"ring {args.key}", args, meta, dms, n,
             extra_note=f", {skews} subband join skew(s)" if skews else "",
-            src_meta={"ring": args.key})
+            src_meta={"ring": args.key, "live": True})
         return 0
     finally:
         for ring in rings:
             ring.close()
 
 
+def _build_search_monitor(args, meta, inco: bool, n_beams, n_chan: int,
+                          src_kind: str = "product"):
+    """Shared head of the monitor-fed search paths (`--key` ring
+    consumer, `--stream` file feed): band/cadence-field validation,
+    beam-target validation, DM-trial grid, SearchMonitor construction.
+    Returns ``(mon, dms)``; raises ValueError with a printable message
+    (call sites print ``error: {e}`` and exit 1)."""
+    from dsabeamformer_tpu.models.weights import parse_zap
+    from dsabeamformer_tpu.ops.dedisperse import (
+        DEFAULT_WIDTHS,
+        SearchMonitor,
+        dm_trial_grid,
+    )
+
+    for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
+        if key not in meta:
+            raise ValueError(f"cannot search: {src_kind} header lacks "
+                             f"the band/cadence fields ({key})")
+    try:
+        target = _parse_beam_target(args.beam, None if inco else n_beams)
+    except ValueError as e:
+        raise ValueError(f"bad --beam spec: {e}")
+    if inco and target not in ("incoherent", 0):
+        raise ValueError(
+            f"--beam {args.beam}: this {src_kind} has no beam axis "
+            f"(the incoherent product sums all antennas)")
+    if target == "incoherent" and not inco:
+        raise ValueError(f"--beam incoherent needs an INCOHERENT_POWER "
+                         f"{src_kind}")
+    tsamp = float(meta["tsamp_s"])
+    if args.dm_step:
+        dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
+                        args.dm_step)
+    else:
+        dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"], tsamp,
+                            dm_max=args.dm_max, dm_min=args.dm_min,
+                            tol=args.dm_tol)
+    err = _dm_grid_error(dms, tsamp, args.dm_max)
+    if err:
+        raise ValueError(err)
+    freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"], n_chan)
+    mon = SearchMonitor(
+        freqs, tsamp, dms, beam=0 if inco else target, incoherent=inco,
+        threshold=args.threshold,
+        widths=tuple(args.widths) if args.widths else DEFAULT_WIDTHS,
+        chunk_t=args.chunk, topk=args.topk,
+        zap=parse_zap(args.zap) if args.zap else None,
+        zerodm=args.zerodm, method=args.method,
+        on_candidate=_emit_search_candidate,
+        coincidence=not args.no_coincidence,
+        coincidence_frac=args.coincidence_frac,
+        on_rfi=_emit_search_rfi)
+    return mon, dms
+
+
 def _finish_monitor_search(mon, src: str, args, meta, dms, n_blocks,
                            extra_note: str = "", src_meta=None) -> None:
     """Shared tail of the monitor-fed search paths (`--key` ring
     consumer, `--stream` file feed): summary line, candidate table,
-    optional .cand file."""
+    optional .cand file.  Source-specific metadata (``live``, ``ring``,
+    ``file``, ``stream``) comes in via ``src_meta``."""
     from dsabeamformer_tpu.ops.dedisperse import (
         Candidate,
         write_candidates,
@@ -1584,9 +1599,9 @@ def _finish_monitor_search(mon, src: str, args, meta, dms, n_blocks,
                 "tsamp_s": meta["tsamp_s"],
                 "f_lo_mhz": meta["f_lo_mhz"],
                 "f_hi_mhz": meta["f_hi_mhz"],
+                "stokes": args.stokes,
                 "n_dm_trials": len(dms), "dm_min": dms[0],
                 "dm_max": dms[-1], "threshold": args.threshold,
-                "live": True,
                 "coincidence_rejected": mon.rfi_rejected,
             }))
         print(f"# wrote {args.cand} ({len(cands)} candidates)",
@@ -1601,12 +1616,6 @@ def _search_stream_file(args) -> int:
     RAM as a beam stack).  Coincidence applies per window (the live
     semantics) instead of over the whole run."""
     from dsabeamformer_tpu.ingest.dada import read_product_file
-    from dsabeamformer_tpu.models.weights import parse_zap
-    from dsabeamformer_tpu.ops.dedisperse import (
-        DEFAULT_WIDTHS,
-        SearchMonitor,
-        dm_trial_grid,
-    )
     from dsabeamformer_tpu.utils.quicklook import (
         _STOKES_INDEX,
         _dada_meta,
@@ -1629,54 +1638,10 @@ def _search_stream_file(args) -> int:
               file=sys.stderr)
         return 1
     meta = _dada_meta(hdr, 0, args.stokes, powers.shape[1])
-    for key in ("f_lo_mhz", "f_hi_mhz", "tsamp_s"):
-        if key not in meta:
-            print(f"error: cannot search: product header lacks {key}",
-                  file=sys.stderr)
-            return 1
     try:
-        target = _parse_beam_target(
-            args.beam, None if inco else int(powers.shape[-1]))
-    except ValueError as e:
-        print(f"error: bad --beam spec: {e}", file=sys.stderr)
-        return 1
-    if inco and target not in ("incoherent", 0):
-        print(f"error: --beam {args.beam}: this product has no beam "
-              f"axis (the incoherent product sums all antennas)",
-              file=sys.stderr)
-        return 1
-    if target == "incoherent" and not inco:
-        print("error: --beam incoherent needs an INCOHERENT_POWER "
-              "product", file=sys.stderr)
-        return 1
-    tsamp = float(meta["tsamp_s"])
-    if args.dm_step:
-        dms = np.arange(args.dm_min, args.dm_max + args.dm_step,
-                        args.dm_step)
-    else:
-        dms = dm_trial_grid(meta["f_lo_mhz"], meta["f_hi_mhz"], tsamp,
-                            dm_max=args.dm_max, dm_min=args.dm_min,
-                            tol=args.dm_tol)
-    err = _dm_grid_error(dms, tsamp, args.dm_max)
-    if err:
-        print(f"error: {err}", file=sys.stderr)
-        return 1
-    freqs = np.linspace(meta["f_lo_mhz"], meta["f_hi_mhz"],
-                        powers.shape[1])
-    try:
-        mon = SearchMonitor(
-            freqs, tsamp, dms,
-            beam=0 if inco else target, incoherent=inco,
-            threshold=args.threshold,
-            widths=(tuple(args.widths) if args.widths
-                    else DEFAULT_WIDTHS),
-            chunk_t=args.chunk, topk=args.topk,
-            zap=parse_zap(args.zap) if args.zap else None,
-            zerodm=args.zerodm, method=args.method,
-            on_candidate=_emit_search_candidate,
-            coincidence=not args.no_coincidence,
-            coincidence_frac=args.coincidence_frac,
-            on_rfi=_emit_search_rfi)
+        mon, dms = _build_search_monitor(
+            args, meta, inco, None if inco else int(powers.shape[-1]),
+            int(powers.shape[1]), src_kind="product")
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
