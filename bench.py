@@ -54,7 +54,7 @@ def main() -> int:
     from dsabeamformer_tpu.models.weights import make_weights
     from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
     from dsabeamformer_tpu.ops.quantize import quantize_weights
-    from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
+    from dsabeamformer_tpu.utils.metrics import mxu_utilization_both
 
     cfg = DSA10  # the deployed default, unmodified
     n_blocks = 16
@@ -92,17 +92,14 @@ def main() -> int:
 
     rt = cfg.block_duration_s / best
     gbs = cfg.wire_block_bytes / best / 1e9
-    macs_per_s = cfg.macs_per_block * cfg.n_weight_terms / best
-    peak = peak_macs_per_s(True)
-    util = None if peak is None else macs_per_s / peak
-    # Dual accounting (BENCH.md): macs_per_block counts the SLICED K
-    # actually issued (a_compute antennas); the reference formulation
-    # contracts the full padded n_ant, so its utilization number for
-    # the same wall time is n_ant/a_compute larger — report both.
-    pad_ratio = cfg.n_ant / cfg.a_compute
+    # Dual accounting (BENCH.md) via the ONE shared helper the driver
+    # stats line and `dsabf bench` also use: issued-MACs (sliced K the
+    # kernel dispatches) vs the reference's padded-K formulation.
+    util = mxu_utilization_both(
+        cfg.macs_per_block * cfg.n_weight_terms, best, cfg)
     util_s = "n/a" if util is None else (
-        f"{100 * util:.1f}% issued-MACs "
-        f"({100 * util * pad_ratio:.1f}% in the reference's padded-K "
+        f"{100 * util['issued']:.1f}% issued-MACs "
+        f"({100 * util['padded_k']:.1f}% in the reference's padded-K "
         f"accounting)"
     )
     print(

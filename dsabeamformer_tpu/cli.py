@@ -345,13 +345,21 @@ def cmd_run(args) -> int:
 def _cmd_run_pinned(args) -> int:
     from dsabeamformer_tpu.ingest.ring import RingBuffer
     from dsabeamformer_tpu.pipeline import (
-        FileSink, FileSource, RingSink, RingSource, StreamingBeamformer,
+        FileSink, FileSource, MeshStreamingBeamformer, RingSink, RingSource,
+        StreamingBeamformer,
     )
 
     if args.fil_dir and (args.output_file or args.output_key):
         # Validate before the (expensive) warmup compile.
         print("error: --fil-dir is exclusive with --output-file/"
               "--output-key (one product sink per run)", file=sys.stderr)
+        return 2
+    if args.mesh and args.device is not None:
+        # Channel-mesh streaming (BASELINE configs 4x5): one process
+        # drives all N ICI-connected chips — pinning to one device
+        # contradicts that.
+        print("error: --device pins one chip; --mesh owns the whole "
+              "slice (pick one)", file=sys.stderr)
         return 2
 
     cfg = _load_cfg(args)
@@ -530,10 +538,27 @@ def _cmd_run_pinned(args) -> int:
     # Compile the hot path before attaching to the stream.  The sink
     # goes in now so its device-side post-transform (8-bit fil
     # quantizer) compiles during warmup too.
-    warm = StreamingBeamformer(cfg, qw, source=None, sink=sink,
-                               products=args.products,
-                               incoherent_sink=inco_sink,
-                               flag_ants=_flag_ant_list(args))
+    if args.mesh:
+        from dsabeamformer_tpu.parallel.sharding import make_mesh
+
+        try:
+            mesh = make_mesh(args.mesh)
+            warm = MeshStreamingBeamformer(cfg, qw, source=None, sink=sink,
+                                           mesh=mesh, products=args.products,
+                                           incoherent_sink=inco_sink,
+                                           flag_ants=_flag_ant_list(args))
+        except ValueError as e:
+            print(f"error: --mesh {args.mesh}: {e}", file=sys.stderr)
+            if sink is not None:
+                sink.close()
+            return 2
+        print(f"[dsabf] mesh: {args.mesh} device(s) x "
+              f"{cfg.n_chan // args.mesh} channels each", file=sys.stderr)
+    else:
+        warm = StreamingBeamformer(cfg, qw, source=None, sink=sink,
+                                   products=args.products,
+                                   incoherent_sink=inco_sink,
+                                   flag_ants=_flag_ant_list(args))
     warm.search_monitor = search_monitor
 
     rfi_monitor = None
@@ -900,6 +925,10 @@ def cmd_info(args) -> int:
         "devices": [d.device_kind for d in devs],
         "n_devices": len(devs),
         "peak_int8_macs_per_s": peak_macs_per_s(True),
+        # The utilization reporters (bench.py, the stats line) emit two
+        # labeled accountings through utils.metrics.mxu_utilization_both;
+        # this ratio converts between them: padded_k = issued * ratio.
+        "mxu_padded_k_over_issued": round(cfg.n_ant / cfg.a_compute, 4),
         "config": cfg.name,
         "wire_block_bytes": cfg.wire_block_bytes,
         "block_duration_s": cfg.block_duration_s,
@@ -2139,6 +2168,10 @@ def main(argv=None) -> int:
                    help="source declination (rad), sets the drift rate")
     p.add_argument("--device", type=int,
                    help="pin to this local device index (multi-chip host)")
+    p.add_argument("--mesh", type=int,
+                   help="stream through a channel-sharded mesh of N "
+                        "ICI-connected devices (one process drives the "
+                        "whole slice; N must divide the channel count)")
     p.add_argument("--depth", type=int, default=2, help="blocks in flight")
     p.add_argument("--blocks", type=int, help="stop after N blocks")
     p.add_argument("--latest", action="store_true",

@@ -70,6 +70,19 @@ def sharded_wire_sharding(cfg: ObsConfig, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, AXIS))
 
 
+def place_weights(qw: QuantWeights, mesh: Mesh) -> QuantWeights:
+    """Re-place an already-quantized ``QuantWeights`` with the
+    channel-sharded layout (terms ``[F, B, K]`` split on F, scales
+    ``[F, B]`` split on F).  This is the mid-stream weight-update path
+    for the mesh driver: trackers/cal solvers produce ordinary
+    QuantWeights; the swap-in re-shards without regeneration."""
+    term_sharding = NamedSharding(mesh, P(AXIS, None, None))
+    return QuantWeights(
+        terms=tuple(jax.device_put(t, term_sharding) for t in qw.terms),
+        scales=jax.device_put(qw.scales, NamedSharding(mesh, P(AXIS, None))),
+    )
+
+
 def shard_weights(
     cfg: ObsConfig,
     mesh: Mesh,
@@ -90,17 +103,16 @@ def shard_weights(
         cfg.weight_mode,
         cfg.a_compute,
     )
-    term_sharding = NamedSharding(mesh, P(AXIS, None, None))
-    sharded = QuantWeights(
-        terms=tuple(jax.device_put(t, term_sharding) for t in qw.terms),
-        scales=jax.device_put(qw.scales, NamedSharding(mesh, P(AXIS, None))),
-    )
-    return sharded
+    return place_weights(qw, mesh)
 
 
 def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
                        with_band_power: bool = False,
-                       products: str = "power"):
+                       products: str = "power",
+                       incoherent: bool = False,
+                       flag_ants: tuple = (),
+                       sk_stats: bool = False,
+                       fused_quant8: bool = False):
     """Build the jitted multi-chip block step.
 
     ``wire`` is the canonical device form (``cfg.device_wire_shape``),
@@ -108,19 +120,42 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
     subband's own canonical form, so the per-chip kernel runs the
     copy-free path.
 
-    Returns ``step(wire, qw) -> powers`` (channel-sharded
-    ``[F/navg_f, T/navg_t, B]``), or with ``with_band_power=True``
-    ``step(wire, qw) -> (powers, band_power)`` where ``band_power``
-    ``[T/navg_t]`` is the all-band total power (a psum over the channel
-    axis — the single deliberate ICI collective, used for total-power /
-    RFI monitoring).  ``products="stokes"`` runs the fused I/Q/U/V
-    kernel instead (channel-sharded ``[F/navg_f, T/navg_t, 4, B]``;
-    band power then reduces the Stokes-I plane)."""
+    The single-device kernel's fused epilogues all ride along, because
+    every one of them is per-channel math the channel split leaves
+    shared-nothing (their outputs come back channel-sharded):
+
+    - ``products="stokes"`` — fused I/Q/U/V, ``[F/navg_f, T/navg_t,
+      4, B]``.
+    - ``incoherent=True`` — the incoherent-sum side product
+      ``[F/navg_f, T/navg_t]`` from the same kernel pass
+      (``flag_ants`` excludes bad antennas from it, as single-device).
+    - ``sk_stats=True`` — the per-raw-channel SK accumulators
+      ``[n_chan, 2]`` for the streaming RFI monitor.
+    - ``fused_quant8=True`` (power only) — the step takes a THIRD
+      argument, the replicated ``[n_beams]`` scale vector, and the
+      product comes back uint8 (in-epilogue filterbank quantization).
+    - ``with_band_power=True`` — appends the all-band total power
+      ``[T/navg_t]``: a psum over the channel axis, the single
+      deliberate ICI collective (total-power / RFI monitoring).
+
+    Returns ``step(wire, qw[, quant8_scales]) -> out`` or a tuple
+    ``(out[, inco][, sk][, band])`` in that fixed order — the same
+    ordering the single-device ``beamform_power`` uses, with ``band``
+    appended last."""
     if products not in ("power", "stokes"):
         raise ValueError(f"products must be power|stokes, got {products!r}")
+    if fused_quant8 and products != "power":
+        raise ValueError("fused_quant8 applies to power products only "
+                         "(the Stokes path has no uint8 epilogue)")
+    if fused_quant8 and with_band_power:
+        raise ValueError("fused_quant8 + with_band_power: band power "
+                         "over quantized uint8 counts would be "
+                         "scale-distorted; pick one")
     n = mesh.shape[AXIS]
     _check_divisible(cfg, n)
     local_cfg = cfg.replace(n_chan=cfg.n_chan // n)
+    stokes = products == "stokes"
+    flag_ants = tuple(sorted(flag_ants))
 
     wire_spec = (
         P(AXIS, None, None)
@@ -131,32 +166,45 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
         terms=tuple(P(AXIS, None, None) for _ in range(cfg.n_weight_terms)),
         scales=P(AXIS, None),
     )
-    if products == "stokes":
-        from dsabeamformer_tpu.ops.gemm import beamform_stokes
+    in_specs = [wire_spec, qw_spec]
+    if fused_quant8:
+        in_specs.append(P(None))  # replicated per-beam scale vector
 
-        out_spec = P(AXIS, None, None, None)
+    out_specs = [P(AXIS, None, None, None) if stokes
+                 else P(AXIS, None, None)]
+    if incoherent:
+        out_specs.append(P(AXIS, None))
+    if sk_stats:
+        out_specs.append(P(AXIS, None))
+    if with_band_power:
+        out_specs.append(P(None))
+    single_out = len(out_specs) == 1
 
-        def local_step(wire, qw):
-            st = beamform_stokes(wire, qw, local_cfg)
-            if not with_band_power:
-                return st
-            band = jax.lax.psum(st[:, :, 0].sum(axis=(0, 2)), AXIS)
-            return st, band
-    else:
-        out_spec = P(AXIS, None, None)
+    def local_step(wire, qw, *scales):
+        if stokes:
+            from dsabeamformer_tpu.ops.gemm import beamform_stokes
 
-        def local_step(wire, qw):
-            powers = beamform_power(wire, qw, local_cfg)
-            if not with_band_power:
-                return powers
-            band = jax.lax.psum(powers.sum(axis=(0, 2)), AXIS)
-            return powers, band
+            res = beamform_stokes(wire, qw, local_cfg,
+                                  incoherent=incoherent,
+                                  flag_ants=flag_ants, sk_stats=sk_stats)
+        else:
+            kw = {"quant8_scales": scales[0]} if fused_quant8 else {}
+            res = beamform_power(wire, qw, local_cfg,
+                                 incoherent=incoherent,
+                                 flag_ants=flag_ants, sk_stats=sk_stats,
+                                 **kw)
+        outs = list(res) if isinstance(res, tuple) else [res]
+        if with_band_power:
+            main = outs[0]
+            plane = main[:, :, 0] if stokes else main
+            outs.append(jax.lax.psum(plane.sum(axis=(0, 2)), AXIS))
+        return outs[0] if single_out else tuple(outs)
 
     shard_fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(wire_spec, qw_spec),
-        out_specs=(out_spec, P(None)) if with_band_power else out_spec,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs[0] if single_out else tuple(out_specs),
         # pallas_call outputs carry no varying-mesh-axes metadata; the
         # sharding here is the trivially-parallel channel split, so the
         # vma check adds nothing.

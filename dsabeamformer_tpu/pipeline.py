@@ -410,12 +410,19 @@ class StreamingBeamformer:
         self._stats.skipped = getattr(self.source, "skipped", 0)
         return self._stats.finish()
 
+    def _put(self, wire_np: np.ndarray):
+        """H2D placement of one wire block in the canonical device form
+        (async).  The mesh driver overrides this with a channel-sharded
+        ``device_put`` — everything else in the loop is placement-
+        agnostic."""
+        return jax.device_put(wire_np.reshape(self.cfg.device_wire_shape))
+
     def warmup(self) -> None:
         """Compile the block step before attaching to a live stream (a
         cold compile would otherwise stall the first blocks and overrun
         the ring)."""
         zero = np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
-        zero_dev = jax.device_put(zero)
+        zero_dev = self._put(zero)
         out, inco, sk = self._step(zero_dev)
         np.asarray(out)  # full round trip
         if inco is not None:
@@ -448,6 +455,10 @@ class StreamingBeamformer:
         §3.3) with no stream stall."""
         self.weights = weights
 
+    def _post_drain(self, seq: int, out, arr) -> None:
+        """Hook after a block's products are drained (mesh driver's
+        band-power hand-off)."""
+
     def _drain_one(self) -> None:
         seq, out, inco, t_enq = self._inflight.popleft()
         inco_np = np.asarray(inco) if inco is not None else None
@@ -471,6 +482,7 @@ class StreamingBeamformer:
             # (ops/dedisperse.py); host+device cost is bounded by the
             # monitor's chunking, measured in BENCH.md.
             sm.observe(seq, arr, inco_np)
+        self._post_drain(seq, out, arr)
         wall = time.perf_counter() - t_enq
         bs = BlockStats(
             block_idx=self._block_idx,
@@ -509,12 +521,12 @@ class StreamingBeamformer:
             if self.tracker is not None:
                 new_qw = self.tracker.maybe_update(seq * cfg.block_duration_s)
                 if new_qw is not None:
-                    self.weights = new_qw
+                    # Through update_weights so the mesh driver re-shards
+                    # tracker-produced tables before the swap-in.
+                    self.update_weights(new_qw)
             # Canonical device form (free view of the staging buffer):
             # uploads with the kernel's exact layout, no on-device copy.
-            wire_dev = jax.device_put(                  # H2D (async)
-                wire_np.reshape(cfg.device_wire_shape)
-            )
+            wire_dev = self._put(wire_np)               # H2D (async)
             q8 = fused_q8() if fused_q8 is not None else None
             out, inco, sk = self._step(wire_dev, q8)    # async dispatch
             if self.rfi_monitor is not None:
@@ -549,6 +561,134 @@ class StreamingBeamformer:
         stats.dropped = getattr(self.source, "dropped", 0)
         stats.skipped = getattr(self.source, "skipped", 0)
         return stats.finish()
+
+
+class MeshStreamingBeamformer(StreamingBeamformer):
+    """Streams blocks through the channel-sharded multi-chip step
+    (BASELINE configs 4x5 composed: the streaming driver's pipelining
+    with `parallel/sharding.py`'s shard_map execution).
+
+    Per block: the wire bytes upload with `sharded_wire_sharding` (each
+    chip's ICI-connected slot receives exactly its own contiguous
+    subband — the TPU analog of the reference's per-GPU capture split),
+    the shard_map step runs the identical single-chip Pallas kernel on
+    every shard, and the drain assembles the channel-sharded product
+    for the sink (per-shard D2H; the host sees the full-band block).
+    Mid-stream weight updates (tracker or explicit `update_weights`)
+    re-shard the fresh table and swap with zero stream stall — the
+    sharded executable is already compiled.
+
+    Every single-device fused epilogue rides along — the channel split
+    leaves them shared-nothing (`parallel.sharding.sharded_beamformer`):
+    the fused incoherent side product, the fused SK accumulators for
+    the streaming RFI monitor (whose excisions re-shard through
+    `update_weights`), the fused uint8 filterbank quantization, the
+    search monitor (host-side, on the drained product), and the
+    optional band-total-power psum (`with_band_power=True` +
+    `on_band_power(seq, band)`) — the one deliberate ICI collective.
+    """
+
+    def __init__(
+        self,
+        cfg: ObsConfig,
+        weights: QuantWeights,
+        source,
+        sink=None,
+        *,
+        mesh,
+        depth: int = 2,
+        on_block: Optional[Callable[[BlockStats], None]] = None,
+        tracker=None,
+        products: str = "power",
+        incoherent_sink=None,
+        flag_ants: tuple = (),
+        with_band_power: bool = False,
+        on_band_power: Optional[Callable[[int, np.ndarray], None]] = None,
+    ):
+        from dsabeamformer_tpu.parallel.sharding import (
+            place_weights,
+            sharded_wire_sharding,
+        )
+
+        super().__init__(cfg, weights, source, sink, depth=depth,
+                         on_block=on_block, tracker=tracker,
+                         products=products, incoherent_sink=incoherent_sink,
+                         flag_ants=flag_ants)
+        self.mesh = mesh
+        self.with_band_power = with_band_power
+        self.on_band_power = on_band_power
+        self._wire_sharding = sharded_wire_sharding(cfg, mesh)
+        # Mesh steps are built lazily per monitor combination: the RFI
+        # monitor is attached AFTER construction (the CLI pattern), and
+        # each (incoherent, sk, quant8) combination is a distinct
+        # shard_map signature.  jax.jit caches the compiled executable,
+        # this dict caches the wrapper.
+        self._mesh_steps: dict = {}
+        self._place = lambda qw: place_weights(qw, mesh)
+        self.weights = self._place(weights)
+        # In-flight band-power device arrays, FIFO — drains happen in
+        # dispatch order (the inflight deque pops left), so position
+        # alone pairs each band with its block.
+        self._pending_band: collections.deque = collections.deque()
+
+    def _put(self, wire_np: np.ndarray):
+        return jax.device_put(
+            wire_np.reshape(self.cfg.device_wire_shape), self._wire_sharding
+        )
+
+    def _fused_quant8(self):
+        if self.with_band_power:
+            # Band power over quantized uint8 counts would be scale-
+            # distorted; the sink's device_post path covers 8-bit output.
+            return None
+        return super()._fused_quant8()
+
+    def _get_step(self, inco: bool, sk: bool, q8: bool):
+        key = (inco, sk, q8)
+        step = self._mesh_steps.get(key)
+        if step is None:
+            from dsabeamformer_tpu.parallel.sharding import (
+                sharded_beamformer,
+            )
+
+            step = self._mesh_steps[key] = sharded_beamformer(
+                self.cfg, self.mesh, products=self.products,
+                incoherent=inco, flag_ants=self.flag_ants, sk_stats=sk,
+                fused_quant8=q8, with_band_power=self.with_band_power,
+            )
+        return step
+
+    def _step(self, wire_dev, quant8_scales=None):
+        inco_on = self.incoherent_sink is not None
+        sk_on = self.rfi_monitor is not None
+        q8 = quant8_scales is not None
+        step = self._get_step(inco_on, sk_on, q8)
+        args = (wire_dev, self.weights) + (
+            (quant8_scales,) if q8 else ())
+        res = step(*args)
+        outs = list(res) if isinstance(res, tuple) else [res]
+        if self.with_band_power:
+            self._pending_band.append(outs.pop())
+        out = outs[0]
+        inco = outs[1] if inco_on else None
+        sk = outs[1 + inco_on] if sk_on else None
+        return out, inco, sk
+
+    def warmup(self) -> None:
+        super().warmup()
+        # The warmup dispatch is discarded, never drained — drop its
+        # band so the FIFO pairing starts clean at block 0.
+        self._pending_band.clear()
+
+    def _post_drain(self, seq: int, out, arr) -> None:
+        if not self._pending_band:
+            return
+        band = self._pending_band.popleft()
+        if self.on_band_power is not None:
+            self.on_band_power(seq, np.asarray(band))
+
+    def update_weights(self, weights: QuantWeights) -> None:
+        self.weights = self._place(weights)
 
 
 def run_stream(

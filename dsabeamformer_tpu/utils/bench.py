@@ -35,7 +35,7 @@ from dsabeamformer_tpu.models.weights import make_weights
 from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
 from dsabeamformer_tpu.ops.quantize import quantize_weights
 from dsabeamformer_tpu.pipeline import SyntheticSource, run_stream
-from dsabeamformer_tpu.utils.metrics import peak_macs_per_s
+from dsabeamformer_tpu.utils.metrics import mxu_utilization_both
 
 
 @jax.jit
@@ -60,15 +60,19 @@ def bench_kernel(cfg: ObsConfig, n_blocks: int = 16, n_distinct: int = 2,
             out = beamform_power(blocks[i % n_distinct], qw, cfg)
         float(_digest(out))
         best = min(best, (time.perf_counter() - t0) / n_blocks)
-    macs_per_s = cfg.macs_per_block * cfg.n_weight_terms / best
-    peak = peak_macs_per_s(int8="int8" in cfg.weight_mode)
+    util = mxu_utilization_both(
+        cfg.macs_per_block * cfg.n_weight_terms, best, cfg,
+        int8="int8" in cfg.weight_mode,
+    )
     return {
         "mode": "kernel",
         "config": cfg.name,
         "ms_per_block": best * 1e3,
         "gb_per_s": cfg.wire_block_bytes / best / 1e9,
         "realtime_factor": cfg.block_duration_s / best,
-        "mxu_utilization": None if peak is None else macs_per_s / peak,
+        "mxu_utilization_issued": None if util is None else util["issued"],
+        "mxu_utilization_padded_k":
+            None if util is None else util["padded_k"],
     }
 
 

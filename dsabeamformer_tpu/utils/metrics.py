@@ -56,6 +56,31 @@ def peak_macs_per_s(int8: bool = True) -> Optional[float]:
     return None
 
 
+def mxu_utilization_both(macs: int, wall_s: float, cfg: ObsConfig,
+                         int8: bool = True) -> Optional[dict]:
+    """Both MXU-utilization accountings for one measurement, labeled —
+    THE one helper every reporter uses (bench.py, the driver stats
+    line, `dsabf bench`), so the numbers can never drift.
+
+    - ``issued``: MACs the kernel actually issues (the a_compute-sliced
+      contraction) / spec peak — the honest hardware number.
+    - ``padded_k``: the reference's formulation, contracting the full
+      zero-padded ``n_ant`` K — the same wall time books
+      ``n_ant/a_compute`` more nominal MACs (half of them structural
+      zeros this kernel never issues).
+
+    Returns None when the device kind has no spec-peak entry
+    (`peak_macs_per_s`)."""
+    peak = peak_macs_per_s(int8)
+    if peak is None or not wall_s:
+        return None
+    issued = macs / wall_s / peak
+    return {
+        "issued": issued,
+        "padded_k": issued * (cfg.n_ant / cfg.a_compute),
+    }
+
+
 @dataclasses.dataclass
 class BlockStats:
     """One record per processed block — the structured analog of the
@@ -103,14 +128,13 @@ class StreamStats:
         data_s = self.n_blocks * cfg.block_duration_s
         return data_s / self.wall_s if self.wall_s else 0.0
 
-    def mxu_utilization(self, int8: bool = True) -> Optional[float]:
-        peak = peak_macs_per_s(int8)
-        if peak is None or not self.wall_s:
-            return None
-        return self.macs / self.wall_s / peak
+    def mxu_utilization(self, cfg: ObsConfig,
+                        int8: bool = True) -> Optional[dict]:
+        """Both labeled accountings (see `mxu_utilization_both`)."""
+        return mxu_utilization_both(self.macs, self.wall_s, cfg, int8)
 
     def record(self, cfg: ObsConfig) -> dict:
-        util = self.mxu_utilization()
+        util = self.mxu_utilization(cfg)
         return {
             "config": self.cfg_name,
             "blocks": self.n_blocks,
@@ -118,7 +142,13 @@ class StreamStats:
             "wall_s": round(self.wall_s, 6),
             "gb_per_s": round(self.gb_per_s, 3),
             "realtime_factor": round(self.realtime_factor(cfg), 3),
-            "mxu_utilization": None if util is None else round(util, 4),
+            # Two labeled accountings, one shared helper (VERDICT r3):
+            # issued = what the kernel dispatches; padded_k = the
+            # reference's padded-antenna formulation of the same run.
+            "mxu_utilization_issued":
+                None if util is None else round(util["issued"], 4),
+            "mxu_utilization_padded_k":
+                None if util is None else round(util["padded_k"], 4),
             "dropped": self.dropped,
             "skipped": self.skipped,
         }

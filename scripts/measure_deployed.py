@@ -1,0 +1,125 @@
+"""The deployed-configuration cost table (VERDICT r3 #3): one session,
+dispatch-loop methodology, the DSA-10 preset — the kernel exactly as a
+production `dsabf run --fil-bits 8 --rfi-auto --search-dm-max` drives
+it, with each monitor's incremental cost isolated:
+
+  1. base       beamform_power                    (the 2.1x headline)
+  2. +sk        sk_stats=True                     (--rfi-auto's fused SK)
+  3. +q8        quant8_scales=...                 (fused uint8 fil sink)
+  4. +sk+q8     both                              (the deployed kernel)
+  5. search     SearchMonitor.observe per block   (host+device, on the
+                drained product — the only non-kernel per-block cost)
+
+Rows 1-4 are device-resident dispatch loops (the per-chip capability;
+this CI's ~0.4 GB/s relay H2D would otherwise dominate and measure the
+relay, not the chip — BENCH.md Methodology).  Row 5 feeds the monitor a
+host product block of the exact deployed shape.
+
+Run on the TPU:
+  PYTHONPATH=/root/.axon_site:/root/repo /opt/venv/bin/python scripts/measure_deployed.py
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+
+from dsabeamformer_tpu.utils.hostenv import enable_jax_cache, require_tpu_backend
+enable_jax_cache()
+from dsabeamformer_tpu.config import DSA10
+from dsabeamformer_tpu.ingest.generator import make_noise_block
+from dsabeamformer_tpu.models.weights import make_weights
+from dsabeamformer_tpu.ops import beamform_power
+from dsabeamformer_tpu.ops.quantize import prepare_weights
+from dsabeamformer_tpu.utils.bench import _digest
+
+assert require_tpu_backend()
+cfg = DSA10
+wire = make_noise_block(cfg, rms=2.0, seed=3)
+qw = prepare_weights(cfg, make_weights(cfg))
+dev = jax.device_put(wire.reshape(cfg.device_wire_shape))
+scales = jax.device_put(np.full(cfg.n_beams, 8.0, np.float32))
+
+VARIANTS = {
+    "base": {},
+    "sk": dict(sk_stats=True),
+    "q8": dict(quant8_scales=scales),
+    "sk_q8": dict(sk_stats=True, quant8_scales=scales),
+}
+
+# compile all variants first (cache-friendly ordering)
+for name, kw in VARIANTS.items():
+    t0 = time.perf_counter()
+    res = beamform_power(dev, qw, cfg, **kw)
+    out = res[0] if isinstance(res, tuple) else res
+    float(_digest(out))
+    print(f"[deployed] compiled {name} in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+
+
+def loop(kw, n=8, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sk = None
+        for _ in range(n):
+            res = beamform_power(dev, qw, cfg, **kw)
+            out, sk = res if isinstance(res, tuple) else (res, None)
+        float(_digest(out))
+        if sk is not None:
+            np.asarray(sk)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e3
+
+
+rows = {}
+for name, kw in VARIANTS.items():
+    rows[name] = loop(kw)
+    print(f"[deployed] {name}: {rows[name]:.2f} ms/block", file=sys.stderr)
+
+# 5. The live search monitor's per-block cost at the deployed product
+# shape (the pipeline feeds it the DRAINED host block; its device work
+# is the windowed bank+topk dispatch once chunk_t owned samples
+# accumulate).
+from dsabeamformer_tpu.ingest.sigproc import _avg_freqs_mhz
+from dsabeamformer_tpu.ops.dedisperse import SearchMonitor, dm_trial_grid
+
+tsamp_out = cfg.sample_period_s * cfg.navg_time
+freqs_avg = _avg_freqs_mhz(cfg)
+dms = dm_trial_grid(float(freqs_avg.min()), float(freqs_avg.max()),
+                    tsamp_out, dm_max=100.0)
+f_out, t_out, b_out = cfg.out_block_shape
+rng = np.random.default_rng(0)
+prod = rng.standard_normal((f_out, t_out, b_out)).astype(np.float32)
+
+mon = SearchMonitor(freqs_avg, tsamp_out, dms, beam=0, threshold=8.0)
+mon.observe(0, prod)  # warm (compiles the window programs on first fill)
+n_obs = 12
+t0 = time.perf_counter()
+for i in range(1, 1 + n_obs):
+    mon.observe(i, prod)
+mon.flush()
+search_ms = (time.perf_counter() - t0) / n_obs * 1e3
+print(f"[deployed] search monitor (beam 0, {len(dms)} DM trials to 100): "
+      f"{search_ms:.2f} ms/block", file=sys.stderr)
+
+print(json.dumps({
+    "config": cfg.name,
+    "t_block": cfg.t_block,
+    "block_sky_ms": cfg.block_duration_s * 1e3,
+    "ms_base": round(rows["base"], 2),
+    "ms_sk": round(rows["sk"], 2),
+    "ms_q8": round(rows["q8"], 2),
+    "ms_sk_q8": round(rows["sk_q8"], 2),
+    "sk_overhead_ms": round(rows["sk"] - rows["base"], 2),
+    "q8_overhead_ms": round(rows["q8"] - rows["base"], 2),
+    "deployed_kernel_ms": round(rows["sk_q8"], 2),
+    "deployed_kernel_realtime": round(
+        cfg.block_duration_s * 1e3 / rows["sk_q8"], 3),
+    "search_monitor_ms_per_block": round(search_ms, 2),
+    "n_dm_trials": len(dms),
+    "deployed_total_ms": round(rows["sk_q8"] + search_ms, 2),
+    "deployed_total_realtime": round(
+        cfg.block_duration_s * 1e3 / (rows["sk_q8"] + search_ms), 3),
+}))

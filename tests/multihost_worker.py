@@ -1,4 +1,4 @@
-"""One process of a 2-process CPU 'pod' (spawned by test_multihost.py).
+"""One process of an n-process CPU 'pod' (spawned by test_multihost.py).
 
 Exercises the REAL multi-host runtime path (parallel/multihost.py):
 ``initialize_multihost`` -> ``my_subband`` -> per-host subband capture
@@ -6,18 +6,38 @@ Exercises the REAL multi-host runtime path (parallel/multihost.py):
 channel-sharded arrays -> the global ``sharded_beamformer`` step ->
 per-host golden check of the addressable output shards.  This is the
 TPU-pod deployment shape (each host DMAs only its own subband; DCN
-carries no voltage data) executed on 2 processes x 2 CPU devices.
+carries no voltage data) executed on n processes x m CPU devices.
+
+argv: coordinator n_proc pid devices_per_proc preset(tiny|dsa110s)
 """
 
 import sys
 
 
+def _preset(name: str):
+    from dsabeamformer_tpu.config import DSA110, TINY
+
+    if name == "tiny":
+        return TINY
+    if name == "dsa110s":
+        # The DSA-110 deployment structure (128-ant K dim, 2048-total
+        # band frame) at test scale: 16 channels over the 8-slot global
+        # mesh (4 hosts x 2 devices), reduced beams/time for speed.
+        return DSA110.replace(
+            n_chan=16, n_chan_total=2048, t_block=64, time_tile=32,
+            chan_tile=2, n_beams=64,
+        )
+    raise SystemExit(f"unknown preset {name!r}")
+
+
 def main() -> int:
     coord, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    n_dev = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    preset = sys.argv[5] if len(sys.argv) > 5 else "tiny"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_num_cpu_devices", n_dev)
 
     from dsabeamformer_tpu.parallel.multihost import (
         initialize_multihost,
@@ -30,7 +50,6 @@ def main() -> int:
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from dsabeamformer_tpu.config import TINY
     from dsabeamformer_tpu.ingest.generator import make_noise_block
     from dsabeamformer_tpu.models.weights import (
         make_weights,
@@ -46,7 +65,7 @@ def main() -> int:
     )
     from dsabeamformer_tpu.utils.testing import relative_power_error
 
-    cfg = TINY
+    cfg = _preset(preset)
     mesh = make_mesh(len(jax.devices()))
     sub = my_subband(cfg)
 

@@ -93,6 +93,89 @@ def test_interrupt_flushes_product_file(tmp_path, capsys, tiny_cfg,
     assert len(lines) == 2  # stats handle flushed on the interrupt path
 
 
+def test_run_mesh_streams_sharded(tmp_path, capsys, tiny_cfg):
+    """`dsabf run --mesh 8`: the channel-mesh streaming driver end to
+    end on the 8-virtual-device backend, golden-checked."""
+    cfg = tiny_cfg.replace(n_chan=16, n_chan_total=16)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(3)]
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        for b in blocks:
+            f.write(np.asarray(b).tobytes())
+    outpath = tmp_path / "out.raw"
+    rc = cli.main([
+        "run", "--config", "tiny", "--set", "n_chan_total=16",
+        "--set", "n_chan=16", "--mesh", "8",
+        "--input-file", str(inpath), "--output-file", str(outpath),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["blocks"] == 3 and summary["dropped"] == 0
+    from dsabeamformer_tpu.models.weights import weights_numpy_golden
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.utils.testing import assert_power_close
+
+    powers = np.fromfile(outpath, dtype=np.float32).reshape(
+        (3,) + cfg.out_block_shape)
+    for i, b in enumerate(blocks):
+        ref = beamform_block_ref(
+            weights_numpy_golden(cfg), np.asarray(b), cfg.input_layout,
+            cfg.navg_time, cfg.navg_freq,
+        )
+        assert_power_close(powers[i], ref, what=f"--mesh block {i}")
+
+
+def test_run_mesh_rejects_device_pin(tmp_path, capsys):
+    rc = cli.main([
+        "run", "--config", "tiny", "--mesh", "8", "--device", "0",
+        "--input-file", str(tmp_path / "none.raw"),
+    ])
+    assert rc == 2
+    assert "--device" in capsys.readouterr().err
+
+
+def test_run_mesh_with_monitors(tmp_path, capsys, tiny_cfg):
+    """--mesh composes with the fused monitors (--rfi-auto's SK
+    accumulators and --incoherent-file ride the sharded kernel)."""
+    from dsabeamformer_tpu.ingest.dada import read_product_file
+    from dsabeamformer_tpu.ops.incoherent import incoherent_power_golden
+
+    cfg = tiny_cfg.replace(n_chan=16, n_chan_total=16)
+    blocks = [make_noise_block(cfg, rms=2.0, seed=s) for s in range(2)]
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        for b in blocks:
+            f.write(np.asarray(b).tobytes())
+    inco_path = tmp_path / "inco.dada"
+    rc = cli.main([
+        "run", "--config", "tiny", "--set", "n_chan_total=16",
+        "--set", "n_chan=16", "--mesh", "8",
+        "--input-file", str(inpath),
+        "--incoherent-file", str(inco_path),
+        "--rfi-auto", "--rfi-interval", "2",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["blocks"] == 2
+    hdr, inco = read_product_file(inco_path)
+    assert hdr["PAYLOAD"] == "INCOHERENT_POWER"
+    np.testing.assert_allclose(
+        np.asarray(inco)[0], incoherent_power_golden(blocks[0], cfg),
+        rtol=1e-6)
+
+
+def test_run_mesh_must_divide_channels(tmp_path, capsys, tiny_cfg):
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        f.write(np.asarray(make_noise_block(tiny_cfg, seed=0)).tobytes())
+    rc = cli.main([
+        "run", "--config", "tiny", "--mesh", "3",
+        "--input-file", str(inpath),
+    ])
+    assert rc == 2
+    assert "divisible" in capsys.readouterr().err
+
+
 def test_config_override(capsys):
     rc = cli.main(["weights", "--config", "tiny", "--set", "n_beams=64",
                    "--out", "/tmp/w-override.npz"])
@@ -260,6 +343,103 @@ def test_launch_subband_processes(tiny_cfg, tmp_path, monkeypatch, capsys):
         f_out, t_out, b_out = cfg.out_block_shape
         assert out.size == (f_out // n) * t_out * b_out
         assert np.isfinite(out).all() and out.min() >= 0
+
+
+def test_launch_ring_topology_joined_search_equals_fullband(
+        tiny_cfg, tmp_path, monkeypatch, capsys):
+    """The deployment topology end to end (VERDICT r3 #4): `dsabf
+    launch --subbands 2` supervises two per-subband `run` children
+    writing product RINGS; the joined `dsabf search --key k0,k1`
+    consumer must report candidate-for-candidate exactly what the
+    full-band search of the same data reports (same monitor machinery
+    fed by a joined product file)."""
+    import os as _os
+
+    from dsabeamformer_tpu.config import DM_CONST_S
+    from dsabeamformer_tpu.ingest import dada
+    from dsabeamformer_tpu.ingest.ring import RingBuffer
+    from dsabeamformer_tpu.pipeline import FileSink
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    cfg = tiny_cfg.replace(navg_time=2)
+    f = cfg.freqs_hz() / 1e6
+    tsamp_out = cfg.sample_period_s * cfg.navg_time
+    # ~2 output samples of sweep across the full band (see
+    # test_dedisperse.test_cli_search_live_ring_join for why).
+    dm = (2 * tsamp_out
+          / (DM_CONST_S * (f.min() ** -2 - f.max() ** -2)))
+    search_flags = ["--beam", "all", "--no-coincidence",
+                    "--dm-max", str(4 * dm), "--threshold", "8",
+                    "--widths", "1", "2", "4", "--timeout", "2"]
+
+    # Per-subband RAW captures with the injected pulse (simulate writes
+    # a DADA capture; strip its header so the launch children can apply
+    # their --subband i/2 split to a headerless file).
+    for i in range(2):
+        cap = tmp_path / f"cap{i}.dada"
+        assert cli.main(["simulate", "--config", "tiny",
+                         "--set", "navg_time=2", "--subband", f"{i}/2",
+                         "--pulse-dm", str(dm), "--pulse-t0", "8",
+                         "--pulse-width", "6", "--blocks", "6",
+                         "--distinct", "2", "--out-file", str(cap)]) == 0
+        raw = cap.read_bytes()[dada.DADA_HDR_SIZE:]
+        (tmp_path / f"cap{i}.raw").write_bytes(raw)
+
+    keys = [f"ttopo{_os.getpid()}_{i}" for i in range(2)]
+    try:
+        # The topology: launch supervises both subband producers.
+        rc = cli.main([
+            "launch", "--subbands", "2", "--",
+            "--config", "tiny", "--set", "navg_time=2",
+            "--input-file", str(tmp_path / "cap{i}.raw"),
+            "--output-key", f"ttopo{_os.getpid()}_" + "{i}",
+            "--nbufs", "12",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["ok"] and all(s["blocks"] == 6 for s in rep["subbands"])
+
+        # Joined live consumer over the two rings.
+        rc = cli.main(["search", "--key", ",".join(keys)] + search_flags)
+        assert rc == 0
+        out = capsys.readouterr()
+        assert "attached to 2 ring(s)" in out.err
+        rows_live = [l for l in out.out.splitlines()
+                     if l.strip() and not l.startswith("#")]
+        assert rows_live, "joined live search found no candidates"
+
+        # Full-band ground truth: per-subband product FILES from the
+        # same captures, joined along the channel axis, searched
+        # through the same monitor machinery (--stream).
+        prods = []
+        for i in range(2):
+            prod = tmp_path / f"prod{i}.dada"
+            assert cli.main(["run", "--config", "tiny",
+                             "--set", "navg_time=2",
+                             "--subband", f"{i}/2",
+                             "--input-file", str(tmp_path / f"cap{i}.raw"),
+                             "--output-file", str(prod)]) == 0
+            _, powers = dada.read_product_file(prod)
+            prods.append(np.asarray(powers))
+        joined = np.concatenate(prods, axis=1)  # [N, F_full, T', B]
+        jpath = tmp_path / "joined.dada"
+        sink = FileSink(jpath, cfg, products="power")
+        for i in range(joined.shape[0]):
+            sink.write(i, joined[i])
+        sink.close()
+        capsys.readouterr()
+        rc = cli.main(["search", str(jpath), "--stream"] + search_flags)
+        assert rc == 0
+        rows_full = [l for l in capsys.readouterr().out.splitlines()
+                     if l.strip() and not l.startswith("#")]
+        assert rows_live == rows_full
+    finally:
+        for key in keys:
+            try:
+                RingBuffer(key, connect_timeout_s=1).destroy()
+            except Exception:
+                pass
 
 
 def test_launch_validates_devices_count(capsys):

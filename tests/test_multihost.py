@@ -37,11 +37,9 @@ def test_indivisible_hosts_rejected():
     with pytest.raises(ValueError):
         host_subbands(DSA10, 7)
 
-def test_multihost_runtime_two_processes(tmp_path):
-    """The real jax.distributed runtime path (multihost.py:
-    initialize_multihost / my_subband / make_array_from_process_local_data
-    assembly): 2 processes x 2 CPU devices run the global channel-sharded
-    step and golden-check their local output shards."""
+def _run_pod(n_proc: int, n_dev: int, preset: str, timeout_s: float = 300):
+    """Spawn an n_proc x n_dev CPU 'pod' of multihost_worker.py processes
+    and assert every one golden-checks its shards."""
     import os
     import socket
     import subprocess
@@ -60,16 +58,17 @@ def test_multihost_runtime_two_processes(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coord, "2", str(pid)],
+            [sys.executable, str(worker), coord, str(n_proc), str(pid),
+             str(n_dev), preset],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(n_proc)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout_s)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -78,3 +77,20 @@ def test_multihost_runtime_two_processes(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid} OK" in out
+
+
+def test_multihost_runtime_two_processes(tmp_path):
+    """The real jax.distributed runtime path (multihost.py:
+    initialize_multihost / my_subband / make_array_from_process_local_data
+    assembly): 2 processes x 2 CPU devices run the global channel-sharded
+    step and golden-check their local output shards."""
+    _run_pod(2, 2, "tiny")
+
+
+def test_multihost_runtime_deployment_shape(tmp_path):
+    """The DSA-110 deployment shape (VERDICT r3 #4): 4 processes x 2
+    devices = an 8-slot global channel mesh with the 128-antenna
+    K dim and the 2048-total band frame, per-host subband ingest,
+    golden-checked shards, and the band-power psum crossing process
+    boundaries."""
+    _run_pod(4, 2, "dsa110s", timeout_s=420)

@@ -531,3 +531,71 @@ def test_search_stage_on_tpu(tpu_backend):
     sub = search_spectrogram(spectra[1][1], freqs, tsamp, dms,
                              threshold=7.0, method="subband")
     assert sub and abs(sub[0].dm - dm_true) <= 2 * step
+
+
+def test_mesh_streaming_driver_on_tpu(tpu_backend):
+    """STREAMING through the mesh on real hardware (VERDICT r3 #1): the
+    MeshStreamingBeamformer drives the shard_map step block after block
+    on a 1-device mesh — sharded device_put, drained sharded products,
+    a mid-stream re-sharded weight update, and the band-power psum all
+    under Mosaic."""
+    from dsabeamformer_tpu.config import DSA110
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.calibration import CalTable
+    from dsabeamformer_tpu.models.weights import (
+        make_weights,
+        weights_numpy_golden,
+    )
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.parallel.sharding import make_mesh
+    from dsabeamformer_tpu.pipeline import (
+        CollectSink,
+        MeshStreamingBeamformer,
+        SyntheticSource,
+    )
+    from dsabeamformer_tpu.utils.testing import assert_power_close
+
+    cfg = DSA110.replace(n_chan=16, t_block=1024)
+    mesh = make_mesh(1)
+    wire = np.asarray(make_noise_block(cfg, rms=2.0, seed=13))
+    qw0 = quantize_weights(make_weights(cfg), cfg.weight_mode,
+                           cfg.a_compute)
+    cal = CalTable.random(cfg, seed=5)
+    qw1 = quantize_weights(make_weights(cfg, cal=cal), cfg.weight_mode,
+                           cfg.a_compute)
+    src = SyntheticSource(cfg, [wire], n_blocks=6)
+    sink = CollectSink()
+    bands = {}
+    bf = MeshStreamingBeamformer(
+        cfg, qw0, src, sink, mesh=mesh, depth=2,
+        with_band_power=True,
+        on_band_power=lambda seq, band: bands.__setitem__(seq, band),
+    )
+
+    def on_block(bs):
+        if bs.block_idx == 2:
+            bf.update_weights(qw1)
+
+    bf.on_block = on_block
+    bf.warmup()
+    stats = bf.run()
+    assert stats.n_blocks == 6 and len(sink.outputs) == 6
+    ref0 = beamform_block_ref(
+        weights_numpy_golden(cfg), wire, cfg.input_layout, cfg.navg_time,
+        cfg.navg_freq,
+    )
+    ref1 = beamform_block_ref(
+        weights_numpy_golden(cfg, cal=cal), wire, cfg.input_layout,
+        cfg.navg_time, cfg.navg_freq,
+    )
+    first_new = None
+    for seq, p in sink.outputs:
+        regime = 0 if np.abs(p - ref0).max() < np.abs(p - ref1).max() else 1
+        if regime == 1 and first_new is None:
+            first_new = seq
+        assert_power_close(p, ref1 if regime else ref0,
+                           what=f"mesh stream block {seq} on hw")
+        np.testing.assert_allclose(bands[seq], p.sum(axis=(0, 2)),
+                                   rtol=1e-5)
+    assert first_new is not None and 3 <= first_new <= 5
