@@ -541,7 +541,14 @@ def _cmd_run_pinned(args) -> int:
     if args.mesh:
         from dsabeamformer_tpu.parallel.sharding import make_mesh
 
+        from dsabeamformer_tpu.parallel.sharding import _check_divisible
+
         try:
+            # Validate the shard geometry up front with this repo's own
+            # checks (not JAX's error text): n_chan divisibility AND the
+            # per-shard chan_tile/navg_freq constraints that would
+            # otherwise surface as a raw traceback inside warmup().
+            _check_divisible(cfg, args.mesh)
             mesh = make_mesh(args.mesh)
             warm = MeshStreamingBeamformer(cfg, qw, source=None, sink=sink,
                                            mesh=mesh, products=args.products,
@@ -551,6 +558,8 @@ def _cmd_run_pinned(args) -> int:
             print(f"error: --mesh {args.mesh}: {e}", file=sys.stderr)
             if sink is not None:
                 sink.close()
+            if inco_sink is not None:
+                inco_sink.close()
             return 2
         print(f"[dsabf] mesh: {args.mesh} device(s) x "
               f"{cfg.n_chan // args.mesh} channels each", file=sys.stderr)

@@ -176,6 +176,23 @@ def test_run_mesh_must_divide_channels(tmp_path, capsys, tiny_cfg):
     assert "divisible" in capsys.readouterr().err
 
 
+def test_run_mesh_per_shard_tile_violation_is_clean(tmp_path, capsys,
+                                                    tiny_cfg):
+    # tiny has n_chan=8, chan_tile=2: --mesh 8 gives 1 chan/shard, which
+    # divides n_chan but violates chan_tile.  Must take the same rc=2 +
+    # stderr path as the divisibility error (ADVICE r4), not a raw
+    # traceback out of warmup().
+    inpath = tmp_path / "in.raw"
+    with open(inpath, "wb") as f:
+        f.write(np.asarray(make_noise_block(tiny_cfg, seed=0)).tobytes())
+    rc = cli.main([
+        "run", "--config", "tiny", "--mesh", "8",
+        "--input-file", str(inpath),
+    ])
+    assert rc == 2
+    assert "chan_tile" in capsys.readouterr().err
+
+
 def test_config_override(capsys):
     rc = cli.main(["weights", "--config", "tiny", "--set", "n_beams=64",
                    "--out", "/tmp/w-override.npz"])
