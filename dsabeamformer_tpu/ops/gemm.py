@@ -182,7 +182,8 @@ def _chan_loop(fc: int, chan_body):
 
 def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
                    navg_time, x16, x_dup, time_major, epilogue,
-                   n_active=0, flagged=(), quant8=False, sk_active=0):
+                   n_active=0, flagged=(), quant8=False, quant8_offset=0.0,
+                   sk_active=0):
     """Shared fused detection kernel: unpack prologue + GEMM + a
     pluggable quadratic epilogue (power or full Stokes), deferred-s^2
     dequantized on the time-averaged output.
@@ -262,6 +263,15 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
             # (which stores out*(s*s) to f32, then rints the product
             # with the beam scale): byte-for-byte identical output.
             v = (out * (s * s)) * q_ref[0, 0]
+            if quant8_offset:
+                # Stokes 8-bit: the signed Q/U/V planes (lanes >= B in
+                # the [I|Q|U|V] lane layout) ride the unsigned payload
+                # at the file format's fixed midpoint offset, I stays
+                # at 0 — same per-IF offsets the two-pass quantizer
+                # applies (ingest/sigproc.py STOKES_QUV_OFFSET).
+                lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+                v = v + jnp.where(lane < n_beams, 0.0,
+                                  jnp.float32(quant8_offset))
             # Mosaic has no f32->uint8 cast; go through int32 (exact:
             # the value is already rint'ed and clipped to [0, 255]).
             o_ref[c] = jnp.clip(jnp.rint(v), 0.0, 255.0).astype(
@@ -598,7 +608,7 @@ def beamform_power(
 
 def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
                   incoherent=False, flag_ants=(), quant8_scales=None,
-                  sk_stats=False):
+                  quant8_offset=0.0, sk_stats=False):
     """Shared fused-kernel invocation for the detection products
     (power: out_width=B; Stokes: out_width=4*B).  Optional extra
     outputs, in order after the detection product: the incoherent sum
@@ -713,19 +723,25 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
         n_active=cfg.n_ant_active if incoherent else 0,
         flagged=tuple(sorted(flag_ants)) if incoherent else (),
         quant8=quant8,
+        quant8_offset=quant8_offset,
         sk_active=cfg.n_ant_active if sk_stats else 0,
     )
     in_specs = _common_specs(cfg, n_terms, time_major)
     operands = [x, *qw.terms, qw.scales[:, None, :]]
     if quant8:
-        # Per-beam 8-bit scale vector as a [1, 1, B] VMEM block,
-        # constant across the grid (fetched once, like the weights).
+        # Per-beam 8-bit scale vector as a [1, 1, out_width] VMEM
+        # block, constant across the grid (fetched once, like the
+        # weights).  For Stokes (out_width = 4*B) the per-beam scales
+        # tile across the [I|Q|U|V] lane planes — one scale per beam,
+        # same convention as the two-pass quantizer.
+        sv = quant8_scales.astype(jnp.float32)
+        if out_width != cfg.n_beams:
+            sv = jnp.tile(sv, out_width // cfg.n_beams)
         in_specs.append(pl.BlockSpec(
-            (1, 1, cfg.n_beams), lambda f, t: (0, 0, 0),
+            (1, 1, out_width), lambda f, t: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ))
-        operands.append(
-            quant8_scales.astype(jnp.float32)[None, None, :])
+        operands.append(sv[None, None, :])
     if isinstance(out_shape, tuple):
         out_bytes = sum(s.size * s.dtype.itemsize for s in out_shape)
     else:
@@ -757,6 +773,7 @@ def beamform_stokes(
     interpret: bool | None = None,
     incoherent: bool = False,
     flag_ants: tuple = (),
+    quant8_scales: jax.Array | None = None,
     sk_stats: bool = False,
 ) -> jax.Array:
     """Fused full-Stokes pipeline: wire block -> averaged Stokes spectra.
@@ -776,14 +793,35 @@ def beamform_stokes(
     tiles exceed VMEM — use e.g. ``cfg.replace(time_tile=1024,
     chan_tile=4)`` (the CLI's ``--products stokes`` adjusts tiles
     automatically) — and at t_block=8192 two in-flight 4.3 GB Stokes
-    outputs exhaust HBM, so deploy at t_block <= 4096.  Measured 0.99x
-    realtime full-band single-chip (t_block=4096) at 1-3e-5 per-plane
-    accuracy; an opt-in product, not the search hot path — see
-    BENCH.md.
+    outputs exhaust HBM, so deploy at t_block <= 4096.  An opt-in
+    product, not the search hot path — measured numbers in BENCH.md
+    "Full-Stokes mode".
+
+    ``quant8_scales`` (``[n_beams]`` float32) fuses the 8-bit Stokes
+    filterbank quantization into the epilogue: the product comes back
+    uint8 ``[F, T/navg, 4, B]`` with ``counts = x*scale_b + offset``
+    where offset is 0 for I and ``STOKES_QUV_OFFSET`` (=128, the
+    signed-plane midpoint) for Q/U/V — byte-identical to the two-pass
+    ``FilterbankSink.device_post`` quantizer, but the 4x f32 Stokes
+    block (the path's HBM cost that held it at 0.99x realtime) never
+    touches HBM: the kernel stores 1 byte/sample.  Requires
+    ``navg_freq == 1`` like the power path.
     """
+    if quant8_scales is not None and cfg.navg_freq != 1:
+        raise ValueError(
+            f"quant8_scales requires navg_freq=1 (got {cfg.navg_freq}): "
+            f"in-epilogue quantization must be the LAST averaging step; "
+            f"use FilterbankSink.device_post for navg_freq > 1")
+    # The midpoint-offset constant lives with the file format it
+    # serves; the lazy import keeps ops free of any ingest dependency
+    # at module load (sigproc itself only imports config).
+    from dsabeamformer_tpu.ingest.sigproc import STOKES_QUV_OFFSET
+
     out = _fused_detect(wire, qw, cfg, interpret, _stokes_epilogue,
                         out_width=4 * cfg.n_beams, incoherent=incoherent,
-                        flag_ants=flag_ants, sk_stats=sk_stats)
+                        flag_ants=flag_ants, sk_stats=sk_stats,
+                        quant8_scales=quant8_scales,
+                        quant8_offset=STOKES_QUV_OFFSET)
     sk = None
     if sk_stats:
         *rest, sk = out

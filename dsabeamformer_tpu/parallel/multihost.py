@@ -58,6 +58,95 @@ def my_subband(cfg: ObsConfig) -> HostSubband:
     return host_subbands(cfg, jax.process_count())[jax.process_index()]
 
 
+def _multihost_driver_cls():
+    """Lazy import (pipeline pulls the full ops stack; this module's
+    subband arithmetic must stay importable standalone)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dsabeamformer_tpu.ops.quantize import QuantWeights
+    from dsabeamformer_tpu.parallel.sharding import AXIS
+    from dsabeamformer_tpu.pipeline import MeshStreamingBeamformer
+
+    class MultihostMeshStreamingBeamformer(MeshStreamingBeamformer):
+        """Per-host streaming driver for a multi-process mesh (SURVEY.md
+        §5 distributed row's full deployment story).
+
+        Each process of the pod runs ONE of these in lockstep over the
+        same block sequence.  Per block, every host's source yields its
+        OWN subband's wire bytes (host capture form, shaped by
+        ``my_subband(cfg).config(cfg)``); ``_put`` assembles the global
+        channel-sharded array with
+        ``jax.make_array_from_process_local_data`` (DCN never carries
+        voltage data), the shared ``sharded_beamformer`` step runs
+        globally, and the drain fetches only this process's addressable
+        product shards — each host's sink sees its own subband product
+        (the per-subband ``.fil``/DADA products that ``dsabf splice``
+        merges, exactly the reference's per-GPU output shape).
+
+        Mid-stream ``update_weights`` re-shards by the same per-process
+        slice assembly: every host passes the same full-band table
+        (weights are a pure function of config + cal, so each host
+        computes it identically) and contributes its subband's channels.
+
+        The RFI monitor is not supported here (it fetches GLOBAL SK
+        device arrays); attach per-host monitors to the local products
+        instead.  The search monitor works as-is — it consumes the
+        drained (local) product."""
+
+        def __init__(self, cfg, weights, source, sink=None, *, mesh,
+                     **kwargs):
+            self._sub = my_subband(cfg)
+            self._sub_cfg = self._sub.config(cfg)
+            self._full_cfg = cfg
+            super().__init__(cfg, weights, source, sink, mesh=mesh,
+                             **kwargs)
+
+        # -- per-host subband ingest -> global sharded array -----------
+        def _zero_block(self):
+            return np.zeros(self._sub_cfg.device_wire_shape, np.uint8)
+
+        def _put(self, wire_np):
+            local = wire_np.reshape(self._sub_cfg.device_wire_shape)
+            return jax.make_array_from_process_local_data(
+                self._wire_sharding, local,
+                global_shape=self._full_cfg.device_wire_shape)
+
+        # -- weight re-shard by per-process slice assembly --------------
+        def _place(self, qw):
+            sub = self._sub
+            sl = slice(sub.chan_start, sub.chan_start + sub.n_chan)
+            term_sh = NamedSharding(self.mesh, P(AXIS, None, None))
+            f = self._full_cfg.n_chan
+            terms = tuple(
+                jax.make_array_from_process_local_data(
+                    term_sh, np.asarray(t)[sl],
+                    global_shape=(f,) + t.shape[1:])
+                for t in qw.terms)
+            scales = np.asarray(qw.scales)
+            return QuantWeights(
+                terms=terms,
+                scales=jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, P(AXIS, None)), scales[sl],
+                    global_shape=(f,) + scales.shape[1:]),
+            )
+
+        # -- drain only this process's shards ---------------------------
+        def _fetch(self, out):
+            shards = sorted(out.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards],
+                                  axis=0)
+
+    return MultihostMeshStreamingBeamformer
+
+
+def __getattr__(name):
+    if name == "MultihostMeshStreamingBeamformer":
+        return _multihost_driver_cls()
+    raise AttributeError(name)
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

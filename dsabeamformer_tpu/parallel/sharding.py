@@ -131,9 +131,11 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
       (``flag_ants`` excludes bad antennas from it, as single-device).
     - ``sk_stats=True`` — the per-raw-channel SK accumulators
       ``[n_chan, 2]`` for the streaming RFI monitor.
-    - ``fused_quant8=True`` (power only) — the step takes a THIRD
-      argument, the replicated ``[n_beams]`` scale vector, and the
-      product comes back uint8 (in-epilogue filterbank quantization).
+    - ``fused_quant8=True`` — the step takes a THIRD argument, the
+      replicated ``[n_beams]`` scale vector, and the product comes back
+      uint8 (in-epilogue filterbank quantization; for Stokes the Q/U/V
+      planes carry the file format's midpoint offset, see
+      ``beamform_stokes``).
     - ``with_band_power=True`` — appends the all-band total power
       ``[T/navg_t]``: a psum over the channel axis, the single
       deliberate ICI collective (total-power / RFI monitoring).
@@ -144,9 +146,6 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
     appended last."""
     if products not in ("power", "stokes"):
         raise ValueError(f"products must be power|stokes, got {products!r}")
-    if fused_quant8 and products != "power":
-        raise ValueError("fused_quant8 applies to power products only "
-                         "(the Stokes path has no uint8 epilogue)")
     if fused_quant8 and with_band_power:
         raise ValueError("fused_quant8 + with_band_power: band power "
                          "over quantized uint8 counts would be "
@@ -184,9 +183,11 @@ def sharded_beamformer(cfg: ObsConfig, mesh: Mesh, *,
         if stokes:
             from dsabeamformer_tpu.ops.gemm import beamform_stokes
 
+            kw = {"quant8_scales": scales[0]} if fused_quant8 else {}
             res = beamform_stokes(wire, qw, local_cfg,
                                   incoherent=incoherent,
-                                  flag_ants=flag_ants, sk_stats=sk_stats)
+                                  flag_ants=flag_ants, sk_stats=sk_stats,
+                                  **kw)
         else:
             kw = {"quant8_scales": scales[0]} if fused_quant8 else {}
             res = beamform_power(wire, qw, local_cfg,

@@ -355,10 +355,10 @@ class StreamingBeamformer:
         once; measured 7.8 ms/block cheaper than the standalone second
         pass at the DSA-10 preset, BENCH.md "Incoherent product").
 
-        ``quant8_scales`` (power products only) fuses the sink's 8-bit
-        quantization into the kernel epilogue — ``detect_out`` comes
-        back uint8 and the f32 product never touches HBM (BENCH.md
-        "Filterbank output path").
+        ``quant8_scales`` fuses the sink's 8-bit quantization into the
+        kernel epilogue (power and Stokes) — ``detect_out`` comes back
+        uint8 and the f32 product never touches HBM (BENCH.md
+        "Filterbank output path" / "Full-Stokes mode").
 
         With an RFI monitor attached, the kernel additionally emits
         the per-channel SK accumulators (``sk_stats=True``) so the
@@ -385,14 +385,17 @@ class StreamingBeamformer:
         return out, inco, sk
 
     def _fused_quant8(self):
-        """The sink's in-kernel quantization hook, when usable: power
-        products + navg_freq=1 (the kernel's quantize-last rule) + a
-        sink that offers per-beam scales.  Returns a nullary callable
-        yielding the current device scale vector (None until the
-        sink's auto-calibration has seen a float block) or None if the
-        fused path does not apply — the ``device_post`` two-pass path
-        then covers it."""
-        if self.products != "power" or self.cfg.navg_freq != 1:
+        """The sink's in-kernel quantization hook, when usable:
+        navg_freq=1 (the kernel's quantize-last rule) + a sink that
+        offers per-beam scales.  Covers both products — power quantizes
+        ``p*scale_b``; Stokes additionally offsets the signed Q/U/V
+        planes to the file format's midpoint (``beamform_stokes``
+        ``quant8_scales``).  Returns a nullary callable yielding the
+        current device scale vector (None until the sink's
+        auto-calibration has seen a float block) or None if the fused
+        path does not apply — the ``device_post`` two-pass path then
+        covers it."""
+        if self.cfg.navg_freq != 1:
             return None
         if getattr(self.sink, "nbits", None) != 8:
             # 32-bit sinks offer the hook too (it returns None forever);
@@ -417,20 +420,32 @@ class StreamingBeamformer:
         agnostic."""
         return jax.device_put(wire_np.reshape(self.cfg.device_wire_shape))
 
+    def _fetch(self, out) -> np.ndarray:
+        """D2H of one drained product.  Hook: the multihost driver
+        fetches only its process's addressable subband shards (a full
+        ``np.asarray`` of a non-fully-addressable global array would
+        raise)."""
+        return np.asarray(out)
+
+    def _zero_block(self) -> np.ndarray:
+        """A zero wire block shaped like what this driver's source
+        yields (hook: the multihost driver's sources yield per-host
+        subband blocks, not the full band)."""
+        return np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
+
     def warmup(self) -> None:
         """Compile the block step before attaching to a live stream (a
         cold compile would otherwise stall the first blocks and overrun
         the ring)."""
-        zero = np.zeros(self.cfg.device_wire_shape, dtype=np.uint8)
-        zero_dev = self._put(zero)
+        zero_dev = self._put(self._zero_block())
         out, inco, sk = self._step(zero_dev)
-        np.asarray(out)  # full round trip
+        self._fetch(out)  # full round trip
         if inco is not None:
-            np.asarray(inco)
+            self._fetch(inco)
         if sk is not None:
             # The SK accumulators ride the same kernel (sk_stats=True)
             # — compiled by the _step above; just complete the fetch.
-            np.asarray(sk)
+            self._fetch(sk)
         if self._fused_quant8() is not None:
             # The steady-state step is the fused uint8 variant (its
             # scales only exist after the first live block) — compile
@@ -438,9 +453,9 @@ class StreamingBeamformer:
             out_q, inco_q, sk_q = self._step(
                 zero_dev,
                 jax.device_put(np.ones(self.cfg.n_beams, np.float32)))
-            np.asarray(out_q)
+            self._fetch(out_q)
             if inco_q is not None:
-                np.asarray(inco_q)
+                self._fetch(inco_q)
             return
         # Compile the sink's device-side post-transform (e.g. the
         # FilterbankSink 8-bit quantizer) at its runtime shapes too —
@@ -461,12 +476,12 @@ class StreamingBeamformer:
 
     def _drain_one(self) -> None:
         seq, out, inco, t_enq = self._inflight.popleft()
-        inco_np = np.asarray(inco) if inco is not None else None
+        inco_np = self._fetch(inco) if inco is not None else None
         if inco_np is not None:
             self.incoherent_sink.write(seq, inco_np)
         sm = self.search_monitor
         if self.sink is not None or (sm is not None and sm.wants_beams):
-            arr = np.asarray(out)  # D2H of the averaged powers
+            arr = self._fetch(out)  # D2H of the averaged powers
             if self.sink is not None:
                 self.sink.write(seq, arr)
         else:
@@ -605,10 +620,7 @@ class MeshStreamingBeamformer(StreamingBeamformer):
         with_band_power: bool = False,
         on_band_power: Optional[Callable[[int, np.ndarray], None]] = None,
     ):
-        from dsabeamformer_tpu.parallel.sharding import (
-            place_weights,
-            sharded_wire_sharding,
-        )
+        from dsabeamformer_tpu.parallel.sharding import sharded_wire_sharding
 
         super().__init__(cfg, weights, source, sink, depth=depth,
                          on_block=on_block, tracker=tracker,
@@ -624,7 +636,6 @@ class MeshStreamingBeamformer(StreamingBeamformer):
         # shard_map signature.  jax.jit caches the compiled executable,
         # this dict caches the wrapper.
         self._mesh_steps: dict = {}
-        self._place = lambda qw: place_weights(qw, mesh)
         self.weights = self._place(weights)
         # In-flight band-power device arrays, FIFO — drains happen in
         # dispatch order (the inflight deque pops left), so position
@@ -635,6 +646,15 @@ class MeshStreamingBeamformer(StreamingBeamformer):
         return jax.device_put(
             wire_np.reshape(self.cfg.device_wire_shape), self._wire_sharding
         )
+
+    def _place(self, qw: QuantWeights) -> QuantWeights:
+        """Channel-shard a weight table across the mesh.  Hook: the
+        multihost driver assembles each process's subband slice instead
+        (``device_put`` of a host-local full table cannot place onto a
+        multi-process sharding)."""
+        from dsabeamformer_tpu.parallel.sharding import place_weights
+
+        return place_weights(qw, self.mesh)
 
     def _fused_quant8(self):
         if self.with_band_power:

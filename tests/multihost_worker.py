@@ -8,7 +8,13 @@ per-host golden check of the addressable output shards.  This is the
 TPU-pod deployment shape (each host DMAs only its own subband; DCN
 carries no voltage data) executed on n processes x m CPU devices.
 
-argv: coordinator n_proc pid devices_per_proc preset(tiny|dsa110s)
+argv: coordinator n_proc pid devices_per_proc preset(tiny|dsa110s) [mode]
+
+mode "step" (default): one global sharded step, golden-checked shards.
+mode "stream": the full deployment story (VERDICT r4 #6) — each process
+feeds its own subband for 8 blocks through
+``MultihostMeshStreamingBeamformer`` with one mid-stream re-sharded
+weight update; both weight regimes golden-checked per host.
 """
 
 import sys
@@ -30,10 +36,84 @@ def _preset(name: str):
     raise SystemExit(f"unknown preset {name!r}")
 
 
+def run_stream(cfg, pid: int) -> int:
+    """Stream 8 blocks through the multi-process mesh with a mid-stream
+    re-sharded weight update (the MeshStreamingBeamformer pattern with
+    make_array_from_process_local_data per block)."""
+    import jax
+    import numpy as np
+
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.models.calibration import CalTable
+    from dsabeamformer_tpu.models.weights import (
+        make_weights,
+        weights_numpy_golden,
+    )
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.ops.reference import beamform_block_ref
+    from dsabeamformer_tpu.parallel.multihost import (
+        MultihostMeshStreamingBeamformer,
+        my_subband,
+    )
+    from dsabeamformer_tpu.parallel.sharding import make_mesh
+    from dsabeamformer_tpu.pipeline import CollectSink, SyntheticSource
+    from dsabeamformer_tpu.utils.testing import relative_power_error
+
+    mesh = make_mesh(len(jax.devices()))
+    sub = my_subband(cfg)
+    # Capture fan-out: the band is deterministic; each host "receives"
+    # only its own subband slice (host capture form [T, F_local, P*A]).
+    wire = np.asarray(make_noise_block(cfg, rms=2.0, seed=9))
+    local = np.ascontiguousarray(
+        wire[:, sub.chan_start : sub.chan_start + sub.n_chan])
+    qw0 = quantize_weights(make_weights(cfg), cfg.weight_mode,
+                           cfg.a_compute)
+    cal = CalTable.random(cfg, seed=5)
+    qw1 = quantize_weights(make_weights(cfg, cal=cal), cfg.weight_mode,
+                           cfg.a_compute)
+    src = SyntheticSource(sub.config(cfg), [local], n_blocks=8)
+    sink = CollectSink()
+    bf = MultihostMeshStreamingBeamformer(cfg, qw0, src, sink, mesh=mesh,
+                                          depth=2)
+
+    def on_block(bs):
+        if bs.block_idx == 2:
+            # Every process swaps the same deterministic table at the
+            # same loop position — lockstep is preserved.
+            bf.update_weights(qw1)
+
+    bf.on_block = on_block
+    bf.warmup()
+    stats = bf.run()
+    assert stats.n_blocks == 8 and len(sink.outputs) == 8, stats
+    refs = [
+        beamform_block_ref(weights_numpy_golden(cfg, cal=c), wire,
+                           cfg.input_layout, cfg.navg_time, cfg.navg_freq)
+        for c in (None, cal)
+    ]
+    fsl = slice(sub.chan_start // cfg.navg_freq,
+                (sub.chan_start + sub.n_chan) // cfg.navg_freq)
+    r0, r1 = refs[0][fsl], refs[1][fsl]
+    first_new = None
+    for seq, p in sink.outputs:
+        assert p.shape == r0.shape, (p.shape, r0.shape)
+        regime = 0 if np.abs(p - r0).max() < np.abs(p - r1).max() else 1
+        if regime and first_new is None:
+            first_new = seq
+        err = relative_power_error(p, r1 if regime else r0)
+        assert err <= 1e-3, f"proc {pid} block {seq}: {err:.3e}"
+    # Depth-2 pipelining: the update at drain 2 must land in [3, 5],
+    # and every later block must stay in the new regime.
+    assert first_new is not None and 3 <= first_new <= 5, first_new
+    print(f"proc {pid} OK", flush=True)
+    return 0
+
+
 def main() -> int:
     coord, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     n_dev = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     preset = sys.argv[5] if len(sys.argv) > 5 else "tiny"
+    mode = sys.argv[6] if len(sys.argv) > 6 else "step"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -46,6 +126,9 @@ def main() -> int:
 
     initialize_multihost(coord, n_proc, pid)
     assert jax.process_count() == n_proc, jax.process_count()
+
+    if mode == "stream":
+        return run_stream(_preset(preset), pid)
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

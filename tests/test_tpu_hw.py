@@ -599,3 +599,77 @@ def test_mesh_streaming_driver_on_tpu(tpu_backend):
         np.testing.assert_allclose(bands[seq], p.sum(axis=(0, 2)),
                                    rtol=1e-5)
     assert first_new is not None and 3 <= first_new <= 5
+
+
+def test_fused_stokes_quant8_byte_equal_on_tpu(tpu_backend):
+    """The in-epilogue 8-bit Stokes quantizer (round-5 lever that takes
+    the 4x f32 Stokes output block off HBM) is byte-identical to the
+    two-pass device quantizer on real Mosaic, midpoint offsets
+    included."""
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_noise_block
+    from dsabeamformer_tpu.ingest.sigproc import _get_quant8_stokes
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_stokes, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import prepare_weights
+
+    cfg = DSA10.replace(n_chan=128, t_block=2048, time_tile=1024,
+                        chan_tile=4)
+    wire = device_wire_view(make_noise_block(cfg, rms=2.0, seed=55), cfg)
+    qw = prepare_weights(cfg, make_weights(cfg))
+    dev = jax.device_put(wire)
+    f32 = beamform_stokes(dev, qw, cfg)
+    med = np.median(np.asarray(f32)[:, :, 0, :], axis=(0, 1))
+    scales = jax.device_put((64.0 / med).astype(np.float32))
+    want = np.asarray(_get_quant8_stokes()(f32, scales))
+    got = np.asarray(beamform_stokes(dev, qw, cfg, quant8_scales=scales))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_perf_regression_on_tpu(tpu_backend):
+    """The 2.1x headline is a floor, not a screenshot (VERDICT r4 #5):
+    a short dispatch loop at the unmodified DSA-10 preset must stay
+    within PERF_BASELINE.json's max_regression of the checked-in
+    ms/block.  A kernel edit that silently costs >15% turns this gate
+    red."""
+    import json
+    import time
+    from pathlib import Path
+
+    import jax
+
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.utils.bench import _digest
+
+    base = json.loads(
+        (Path(__file__).resolve().parent.parent / "PERF_BASELINE.json")
+        .read_text())
+    cfg = DSA10  # the deployed default — must match the baseline config
+    assert base["config"] == cfg.name and base["t_block"] == cfg.t_block
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode, cfg.a_compute)
+    blocks = [jax.device_put(
+        device_wire_view(make_random_bytes_block(cfg, seed=s), cfg))
+        for s in range(2)]
+    float(_digest(beamform_power(blocks[0], qw, cfg)))  # compile+warm
+    n = 8
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = beamform_power(blocks[i % 2], qw, cfg)
+        float(_digest(out))
+        best = min(best, (time.perf_counter() - t0) / n)
+    ms = best * 1e3
+    limit = base["ms_per_block"] * base["max_regression"]
+    assert ms <= limit, (
+        f"perf regression: {ms:.2f} ms/block vs baseline "
+        f"{base['ms_per_block']} ms (limit {limit:.2f}; "
+        f"{base['source']}) — if intentional, update PERF_BASELINE.json "
+        f"alongside a BENCH.md entry")
