@@ -27,7 +27,7 @@ import jax
 from dsabeamformer_tpu.utils.hostenv import enable_jax_cache, require_tpu_backend
 enable_jax_cache()
 from dsabeamformer_tpu.config import DSA10
-from dsabeamformer_tpu.ingest.generator import make_noise_block
+from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
 from dsabeamformer_tpu.models.weights import make_weights
 from dsabeamformer_tpu.ops.gemm import beamform_power, device_wire_view
 from dsabeamformer_tpu.ops.quantize import prepare_weights
@@ -45,7 +45,7 @@ out = {}
 # --- 1. dispatch-level: plain kernel vs 1-device shard_map step -------
 cfg = DSA10
 mesh = make_mesh(1)
-wire = device_wire_view(make_noise_block(cfg, rms=2.0, seed=3), cfg)
+wire = device_wire_view(make_random_bytes_block(cfg, seed=3), cfg)
 dev = jax.device_put(wire)
 qw = prepare_weights(cfg, make_weights(cfg))
 step = sharded_beamformer(cfg, mesh)
@@ -84,7 +84,7 @@ print(f"[mesh] dispatch: plain {ms_plain:.2f} vs mesh1 {ms_mesh:.2f} "
 # --- 2. driver-level at a 1/8-band subband (relay-sized blocks) -------
 sub = DSA10.replace(n_chan=256)
 qw_s = prepare_weights(sub, make_weights(sub))
-blocks = [np.asarray(make_noise_block(sub, rms=2.0, seed=s))
+blocks = [np.asarray(make_random_bytes_block(sub, seed=s))
           for s in (1, 2)]
 n_blocks = 8
 rows = {}

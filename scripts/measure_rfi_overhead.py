@@ -12,12 +12,12 @@ from dsabeamformer_tpu.models.weights import make_weights
 from dsabeamformer_tpu.ops.quantize import prepare_weights
 from dsabeamformer_tpu.ops import beamform_power
 from dsabeamformer_tpu.ops.incoherent import sk_block_stats
-from dsabeamformer_tpu.ingest.generator import make_noise_block
+from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
 from dsabeamformer_tpu.utils.bench import _digest
 
 assert require_tpu_backend()
 cfg = DSA10
-wire = make_noise_block(cfg, rms=2.0, seed=3)
+wire = make_random_bytes_block(cfg, seed=3)
 qw = prepare_weights(cfg, make_weights(cfg))
 dev = jax.device_put(wire.reshape(cfg.device_wire_shape))
 # compile all three variants

@@ -25,7 +25,7 @@ import jax
 from dsabeamformer_tpu.utils.hostenv import enable_jax_cache, require_tpu_backend
 enable_jax_cache()
 from dsabeamformer_tpu.config import DSA10
-from dsabeamformer_tpu.ingest.generator import make_noise_block
+from dsabeamformer_tpu.ingest.generator import make_random_bytes_block
 from dsabeamformer_tpu.models.weights import make_weights
 from dsabeamformer_tpu.ops.gemm import beamform_stokes, device_wire_view
 from dsabeamformer_tpu.ops.quantize import prepare_weights
@@ -33,7 +33,7 @@ from dsabeamformer_tpu.utils.bench import _digest
 
 assert require_tpu_backend()
 cfg = DSA10.replace(t_block=4096, time_tile=1024, chan_tile=4)
-wire = device_wire_view(make_noise_block(cfg, rms=2.0, seed=3), cfg)
+wire = device_wire_view(make_random_bytes_block(cfg, seed=3), cfg)
 qw = prepare_weights(cfg, make_weights(cfg))
 dev = jax.device_put(wire)
 
