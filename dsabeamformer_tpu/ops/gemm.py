@@ -282,14 +282,17 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
             # Shared by both side-products: the plain [re | im] planes
             # are the LAST 2*a_compute lanes of every x_all layout
             # (x16 modes prepend the 16x planes; int13's duplicate
-            # block ends with them too).  Square in f32 (exact:
-            # |x| <= 8 -> x^2 <= 64; bf16/f32 represent integers <=
-            # 256 exactly) — Mosaic has no 8-bit vector multiply (the
-            # 8-bit-shift dead-end family, docs/DESIGN.md §4).
-            # Hoisted above the two branches so the incoherent+SK
-            # combination never relies on Mosaic CSE to avoid doubled
-            # intermediates in the VMEM-bound kernel.
+            # block ends with them too).
             plain = x_all[:, x_all.shape[1] - 2 * a_compute:]
+        if n_active:
+            # Square in f32 (exact: |x| <= 8 -> x^2 <= 64; bf16/f32
+            # represent integers <= 256 exactly) — Mosaic has no 8-bit
+            # vector multiply (the 8-bit-shift dead-end family,
+            # docs/DESIGN.md §4).  Full-width: the incoherent matvec
+            # wants the whole [P*tt, 2a] operand (this is what the
+            # side-product tile shrink budgets for); the SK path below
+            # slices sq in chunks when it is already live, and builds
+            # its own chunked squares when it is not.
             xf = plain.astype(jnp.float32)
             sq = xf * xf                              # [P*tt, 2a] f32
         if n_active:
@@ -321,29 +324,48 @@ def _detect_kernel(x_ref, *refs, n_ant, a_compute, n_beams, n_pol, n_terms,
             # SK accumulators from the same planes (ALL active
             # antennas — detection must SEE flagged/RFI antennas, so
             # no exclusion here, matching ops.incoherent.sk_block_stats
-            # exactly).  Per-sample power p then p^2; the antenna
-            # reduction rides the MXU like the incoherent sum; the
-            # time reduction is a sublane sum.
-            p_mat = sq[:, :a_compute] + sq[:, a_compute:]  # [P*tt, a]
-            ant = jax.lax.broadcasted_iota(jnp.int32, (a_compute, 1), 0)
-            ones = (ant < sk_active).astype(jnp.float32)
-            # p <= 128 is bf16-exact, so s1 rides the MXU at default
-            # precision; p^2 <= 16384 is NOT (bf16 holds integers to
-            # 256), and the Mosaic default truncates the s2 operand to
-            # bf16 — measured 7.7e-4 systematic s2 deficit on v5e.
-            # HIGHEST forces the 3-pass f32 matvec (cost is ~0.1% of
-            # the main GEMM's MACs, same argument as the incoherent
-            # matvec above).
-            s1v = jnp.dot(p_mat, ones,
-                          preferred_element_type=jnp.float32)
-            s2v = jnp.dot(p_mat * p_mat, ones,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1, sk_ref.shape[2]), 1)
-            row = jnp.where(lane == 0, s1v.sum(), 0.0) \
-                + jnp.where(lane == 1, s2v.sum(), 0.0)
-            sk_ref[c] = sk_ref[c] + row
+            # exactly).  Output is PER-ANTENNA rows [2, a_compute]
+            # (sublane 0: S1 = sum_t,p of p; sublane 1: S2 = sum p^2);
+            # the caller sums the active lanes.  Everything reduces by
+            # sublane-segmented tree sums — the incoherent epilogue's
+            # cheap navg pattern — chunked so no full-width f32
+            # intermediate is ever live (no tile shrink needed).
+            #
+            # v1 did per-channel MXU matvecs (s2 at HIGHEST) plus two
+            # full-column scalar reductions into a [1, 2] row: measured
+            # +7.3 ms/block at a 256-chan subband (+44 ms full band,
+            # bench_artifacts/r05/measure_rfi.json), of which the
+            # matvecs were +4.2 and the scalar sums +1.5
+            # (scripts/exp_sk_cost.py).  All-f32 adds here are also
+            # exactly sk_block_stats' precision class (p <= 128 ints:
+            # per-antenna per-tile S1 < 2^24 stays f32-exact).
+            rows = plain.shape[0]
+            ch = 512 if rows % 512 == 0 else rows
+
+            def _colsum(m):
+                # [R, a] -> [1, a] via halving sublane adds.  NOT a
+                # [R/8, 8, a] reshape-sum: Mosaic relayout-fails on
+                # sublane-split 3-D vectors with sub-128 lane dims
+                # ("Invalid relayout ... 8x8x32xf32", v5e 2026-08-19).
+                r = m.shape[0]
+                while r > 1 and r % 2 == 0:
+                    m = m[: r // 2] + m[r // 2: r]
+                    r //= 2
+                return m.sum(axis=0, keepdims=True) if r > 1 else m
+
+            s1row = jnp.zeros((1, a_compute), jnp.float32)
+            s2row = jnp.zeros((1, a_compute), jnp.float32)
+            for k in range(rows // ch):
+                if n_active:
+                    sqk = sq[k * ch:(k + 1) * ch]
+                else:
+                    xfk = plain[k * ch:(k + 1) * ch].astype(jnp.float32)
+                    sqk = xfk * xfk
+                pk = sqk[:, :a_compute] + sqk[:, a_compute:]  # [ch, a]
+                s1row = s1row + _colsum(pk)
+                s2row = s2row + _colsum(pk * pk)
+            sk_ref[c] = sk_ref[c] + jnp.concatenate(
+                [s1row, s2row], axis=0)
 
     if time_major and pa % 128 and 128 % pa == 0 and fc % (128 // pa) == 0:
         g = 128 // pa  # channels per aligned lane group
@@ -589,7 +611,10 @@ def beamform_power(
     if sk_stats:
         *rest, sk = out
         out = tuple(rest) if len(rest) > 1 else rest[0]
-        sk = sk[:, 0, :2]  # [n_chan, 2]: lanes 0/1 = S1/S2
+        # Kernel emits per-antenna rows [n_chan, 2, a_compute]; the
+        # antenna reduction happens here (f32, tiny array) instead of
+        # per-channel in-kernel matvecs (exp_sk_cost.py).
+        sk = sk[:, :, :cfg.n_ant_active].sum(axis=2)  # [n_chan, 2]
     if incoherent:
         out, inco = out
         inco = inco[:, :, 0]  # drop the kernel's singleton lane axis
@@ -657,15 +682,16 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
                 f"fused {what} needs n_ant_active="
                 f"{cfg.n_ant_active} <= a_compute={cfg.a_compute}"
             )
-        # EITHER side-product adds ~2*P*tt*2a f32 bytes of in-kernel
-        # intermediates (the shared plain/sq planes; SK's p_mat pair is
-        # the same size class); the deployed DSA-10 tiles already sit
-        # ~0.8 MB under Mosaic's 16 MB scoped-VMEM stack (measured:
-        # +2 MB OOMs by 1.16 MB).  Halve time_tile below the measured-
-        # safe threshold — the grid doubles but per-block cost moves
-        # only ~1-2% (BENCH.md "Incoherent product").  chan_tile stays:
-        # the intermediates don't scale with it, so shrinking it would
-        # cut the grid for nothing.
+    if incoherent or sk_stats:
+        # EITHER side-product's in-kernel intermediates push the
+        # deployed DSA-10 tiles (already ~0.8 MB under Mosaic's 16 MB
+        # scoped-VMEM stack) over the limit — the incoherent matvec's
+        # full-width plain/sq planes by ~1.16 MB, the chunked SK sums
+        # by 64-288 KB (measured at ch=128..512).  Halve time_tile
+        # below the measured-safe threshold — the grid doubles but
+        # per-block cost moves only ~1-2% (BENCH.md "Incoherent
+        # product").  chan_tile stays: the intermediates don't scale
+        # with it, so shrinking it would cut the grid for nothing.
         cfg2 = shrink_tiles(
             cfg, lambda fc, tt: cfg.n_pol * tt * 2 * cfg.n_beams * 4,
             2 ** 23 - 1, allow_chan=False)
@@ -692,18 +718,18 @@ def _fused_detect(wire, qw, cfg, interpret, epilogue, *, out_width,
             memory_space=pltpu.VMEM,
         ))
     if sk_stats:
-        # [n_chan, 1, 128] f32, revisited across the sequential time
-        # axis (index_map constant in t): lane 0 = S1, lane 1 = S2,
-        # rest padding to the 128-lane block rule.  The OUTPUT is tiny;
-        # the in-kernel intermediates are what the shared tile shrink
-        # above accounts for.
+        # [n_chan, 2, a_compute] f32, revisited across the sequential
+        # time axis (index_map constant in t): sublane 0 = per-antenna
+        # S1, sublane 1 = S2 (the caller sums the active lanes).  The
+        # non-128 last dim is fine — Mosaic pads the tile, exactly like
+        # the incoherent product's 1-wide lane dim above.
         shapes = list(out_shape) if isinstance(out_shape, tuple) \
             else [out_shape]
         specs = list(out_spec) if isinstance(out_spec, tuple) \
             else [out_spec]
-        shapes.append(jax.ShapeDtypeStruct((cfg.n_chan, 1, 128),
+        shapes.append(jax.ShapeDtypeStruct((cfg.n_chan, 2, cfg.a_compute),
                                            jnp.float32))
-        specs.append(pl.BlockSpec((cfg.chan_tile, 1, 128),
+        specs.append(pl.BlockSpec((cfg.chan_tile, 2, cfg.a_compute),
                                   lambda f, t: (f, 0, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = tuple(shapes)
@@ -826,7 +852,8 @@ def beamform_stokes(
     if sk_stats:
         *rest, sk = out
         out = tuple(rest) if len(rest) > 1 else rest[0]
-        sk = sk[:, 0, :2]  # [n_chan, 2]: S1, S2 (see beamform_power)
+        # [n_chan, 2]: S1, S2 (see beamform_power)
+        sk = sk[:, :, :cfg.n_ant_active].sum(axis=2)
     if incoherent:
         # Same fused side-product as beamform_power(incoherent=True):
         # one HBM pass over the wire bytes for all five planes.
