@@ -2157,10 +2157,14 @@ def main(argv=None) -> int:
                         "(removes broadband undispersed RFI; channel "
                         "excision is already covered by --zap/"
                         "--rfi-auto upstream)")
-    p.add_argument("--search-method", default="direct",
-                   choices=["direct", "subband"],
-                   help="dedispersion bank (subband: ~20x less device "
-                        "work for <=1 extra sample of smearing)")
+    p.add_argument("--search-method", default="conv",
+                   choices=["conv", "direct", "subband"],
+                   help="dedispersion bank: conv (default — two-stage, "
+                        "MXU-conv stage 1, the TPU-native live path; "
+                        "<=1 extra sample of smearing), direct "
+                        "(brute-force gather, exact but ~1000x slower "
+                        "on TPU — BENCH.md), or subband (the gather "
+                        "two-stage)")
     p.add_argument("--pointing", type=float, default=0.0,
                    help="pointing angle (rad)")
     p.add_argument("--stats-file", help="append per-block JSONL stats here")
@@ -2473,11 +2477,12 @@ def main(argv=None) -> int:
                         "(classic zero-DM filter: removes broadband "
                         "undispersed RFI, costs ~1/F of pulse power)")
     p.add_argument("--method", default="direct",
-                   choices=["direct", "subband"],
-                   help="dedispersion bank: brute-force (exact) or "
-                        "two-stage subband (~20x less device work, "
-                        "<=1 extra sample of smearing — use for wide "
-                        "DM ranges)")
+                   choices=["conv", "direct", "subband"],
+                   help="dedispersion bank: brute-force (exact; the "
+                        "offline default), two-stage subband gather, "
+                        "or conv (the MXU two-stage bank the live "
+                        "monitor uses — <=1 extra sample of smearing, "
+                        "~1000x the direct bank's TPU throughput)")
     p.add_argument("--no-coincidence", action="store_true",
                    help="keep candidates that fire in many beams at "
                         "once (default: they are RFI — a sky pulse is "

@@ -11,14 +11,21 @@ extraction — all jitted, so one device pass turns a dynamic spectrum
 into a candidate list.
 
 TPU-first shape of the problem: after 16x time averaging a block's
-dynamic spectrum is SMALL (``[T, F]`` float32, a few MB), so this is
-VPU/gather work, not MXU work — the design goal is one compiled
-program with static shapes (chunked on the host for long files), not
-hand-tiled kernels.  The dedispersion sum scans over frequency
-channels accumulating a ``[n_dm, T]`` time-series bank; each step is
-one gather from a padded channel column, which XLA vectorizes across
-the (dm, t) grid.  Candidate extraction uses ``lax.top_k`` per
-(width, trial) so the host fetch is a few kB regardless of T.
+dynamic spectrum is SMALL (``[T, F]`` float32, a few MB), but the
+per-(trial, channel) time shifts are lane-crossing data movement the
+TPU has no fast primitive for — XLA lowers the natural scan-gather
+bank to ~7 ns per gathered element (measured v5e, BENCH.md "Deployed
+configuration (round 5)": 33.4 s per monitor window, ~1000x off VPU
+speed-of-light).  The production bank (`conv_dedisperse_bank`,
+method="conv") therefore reformulates the two-stage subband
+algorithm in primitives the hardware natively runs: stage 1's
+within-group shift-sums become one-hot GROUPED CONVOLUTIONS on the
+MXU, and stage 2's coarse combination becomes contiguous
+`dynamic_slice` reads (DMA-class copies).  Measured: 90 ms vs 33.4 s
+per window — the gather kernels remain as the exact reference
+("direct") and the gather two-stage ("subband").  Candidate
+extraction uses ``lax.top_k`` per (width, trial) so the host fetch
+is a few kB regardless of T.
 
 The delay curve is the package-wide :func:`~dsabeamformer_tpu.config.
 dm_delays_s` (referenced to the TOP of the band, which arrives
@@ -47,6 +54,8 @@ __all__ = [
     "subband_plan",
     "subband_dedisperse_bank",
     "subband_dedisperse_bank_batch",
+    "conv_dedisperse_bank",
+    "conv_dedisperse_bank_batch",
     "Candidate",
     "coincidence_filter",
     "preprocess_spectrogram",
@@ -60,6 +69,12 @@ __all__ = [
 #: Boxcar widths (output samples) matched-filtered by default: powers
 #: of two up to 32, the usual single-pulse-search ladder.
 DEFAULT_WIDTHS = (1, 2, 4, 8, 16, 32)
+
+#: Channel groups for the conv-bank method ("conv").  Wider groups
+#: than the gather subband path's 64: stage 1's cost there is gather
+#: rows, here it is MXU MACs (nearly free), and fewer groups cut
+#: stage 2's per-trial slice count proportionally.
+_CONV_N_SUB = 16
 
 
 def dm_trial_grid(
@@ -191,6 +206,190 @@ _dedisperse_batch_c = jax.jit(
 _subband_batch_c = jax.jit(
     jax.vmap(_subband_jit, in_axes=(0, None, None, None, None)),
     static_argnums=(3, 4))
+
+
+def _conv_bank_jit(power_btf, fill_bf, kernel, offsets_dg,
+                   t_pad: int, g: int, t1: int, t_out: int):
+    """TPU-native two-stage bank: stage 1 on the MXU, stage 2 as
+    dynamic slices — NO gathers anywhere.
+
+    Measured motivation (v5e, 2026-08-19, BENCH.md "Deployed
+    configuration (round 5)"): XLA lowers the scan-gather bank
+    (`_dedisperse_jit`) to ~7 ns per gathered element on TPU —
+    33.4 s for the monitor's standard window, 1000× off VPU
+    speed-of-light.  The per-(trial, channel) time shifts are
+    lane-crossing data movement XLA scalarizes.  This kernel
+    reformulates both stages in primitives the hardware natively
+    runs:
+
+    Stage 1 — the within-group shift-sums become a GROUPED
+    CONVOLUTION with one-hot kernels: ``S[g, j, t'] = sum_c
+    P_g[c, t' + intra[g, j, c]]`` is exactly a 'VALID'
+    cross-correlation of the group's ``[C, T_pad]`` block with a
+    ``[J, C, S1]`` 0/1 kernel (S1 = intra span).  The MXU eats the
+    shift structure: S1× more MACs than the plain sum, but MACs are
+    the one thing this chip has in excess (~51 G-MAC at the DSA-10
+    monitor geometry = ms-class), and the one-hot kernel is built
+    once per plan on the host.
+
+    Stage 2 — the per-(trial, group) coarse offsets are a `lax.scan`
+    over trials of G statically-unrolled `dynamic_slice` reads from
+    the flattened stage-1 plane: contiguous vector copies at runtime
+    offsets, which XLA lowers to DMA-class moves, not per-element
+    scalar loads.
+
+    ``power_btf``: the RAW ``[B, T_ext, F']`` window (F' already
+    includes any zero pad channels; any real dtype — uint8 fused
+    products upload 4× less and are cast here); ``fill_bf``: the
+    ``[B, F']`` tail fill row.  Padding to ``t_pad``, the cast, and
+    the corner-turn to ``[B, G*C, t_pad]`` all happen ON DEVICE: the
+    first measured cut of this bank did them in numpy and the live
+    monitor's window cost was ~85% host prep + relay H2D (952 ms vs
+    ~120 ms of device work).  ``kernel``: ``[G*J, C, S1]`` one-hot
+    f32; ``offsets_dg``: ``[n_dm, G]`` flat element offsets into the
+    ``[G*J*t1]`` stage-1 plane.  Returns ``[B, n_dm, t_out]`` f32.
+    HIGHEST precision keeps the 0/1-weighted sums exact in f32
+    (default TPU precision would round the power samples to bf16).
+    """
+    b, t_ext, f_pad = power_btf.shape
+    gj = kernel.shape[0]
+    x = power_btf.astype(jnp.float32)
+    tail = jnp.broadcast_to(
+        fill_bf.astype(jnp.float32)[:, None, :],
+        (b, t_pad - t_ext, f_pad))
+    cols = jnp.concatenate([x, tail], axis=1)        # [B, t_pad, F']
+    lhs = cols.transpose(0, 2, 1)                    # [B, G*C, t_pad]
+    dn = lax.conv_dimension_numbers(
+        lhs.shape, kernel.shape, ("NCW", "OIW", "NCW"))
+    s = lax.conv_general_dilated(
+        lhs, kernel, (1,), "VALID", dimension_numbers=dn,
+        feature_group_count=g,
+        precision=lax.Precision.HIGHEST)          # [B, G*J, t1]
+    s_flat = s.reshape(b, gj * t1)
+
+    n_g = offsets_dg.shape[1]
+
+    def one_beam(flat):
+        def step(_, offs):
+            acc = lax.dynamic_slice(flat, (offs[0],), (t_out,))
+            for gg in range(1, n_g):
+                acc = acc + lax.dynamic_slice(flat, (offs[gg],), (t_out,))
+            return None, acc
+
+        _, bank = lax.scan(step, None, offsets_dg)
+        return bank                               # [n_dm, t_out]
+
+    return jax.vmap(one_beam)(s_flat)
+
+
+_conv_bank_c = jax.jit(_conv_bank_jit, static_argnums=(4, 5, 6, 7))
+
+#: plan + one-hot kernel cache for the conv bank, keyed by the delay
+#: table bytes — the streaming monitor calls every window with the
+#: same table, and the kernel build (209k one-hot writes at DSA-10
+#: scale) plus device upload should happen once, not per window.
+_CONV_PLAN_CACHE: dict = {}
+
+
+def _conv_plan(delays: np.ndarray, n_sub: int, max_err_samples: int):
+    key = (delays.shape, delays.tobytes(), n_sub, max_err_samples)
+    hit = _CONV_PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    intra_c, inter, rep_of, pad_f = subband_plan(
+        delays, n_sub, max_err_samples)
+    g, j, c = intra_c.shape
+    s1 = int(intra_c.max()) + 1 if intra_c.size else 1
+    kern = np.zeros((g * j, c, s1), np.float32)
+    rows = np.repeat(np.arange(g * j), c)
+    cols = np.tile(np.arange(c), g * j)
+    kern[rows, cols, intra_c.reshape(g * j, c).ravel()] = 1.0
+    plan = (intra_c, inter, rep_of, pad_f, jnp.asarray(kern))
+    _CONV_PLAN_CACHE.clear()   # one live plan: the kernel is ~40 MB
+    _CONV_PLAN_CACHE[key] = plan
+    return plan
+
+
+def _conv_bank_prep(power_btf: np.ndarray, delays: np.ndarray,
+                    n_sub: int, max_err_samples: int):
+    """Host prep for the conv bank, kept DELIBERATELY light: validate,
+    plan (cached), zero-pad the channel tail, and estimate the tail
+    fill from a row subsample.  Everything heavy — the f32 cast, time
+    padding, corner-turn to groups — happens inside `_conv_bank_jit`:
+    the first cut of this bank did them in numpy and host prep + relay
+    H2D was ~85% of the live monitor's window cost."""
+    b, t, f = power_btf.shape
+    if delays.shape[1] != f:
+        raise ValueError(
+            f"delay table covers {delays.shape[1]} channels, data has {f}")
+    if delays.min() < 0:
+        raise ValueError("negative delays: delay_table is referenced to the "
+                         "band top; check channel ordering (ascending)")
+    intra_c, inter, rep_of, pad_f, kern = _conv_plan(
+        delays, n_sub, max_err_samples)
+    g, n_coarse, c = intra_c.shape
+    t1 = t + int(inter.max())
+    t_pad = t1 + (kern.shape[2] - 1)
+    x = np.asarray(power_btf)
+    # Tail fill = per-channel median of a row SUBSAMPLE (<=512 rows).
+    # The fill only shapes the data-uncovered tail beyond valid_len —
+    # where candidates are discarded anyway — so a sampled median is
+    # statistically identical and much cheaper: np.median over the
+    # full monitor window measured 167 ms on this host, ~2.5x the
+    # whole device program (probe 2026-08-19).
+    step = max(1, t // 512)
+    fill = np.median(x[:, ::step].astype(np.float32, copy=False),
+                     axis=1).astype(np.float32)     # [B, F]
+    if pad_f:
+        x = np.concatenate(
+            [x, np.zeros((b, t, pad_f), x.dtype)], axis=2)
+        fill = np.concatenate(
+            [fill, np.zeros((b, pad_f), np.float32)], axis=1)
+    # flat element offset of (group g, trial d) in the [G*J*t1] plane:
+    # (g*J + rep(d)) rows of t1, plus the trial's band-top delay
+    offsets = ((np.arange(g)[None, :] * n_coarse + rep_of[:, None]) * t1
+               + inter).astype(np.int32)           # [n_dm, G]
+    valid_len = np.maximum(t - delays.max(axis=1), 0).astype(np.int64)
+    return x, fill, kern, offsets, t_pad, g, t1, valid_len
+
+
+def conv_dedisperse_bank(
+    power_tf: np.ndarray,
+    delays: np.ndarray,
+    n_sub: int = 16,
+    max_err_samples: int = 1,
+) -> Tuple[jax.Array, np.ndarray]:
+    """`subband_dedisperse_bank`'s contract (two-stage bank, at most
+    ``max_err_samples`` of extra smearing) computed by the TPU-native
+    MXU-conv + dynamic-slice program (`_conv_bank_jit`) — the live
+    search monitor's default method.  Fewer, larger groups than the
+    gather path's default (n_sub=16 vs 64): stage 1's cost is MXU
+    MACs, so wider groups are nearly free and cut stage 2's slice
+    count 4×.  Integer inputs (uint8 fused products) upload as-is
+    and cast on device — 4× less wire for the 8-bit product path."""
+    t, f = power_tf.shape
+    x, fill, kern, offsets, t_pad, g, t1, valid_len = _conv_bank_prep(
+        np.asarray(power_tf)[None], delays, n_sub, max_err_samples)
+    bank = _conv_bank_c(jnp.asarray(x), jnp.asarray(fill), kern,
+                        jnp.asarray(offsets), t_pad, g, t1, t)
+    return bank[0], valid_len
+
+
+def conv_dedisperse_bank_batch(
+    power_btf: np.ndarray,
+    delays: np.ndarray,
+    n_sub: int = 16,
+    max_err_samples: int = 1,
+) -> Tuple[jax.Array, np.ndarray]:
+    """`conv_dedisperse_bank` over a ``[B, T, F]`` beam stack in one
+    dispatch (the plan is shared; stage 1 batches in the conv's N
+    dim, stage 2 vmaps)."""
+    b, t, f = power_btf.shape
+    x, fill, kern, offsets, t_pad, g, t1, valid_len = _conv_bank_prep(
+        np.asarray(power_btf), delays, n_sub, max_err_samples)
+    bank = _conv_bank_c(jnp.asarray(x), jnp.asarray(fill), kern,
+                        jnp.asarray(offsets), t_pad, g, t1, t)
+    return bank, valid_len
 
 
 def subband_plan(delays: np.ndarray, n_sub: int,
@@ -538,13 +737,17 @@ def _search_chunk(
     the offline chunk loop and the streaming monitor (which carries
     the extension samples forward itself)."""
     max_w = max(widths)
-    if method == "subband":
+    if method == "conv":
+        bank, valid_len = conv_dedisperse_bank(
+            chunk, delays, n_sub=min(_CONV_N_SUB, chunk.shape[1]))
+    elif method == "subband":
         bank, valid_len = subband_dedisperse_bank(
             chunk, delays, n_sub=min(n_sub, chunk.shape[1]))
     elif method == "direct":
         bank, valid_len = dedisperse_bank(chunk, delays)
     else:
-        raise ValueError(f"method must be direct|subband, got {method!r}")
+        raise ValueError(
+            f"method must be conv|direct|subband, got {method!r}")
     snr, idx = _snr_topk_c(bank, widths,
                            min(topk, bank.shape[1] - max_w + 1))
     points = _threshold_points(np.asarray(snr), np.asarray(idx), widths,
@@ -593,13 +796,17 @@ def _search_chunk_batch(
     whole group (batched bank + batched top-k) instead of two per
     beam; thresholding/clustering stays per-beam on host."""
     max_w = max(widths)
-    if method == "subband":
+    if method == "conv":
+        bank, valid_len = conv_dedisperse_bank_batch(
+            chunk_btf, delays, n_sub=min(_CONV_N_SUB, chunk_btf.shape[2]))
+    elif method == "subband":
         bank, valid_len = subband_dedisperse_bank_batch(
             chunk_btf, delays, n_sub=min(n_sub, chunk_btf.shape[2]))
     elif method == "direct":
         bank, valid_len = dedisperse_bank_batch(chunk_btf, delays)
     else:
-        raise ValueError(f"method must be direct|subband, got {method!r}")
+        raise ValueError(
+            f"method must be conv|direct|subband, got {method!r}")
     snr, idx = _snr_topk_batch_c(bank, widths,
                                  min(topk, bank.shape[2] - max_w + 1))
     snr, idx = np.asarray(snr), np.asarray(idx)  # [B, n_w, n_dm, k]
@@ -630,11 +837,13 @@ def search_spectrogram(
     """Search an ascending-frequency ``[T, F]`` dynamic spectrum for
     dispersed single pulses over DM trials ``dms``.
 
-    ``method="subband"`` uses the two-stage bank (`_subband_jit`):
-    ~20x less device work at DSA-10 scale for at most one extra
-    sample of smearing — the right default for wide DM ranges; keep
-    ``"direct"`` when the trial count is small or exactness against
-    the brute-force bank matters.
+    ``method="conv"`` uses the TPU-native two-stage bank
+    (`_conv_bank_jit`, MXU stage 1 + dynamic-slice stage 2) — the
+    live monitor's default, ~1000x the direct bank's measured TPU
+    throughput for at most one extra sample of smearing.
+    ``"subband"`` is the same two-stage plan on the gather kernels;
+    keep ``"direct"`` (the offline default) when the trial count is
+    small or exactness against the brute-force bank matters.
 
     Long observations are processed in host-side chunks of ``chunk_t``
     output samples, each extended by ``max_delay + max_width`` so a
@@ -885,15 +1094,16 @@ class SearchMonitor:
         dm_link: Optional[int] = None,
         zap: Optional[Sequence[int]] = None,
         zerodm: bool = False,
-        method: str = "direct",
+        method: str = "conv",
         n_sub: int = 64,
         on_candidate=None,
         coincidence: bool = True,
         coincidence_frac: float = 0.25,
         on_rfi=None,
     ):
-        if method not in ("direct", "subband"):
-            raise ValueError(f"method must be direct|subband, got {method!r}")
+        if method not in ("conv", "direct", "subband"):
+            raise ValueError(
+                f"method must be conv|direct|subband, got {method!r}")
         self.freqs_mhz = np.asarray(freqs_mhz, np.float64)
         self.tsamp_s = float(tsamp_s)
         self.dms = np.asarray(dms, np.float64)
@@ -1002,7 +1212,15 @@ class SearchMonitor:
             if not 0 <= self.beam < nb:
                 raise ValueError(f"search beam {self.beam} out of range "
                                  f"(product has {nb})")
-            x = powers[:, :, self.beam].astype(np.float32).T
+            sel = powers[:, :, self.beam].T
+            if sel.dtype == np.uint8 and not (self.zap or self.zerodm):
+                # fused-quant8 products stay uint8 to the device: the
+                # conv bank casts after upload (4x less window H2D),
+                # and median/MAD normalization makes the search
+                # scale-invariant; the gather banks cast on host.
+                x = np.ascontiguousarray(sel)
+            else:
+                x = np.ascontiguousarray(sel, dtype=np.float32)
         if self.zap or self.zerodm:
             # Per-block conditioning equals whole-stream conditioning:
             # the zap fill is a constant and zero-DM is per-sample.

@@ -100,7 +100,10 @@ dms = dm_trial_grid(float(freqs_avg.min()), float(freqs_avg.max()),
                     tsamp_out, dm_max=100.0)
 f_out, t_out, b_out = cfg.out_block_shape
 rng = np.random.default_rng(0)
-prod = rng.standard_normal((f_out, t_out, b_out)).astype(np.float32)
+# uint8 product: with --fil-bits 8 the pipeline drains the fused-
+# quantized block, and the monitor keeps it uint8 to the device (4x
+# less window H2D); this is the deployed product dtype.
+prod = rng.integers(1, 255, size=(f_out, t_out, b_out), dtype=np.uint8)
 
 mon = SearchMonitor(freqs_avg, tsamp_out, dms, beam=0, threshold=8.0)
 # Warm through at least TWO full window dispatches so the window

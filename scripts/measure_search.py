@@ -3,17 +3,21 @@ real chip at DSA-10 product scale.
 
 The searched object is the POST-DETECTION dynamic spectrum — tiny next
 to the wire blocks (F=2048 float32 channels at the 131 us averaged
-cadence is 16 MB/s), but the DM-trial bank multiplies it: the work is
-``n_dm * T * F`` gather-adds with a ``[n_dm, T]`` accumulator carried
-across the channel scan, so this stage is HBM/VPU-bound, not MXU-bound.
-What this script answers: how many DM trials can one chip search in
-realtime ALONGSIDE beamforming, i.e. the chip-budget line BENCH.md's
-deployment guidance needs.
+cadence is 16 MB/s) — but the DM-trial bank multiplies it, and the
+bank's PRIMITIVE decides everything on TPU: the scan-gather bank
+measures ~7 ns per gathered element (33.4 s per monitor window,
+BENCH.md "Deployed configuration (round 5)"), so this script measures
+the production `conv` bank (MXU one-hot conv stage 1 + dynamic-slice
+stage 2) across DM ranges, with one small-geometry direct-bank row to
+document the gather pathology it replaced.  What it answers: how many
+DM trials one chip searches in realtime ALONGSIDE beamforming — the
+chip-budget line BENCH.md's deployment guidance needs.
 
 Run on the TPU (relay up):
   PYTHONPATH=/root/.axon_site:/root/repo /opt/venv/bin/python scripts/measure_search.py
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,6 +30,9 @@ from dsabeamformer_tpu.ops.dedisperse import (
     DEFAULT_WIDTHS,
     _dedisperse_c,
     _snr_topk_c,
+    _snr_topk_batch_c,
+    conv_dedisperse_bank,
+    conv_dedisperse_bank_batch,
     delay_table,
     dm_trial_grid,
 )
@@ -39,6 +46,14 @@ T = 16384  # output samples per search chunk (~2.1 s of sky)
 
 rng = np.random.default_rng(0)
 rows = []
+
+
+def fence(a):
+    # scalar fetch: block_until_ready does not reliably fence on the
+    # axon relay (BENCH.md Methodology)
+    return float(np.asarray(a.ravel()[0]))
+
+
 for dm_max in (250.0, 500.0, 1000.0):
     dms = dm_trial_grid(f_lo, f_hi, tsamp, dm_max=dm_max, tol=1.25)
     delays = delay_table(f_mhz, dms, tsamp)
@@ -47,84 +62,91 @@ for dm_max in (250.0, 500.0, 1000.0):
     k = 4
     span_s = T * tsamp
 
-    # --- direct (brute-force) bank: device-resident operands ---
-    dev_x = jax.device_put(x.T)        # padded [F, T+max_d]
-    dev_d = jax.device_put(delays)
-    bank = _dedisperse_c(dev_x, dev_d, T)   # compile + warm
+    # conv bank end-to-end: host plan/pad/pack + H2D + bank + topk +
+    # scalar fence — what one offline chunk (or monitor window at this
+    # chunk_t) costs.
+    t0 = time.perf_counter()
+    bank, _ = conv_dedisperse_bank(x, delays)           # warm/compile
     snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, k)
-    float(np.asarray(snr).max())
+    fence(snr)
+    print(f"[search] dm_max={dm_max:.0f}: conv compile+warm "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        bank = _dedisperse_c(dev_x, dev_d, T)
+        bank, _ = conv_dedisperse_bank(x, delays)
         snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, k)
-        float(np.asarray(snr).max())   # scalar fetch = execution fence
+        fence(snr)
         best = min(best, time.perf_counter() - t0)
-
-    # --- subband bank: timed end-to-end incl. host plan/packing ---
-    from dsabeamformer_tpu.ops.dedisperse import (
-        _snr_topk_c as _snr, subband_dedisperse_bank)
-    xt = x[: T]  # unpadded [T, F]; the bank pads itself
-    b, _ = subband_dedisperse_bank(xt, delays, n_sub=64)  # warm
-    float(np.asarray(_snr(b, DEFAULT_WIDTHS, k)[0]).max())
-    best_sub = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        b, _ = subband_dedisperse_bank(xt, delays, n_sub=64)
-        s, _i = _snr(b, DEFAULT_WIDTHS, k)
-        float(np.asarray(s).max())
-        best_sub = min(best_sub, time.perf_counter() - t0)
 
     rows.append({
         "dm_max": dm_max, "n_dm": len(dms), "max_delay_samp": max_d,
         "chunk_s": round(span_s, 3),
-        "direct_s": round(best, 3),
-        "direct_rt": round(span_s / best, 2),
-        "subband_s": round(best_sub, 3),
-        "subband_rt": round(span_s / best_sub, 2),
+        "conv_s": round(best, 3),
+        "conv_rt": round(span_s / best, 2),
         "gather_adds_G": round(len(dms) * T * cfg.n_chan / 1e9, 1),
     })
-    print(json.dumps(rows[-1]))
+    print(json.dumps(rows[-1]), flush=True)
 
-# --- beam-batched vs per-beam dispatch (dsabf search --beam all) ---
-# Device-resident operands (as above): isolates the dispatch/batching
-# effect from the CI relay's H2D.  The batched path runs the vmapped
-# bank+topk once per beam GROUP; the loop path dispatches per beam.
-from dsabeamformer_tpu.ops.dedisperse import (
-    _dedisperse_batch_c, _snr_topk_batch_c)
+# one direct-bank row at REDUCED geometry: the gather pathology, with
+# a dispatch small enough not to trip the runtime watchdog (the
+# full-size direct bank is a multi-minute single dispatch — the round-5
+# first-attempt crash).
+T_small, dm_small = 2048, 100.0
+dms = dm_trial_grid(f_lo, f_hi, tsamp, dm_max=dm_small, tol=1.25)
+delays = delay_table(f_mhz, dms, tsamp)
+max_d = int(delays.max())
+x = rng.normal(size=(T_small + max_d, cfg.n_chan)).astype(np.float32)
+dev_x = jax.device_put(x.T)
+dev_d = jax.device_put(delays)
+bank = _dedisperse_c(dev_x, dev_d, T_small)
+fence(bank)
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    bank = _dedisperse_c(dev_x, dev_d, T_small)
+    fence(bank)
+    best = min(best, time.perf_counter() - t0)
+elems = len(dms) * T_small * cfg.n_chan
+row = {
+    "direct_T": T_small, "direct_dm_max": dm_small, "n_dm": len(dms),
+    "direct_s": round(best, 3),
+    "direct_ns_per_element": round(best / elems * 1e9, 2),
+    "chunk_s": round(T_small * tsamp, 3),
+    "direct_rt": round(T_small * tsamp / best, 3),
+}
+rows.append(row)
+print(json.dumps(row), flush=True)
 
+# beam-batched vs per-beam dispatch (dsabf search --beam all), conv
+# bank, device work + per-call host prep included on both sides.
 B = 8
 dms = dm_trial_grid(f_lo, f_hi, tsamp, dm_max=250.0, tol=1.25)
 delays = delay_table(f_mhz, dms, tsamp)
 max_d = int(delays.max())
-xs = rng.normal(size=(B, cfg.n_chan, T + max_d)).astype(np.float32)
-dev_xs = jax.device_put(xs)
-dev_xl = [jax.device_put(xs[i]) for i in range(B)]
-dev_d = jax.device_put(delays)
-span_s = B * T * tsamp
+T_b = 4096
+xs = rng.normal(size=(B, T_b + max_d, cfg.n_chan)).astype(np.float32)
+span_s = B * T_b * tsamp
 
-s, _ = _snr_topk_batch_c(_dedisperse_batch_c(dev_xs, dev_d, T),
-                         DEFAULT_WIDTHS, 4)            # warm batch
-float(np.asarray(s).max())
-for xi in dev_xl[:1]:                                  # warm loop
-    s, _ = _snr_topk_c(_dedisperse_c(xi, dev_d, T), DEFAULT_WIDTHS, 4)
-    float(np.asarray(s).max())
+b, _ = conv_dedisperse_bank_batch(xs, delays)            # warm batch
+fence(_snr_topk_batch_c(b, DEFAULT_WIDTHS, 4)[0])
+b1, _ = conv_dedisperse_bank(xs[0], delays)              # warm loop
+fence(_snr_topk_c(b1, DEFAULT_WIDTHS, 4)[0])
 
 best_batch = best_loop = float("inf")
 for _ in range(3):
     t0 = time.perf_counter()
-    s, _ = _snr_topk_batch_c(_dedisperse_batch_c(dev_xs, dev_d, T),
-                             DEFAULT_WIDTHS, 4)
-    float(np.asarray(s).max())
+    b, _ = conv_dedisperse_bank_batch(xs, delays)
+    fence(_snr_topk_batch_c(b, DEFAULT_WIDTHS, 4)[0])
     best_batch = min(best_batch, time.perf_counter() - t0)
     t0 = time.perf_counter()
-    for xi in dev_xl:
-        s, _ = _snr_topk_c(_dedisperse_c(xi, dev_d, T), DEFAULT_WIDTHS, 4)
-        float(np.asarray(s).max())
+    for i in range(B):
+        bi, _ = conv_dedisperse_bank(xs[i], delays)
+        fence(_snr_topk_c(bi, DEFAULT_WIDTHS, 4)[0])
     best_loop = min(best_loop, time.perf_counter() - t0)
 
 row = {
-    "beams": B, "dm_max": 250.0, "n_dm": len(dms),
+    "beams": B, "dm_max": 250.0, "n_dm": len(dms), "chunk_T": T_b,
     "batched_s": round(best_batch, 3),
     "batched_rt": round(span_s / best_batch, 2),
     "loop_s": round(best_loop, 3),
@@ -132,6 +154,6 @@ row = {
     "batch_speedup": round(best_loop / best_batch, 2),
 }
 rows.append(row)
-print(json.dumps(row))
+print(json.dumps(row), flush=True)
 
 print(json.dumps({"rows": rows}))

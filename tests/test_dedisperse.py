@@ -221,6 +221,97 @@ def test_subband_search_recovers_pulse_comparably():
                               method="subband", n_sub=8) == []
 
 
+def test_conv_bank_matches_subband_bank():
+    """The MXU-conv bank computes the SAME two-stage plan as the
+    gather subband bank — identical sums, so identical output to
+    float tolerance at every n_sub (the only difference is the
+    primitive: one-hot grouped conv + dynamic slices vs gathers)."""
+    from dsabeamformer_tpu.ops.dedisperse import (
+        conv_dedisperse_bank, subband_dedisperse_bank)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(768, 96)).astype(np.float32)  # 96: pad path
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    delays = delay_table(_freqs(96), dms, TSAMP)
+    for n_sub in (4, 10):
+        b_sub, v_sub = subband_dedisperse_bank(x, delays, n_sub=n_sub)
+        b_conv, v_conv = conv_dedisperse_bank(x, delays, n_sub=n_sub)
+        assert np.array_equal(v_sub, v_conv)
+        assert np.allclose(np.asarray(b_sub), np.asarray(b_conv),
+                           rtol=1e-4, atol=1e-3)
+
+
+def test_conv_bank_exact_at_zero_budget():
+    """max_err_samples=0 collapses the plan to one coarse trial per
+    trial — the conv bank must then equal the brute-force bank."""
+    from dsabeamformer_tpu.ops.dedisperse import conv_dedisperse_bank
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(512, 32)).astype(np.float32)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=200.0, tol=1.25)
+    delays = delay_table(_freqs(32), dms, TSAMP)
+    b0, v0 = dedisperse_bank(x, delays)
+    b1, v1 = conv_dedisperse_bank(x, delays, n_sub=4, max_err_samples=0)
+    assert np.array_equal(v0, v1)
+    assert np.allclose(np.asarray(b0), np.asarray(b1),
+                       rtol=1e-4, atol=1e-3)
+
+
+def test_conv_bank_batch_and_plan_cache():
+    """The batched conv bank matches per-beam calls, and the one-hot
+    kernel is built once per delay table (the streaming monitor calls
+    every window)."""
+    from dsabeamformer_tpu.ops import dedisperse as dd
+
+    rng = np.random.default_rng(5)
+    xb = rng.normal(size=(3, 512, 32)).astype(np.float32)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=150.0, tol=1.25)
+    delays = delay_table(_freqs(32), dms, TSAMP)
+    bb, vb = dd.conv_dedisperse_bank_batch(xb, delays, n_sub=4)
+    for i in range(3):
+        bi, vi = dd.conv_dedisperse_bank(xb[i], delays, n_sub=4)
+        assert np.array_equal(vb, vi)
+        assert np.allclose(np.asarray(bb)[i], np.asarray(bi),
+                           rtol=1e-5, atol=1e-4)
+    plan1 = dd._conv_plan(delays, 4, 1)
+    plan2 = dd._conv_plan(delays, 4, 1)
+    assert plan1 is plan2  # cached: kernel upload happens once
+
+
+def test_conv_search_recovers_pulse_comparably():
+    """method='conv' (the live default) finds the injected pulse at
+    the same (t, DM) with S/N within ~10% of the exact bank, and pure
+    noise stays quiet."""
+    dm_true, t0 = 150.0, 900
+    x, freqs = _pulse_spectrogram(2048, 64, dm_true, t0, 4, amp=1.0,
+                                  seed=31)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
+    direct = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5)
+    conv = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5,
+                              method="conv")
+    assert direct and conv
+    d0, c0 = direct[0], conv[0]
+    assert abs(c0.t_samp - d0.t_samp) <= 4
+    assert abs(c0.dm - d0.dm) <= 4 * (dms[1] - dms[0])
+    assert c0.snr > 0.9 * d0.snr
+    rng = np.random.default_rng(6)
+    noise = rng.normal(size=(2048, 64)).astype(np.float32)
+    assert search_spectrogram(noise, freqs, TSAMP, dms, threshold=8.0,
+                              method="conv") == []
+
+
+def test_search_method_validation():
+    """Unknown bank methods fail loudly everywhere they can be set."""
+    from dsabeamformer_tpu.ops.dedisperse import SearchMonitor
+
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=100.0, tol=1.25)
+    with pytest.raises(ValueError, match="conv|direct|subband"):
+        SearchMonitor(_freqs(32), TSAMP, dms, method="fft")
+    x = np.zeros((256, 32), np.float32)
+    with pytest.raises(ValueError, match="conv|direct|subband"):
+        search_spectrogram(x, _freqs(32), TSAMP, dms, method="fft")
+
+
 def test_zerodm_kills_broadband_rfi_keeps_pulse():
     """A broadband undispersed spike triggers at DM~0; the zero-DM
     filter removes it while the dispersed pulse survives."""
@@ -518,8 +609,12 @@ def test_search_monitor_matches_offline():
     dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=300.0, tol=1.25)
     offline = search_spectrogram(x, freqs, TSAMP, dms, threshold=7.5,
                                  chunk_t=512)
+    # method="direct" pins both sides to the exact bank: this test
+    # asserts SNR equality to 1e-5, which only holds when the monitor
+    # and the offline loop run the same bank (the monitor's production
+    # default is "conv"; its agreement is tested separately).
     mon = SearchMonitor(freqs, TSAMP, dms, beam=1, threshold=7.5,
-                        chunk_t=512)
+                        chunk_t=512, method="direct")
     _feed_monitor(mon, x, t_out=128)
     mon.flush()
     assert mon.searched_windows >= 3
