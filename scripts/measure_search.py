@@ -88,6 +88,58 @@ for dm_max in (250.0, 500.0, 1000.0):
     })
     print(json.dumps(rows[-1]), flush=True)
 
+# stage decomposition at the LIVE MONITOR geometry (T=4096, dm_max=100
+# — the window the deployed-config search monitor dispatches): where
+# the 990 ms/window of BENCH.md "Deployed configuration (round 5)"
+# actually goes.  host = _conv_bank_prep (plan cached, subsampled
+# median fill); device = bank+topk with every operand already
+# device-resident; h2d+dispatch = end_to_end - host - device (the CI
+# relay's window upload, absent on a real TPU host).
+from dsabeamformer_tpu.ops.dedisperse import _conv_bank_c, _conv_bank_prep
+
+T_mon = 4096
+dms = dm_trial_grid(f_lo, f_hi, tsamp, dm_max=100.0, tol=1.25)
+delays = delay_table(f_mhz, dms, tsamp)
+max_d = int(delays.max())
+x_mon = rng.normal(size=(1, T_mon + max_d, cfg.n_chan)).astype(np.float32)
+
+# warm everything once end-to-end
+bank, _ = conv_dedisperse_bank(x_mon[0], delays)
+fence(_snr_topk_c(bank, DEFAULT_WIDTHS, 4)[0])
+
+best_e2e = best_host = best_dev = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    bank, _ = conv_dedisperse_bank(x_mon[0], delays)
+    snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, 4)
+    fence(snr)
+    best_e2e = min(best_e2e, time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    xp, fill, kern, offsets, t_pad, g, t1, _vl = _conv_bank_prep(
+        x_mon, delays, 16, 1)
+    best_host = min(best_host, time.perf_counter() - t0)
+
+    dev = [jax.device_put(a) for a in
+           (xp, fill, np.asarray(kern), offsets)]
+    fence(dev[0])
+    t0 = time.perf_counter()
+    bank = _conv_bank_c(dev[0], dev[1], dev[2], dev[3],
+                        t_pad, g, t1, x_mon.shape[1])[0]
+    snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, 4)
+    fence(snr)
+    best_dev = min(best_dev, time.perf_counter() - t0)
+
+row = {
+    "monitor_T": T_mon, "dm_max": 100.0, "n_dm": len(dms),
+    "window_e2e_ms": round(best_e2e * 1e3, 1),
+    "host_prep_ms": round(best_host * 1e3, 1),
+    "device_ms": round(best_dev * 1e3, 1),
+    "h2d_dispatch_ms": round((best_e2e - best_host - best_dev) * 1e3, 1),
+}
+rows.append(row)
+print(json.dumps(row), flush=True)
+
 # one direct-bank row at REDUCED geometry: the gather pathology, with
 # a dispatch small enough not to trip the runtime watchdog (the
 # full-size direct bank is a multi-minute single dispatch — the round-5

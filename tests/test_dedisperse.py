@@ -278,6 +278,33 @@ def test_conv_bank_batch_and_plan_cache():
     assert plan1 is plan2  # cached: kernel upload happens once
 
 
+def test_conv_bank_prep_device_split_matches_wrapper():
+    """`scripts/measure_search.py`'s stage decomposition drives
+    `_conv_bank_prep` + device-resident `_conv_bank_c` directly (host /
+    H2D / device split at the monitor geometry); that split path must
+    equal the `conv_dedisperse_bank` wrapper bit-for-bit, or the
+    decomposition times a different program than production runs."""
+    import jax
+
+    from dsabeamformer_tpu.ops import dedisperse as dd
+
+    rng = np.random.default_rng(7)
+    t_out = 256
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=150.0, tol=1.25)
+    delays = delay_table(_freqs(32), dms, TSAMP)
+    x = rng.normal(
+        size=(1, t_out + int(delays.max()), 32)).astype(np.float32)
+    b_wrap, v_wrap = dd.conv_dedisperse_bank(x[0], delays, n_sub=4)
+    xp, fill, kern, offsets, t_pad, g, t1, v_split = dd._conv_bank_prep(
+        x, delays, 4, 1)
+    dev = [jax.device_put(a) for a in
+           (xp, fill, np.asarray(kern), offsets)]
+    b_split = dd._conv_bank_c(dev[0], dev[1], dev[2], dev[3],
+                              t_pad, g, t1, x.shape[1])[0]
+    assert np.array_equal(v_wrap, v_split)
+    assert np.array_equal(np.asarray(b_wrap), np.asarray(b_split))
+
+
 def test_conv_search_recovers_pulse_comparably():
     """method='conv' (the live default) finds the injected pulse at
     the same (t, DM) with S/N within ~10% of the exact bank, and pure
