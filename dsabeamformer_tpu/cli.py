@@ -2114,12 +2114,15 @@ def main(argv=None) -> int:
     p.add_argument("--rfi-interval", type=int, default=8,
                    help="observed blocks pooled per excision decision")
     p.add_argument("--rfi-sample", type=int, default=1,
-                   help="observe every Nth block.  With the SK "
-                        "accumulators fused into the detection kernel "
-                        "(the run path) observation is ~free, so the "
-                        "default is 1; sampling only matters for the "
-                        "standalone scan path (13.7 ms/block measured "
-                        "at the dsa10 preset, BENCH.md)")
+                   help="observe every Nth block.  The fused SK "
+                        "emission measures +11.3 ms/block at the "
+                        "dsa10 preset (BENCH.md 'Deployed "
+                        "configuration (round 5)'), and unsampled "
+                        "blocks run the plain kernel variant — so "
+                        "sampling cuts the monitor's kernel cost to "
+                        "1/N at the price of 1/N the data per "
+                        "excision decision.  Default 1 (every block, "
+                        "strongest statistics)")
     p.add_argument("--rfi-threshold", type=float, default=5.0,
                    help="robust z-score for flagging (dsabf rfi's "
                         "--threshold)")

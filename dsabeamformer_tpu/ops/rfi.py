@@ -120,6 +120,16 @@ class RFIMonitor:
         self._seen += 1
         return idx if take else None
 
+    def wants_stats(self) -> bool:
+        """True iff the NEXT observe call falls on the sampling grid —
+        a peek, no grid advance.  The pipeline asks this BEFORE each
+        block's dispatch and only compiles-in the SK accumulators when
+        the answer is yes: the fused emission is not free (+11.3
+        ms/block measured at the dsa10 preset, BENCH.md "Deployed
+        configuration (round 5)"), so with ``sample=N`` the kernel
+        cost amortizes to 1/N of that."""
+        return self._seen % self.sample == 0
+
     def observe(self, wire_dev) -> None:
         """Dispatch the standalone SK reduction for this block if it
         falls on the sampling grid (device-side, async — do not fetch
@@ -135,10 +145,16 @@ class RFIMonitor:
         (``beamform_power(..., sk_stats=True)``'s ``[n_chan, 2]`` last
         output) for this block.  Same sampling grid as :meth:`observe`
         so the two paths are interchangeable block-for-block — though
-        here a skipped block only skips a tiny host fetch, since the
-        kernel computed the stats either way."""
+        here the pipeline consults :meth:`wants_stats` first and skips
+        the accumulator emission entirely on unsampled blocks
+        (``sk_dev=None``)."""
         idx = self._take_next()
         if idx is not None:
+            if sk_dev is None:
+                raise ValueError(
+                    "observe_stats(None) on a sampled block: the caller "
+                    "must dispatch with sk_stats=True whenever "
+                    "wants_stats() is True (pipeline/monitor grid skew)")
             self._pending.append((idx, sk_dev))
 
     def poll(self, n_drained: Optional[int] = None) -> None:

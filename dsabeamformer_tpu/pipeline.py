@@ -346,7 +346,7 @@ class StreamingBeamformer:
                 f"or lower --depth"
             )
 
-    def _step(self, wire_dev, quant8_scales=None):
+    def _step(self, wire_dev, quant8_scales=None, sk_stats=None):
         """One block's device dispatch ->
         ``(detect_out, inco_or_None, sk_or_None)``.
 
@@ -363,9 +363,15 @@ class StreamingBeamformer:
         With an RFI monitor attached, the kernel additionally emits
         the per-channel SK accumulators (``sk_stats=True``) so the
         monitor costs no second HBM pass over the wire bytes; the
-        return becomes ``(detect_out, inco_or_None, sk_or_None)``."""
+        return becomes ``(detect_out, inco_or_None, sk_or_None)``.
+        ``sk_stats`` overrides that default per block: the emission is
+        not free (+11.3 ms/block measured, BENCH.md "Deployed
+        configuration (round 5)"), so the run loop passes the
+        monitor's sampling-grid answer and unsampled blocks run the
+        plain variant."""
         kw = {} if quant8_scales is None else {"quant8_scales": quant8_scales}
-        sk_on = self.rfi_monitor is not None
+        sk_on = (self.rfi_monitor is not None) if sk_stats is None \
+            else sk_stats
         if sk_on:
             kw["sk_stats"] = True
         if self.incoherent_sink is not None:
@@ -446,16 +452,24 @@ class StreamingBeamformer:
             # The SK accumulators ride the same kernel (sk_stats=True)
             # — compiled by the _step above; just complete the fetch.
             self._fetch(sk)
+        # With --rfi-sample N>1 the steady state alternates between the
+        # SK and the plain kernel variant (run() gates the emission on
+        # the monitor's sampling grid) — compile the plain one too.
+        sk_sampling = (self.rfi_monitor is not None
+                       and getattr(self.rfi_monitor, "sample", 1) > 1)
+        if sk_sampling:
+            self._fetch(self._step(zero_dev, sk_stats=False)[0])
         if self._fused_quant8() is not None:
             # The steady-state step is the fused uint8 variant (its
             # scales only exist after the first live block) — compile
             # it now with dummy scales so block 1 doesn't stall.
-            out_q, inco_q, sk_q = self._step(
-                zero_dev,
-                jax.device_put(np.ones(self.cfg.n_beams, np.float32)))
+            ones = jax.device_put(np.ones(self.cfg.n_beams, np.float32))
+            out_q, inco_q, sk_q = self._step(zero_dev, ones)
             self._fetch(out_q)
             if inco_q is not None:
                 self._fetch(inco_q)
+            if sk_sampling:
+                self._fetch(self._step(zero_dev, ones, sk_stats=False)[0])
             return
         # Compile the sink's device-side post-transform (e.g. the
         # FilterbankSink 8-bit quantizer) at its runtime shapes too —
@@ -543,13 +557,19 @@ class StreamingBeamformer:
             # uploads with the kernel's exact layout, no on-device copy.
             wire_dev = self._put(wire_np)               # H2D (async)
             q8 = fused_q8() if fused_q8 is not None else None
-            out, inco, sk = self._step(wire_dev, q8)    # async dispatch
-            if self.rfi_monitor is not None:
-                # The kernel emitted the SK accumulators alongside the
-                # products (no second HBM pass); the monitor fetches
-                # them at drain and may excise channels through
-                # update_weights mid-stream (ops/rfi.py).
-                self.rfi_monitor.observe_stats(sk)
+            mon = self.rfi_monitor
+            # Emit the SK accumulators only on the monitor's sampling
+            # grid: the fused emission costs +11.3 ms/block measured
+            # (BENCH.md "Deployed configuration (round 5)"), so
+            # --rfi-sample N cuts the monitor's kernel cost to 1/N.
+            sk_want = mon is not None and mon.wants_stats()
+            out, inco, sk = self._step(
+                wire_dev, q8, sk_stats=sk_want)         # async dispatch
+            if mon is not None:
+                # The monitor fetches sampled stats at drain and may
+                # excise channels through update_weights mid-stream
+                # (ops/rfi.py); no second HBM pass over the wire bytes.
+                mon.observe_stats(sk)
             if q8 is None and post is not None:
                 out = post(out)
             self._inflight.append((seq, out, inco, time.perf_counter()))
@@ -678,9 +698,10 @@ class MeshStreamingBeamformer(StreamingBeamformer):
             )
         return step
 
-    def _step(self, wire_dev, quant8_scales=None):
+    def _step(self, wire_dev, quant8_scales=None, sk_stats=None):
         inco_on = self.incoherent_sink is not None
-        sk_on = self.rfi_monitor is not None
+        sk_on = (self.rfi_monitor is not None) if sk_stats is None \
+            else sk_stats
         q8 = quant8_scales is not None
         step = self._get_step(inco_on, sk_on, q8)
         args = (wire_dev, self.weights) + (

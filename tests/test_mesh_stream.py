@@ -328,8 +328,9 @@ def test_mesh_stream_fused_quant8_driver_byte_equal(cfg, mesh, tmp_path):
         bf = klass(cfg, qw, FileSource(cfg, raw), sink, **kw)
         engaged = []
         orig_step = bf._step
-        bf._step = lambda w, q8=None: (engaged.append(q8 is not None),
-                                       orig_step(w, q8))[1]
+        bf._step = lambda w, q8=None, sk_stats=None: (
+            engaged.append(q8 is not None),
+            orig_step(w, q8, sk_stats=sk_stats))[1]
         assert bf._fused_quant8() is not None
         bf.run()
         # Block 0 travels f32 (auto-cal learns scales at its drain);

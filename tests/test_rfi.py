@@ -46,6 +46,64 @@ def test_monitor_sampling_and_flush(tiny_cfg):
     assert events[0]["blocks"] == 3
 
 
+def test_wants_stats_peeks_sampling_grid(tiny_cfg):
+    """wants_stats() predicts each observe call's sampling decision
+    without advancing the grid, and observe_stats(None) on a sampled
+    block is a contract violation (the caller skipped the emission the
+    monitor was promised)."""
+    mon = RFIMonitor(tiny_cfg, sample=3)
+    decisions = []
+    for s in range(7):
+        want = mon.wants_stats()
+        assert mon.wants_stats() == want  # peek, no advance
+        if want:
+            mon.observe_stats(np.ones((tiny_cfg.n_chan, 2), np.float32))
+        else:
+            mon.observe_stats(None)
+        decisions.append(want)
+    assert decisions == [True, False, False] * 2 + [True]
+    mon2 = RFIMonitor(tiny_cfg, sample=2)
+    assert mon2.wants_stats()
+    with pytest.raises(ValueError):
+        mon2.observe_stats(None)  # sampled block without stats
+
+
+def test_sampled_sk_gates_kernel_variant(tiny_cfg):
+    """--rfi-sample N with the fused path: unsampled blocks dispatch
+    the PLAIN kernel variant (the SK emission measures +11.3 ms/block
+    at the dsa10 preset — not free), sampled blocks carry the
+    accumulators, and the monitor still excises from the sampled
+    subset.  Warmup compiles both variants so neither stalls live."""
+    from dsabeamformer_tpu.models.weights import make_weights
+    from dsabeamformer_tpu.ops.quantize import quantize_weights
+    from dsabeamformer_tpu.pipeline import (
+        CollectSink, StreamingBeamformer, SyntheticSource)
+
+    cfg = tiny_cfg
+    qw = quantize_weights(make_weights(cfg), cfg.weight_mode)
+    events = []
+    mon = RFIMonitor(cfg, interval=2, sample=2, on_event=events.append)
+    blocks = [_tone_infected(cfg, seed=50 + s) for s in range(6)]
+    bf = StreamingBeamformer(
+        cfg, qw, SyntheticSource(cfg, blocks, n_blocks=6),
+        CollectSink(), depth=1)
+    bf.rfi_monitor = mon
+    calls = []
+    inner = bf._detect
+    def spy(*a, **k):
+        calls.append(bool(k.get("sk_stats", False)))
+        return inner(*a, **k)
+    bf._detect = spy
+    bf.warmup()
+    assert calls == [True, False]  # both variants pre-compiled
+    calls.clear()
+    bf.run(max_blocks=6)
+    assert calls == [True, False] * 3  # grid-gated dispatch
+    # sampled blocks 0/2/4 pool into interval=2 windows -> excision
+    assert [e["type"] for e in events] == ["excise"]
+    assert events[0]["new"] == [2]
+
+
 def test_monitor_cap_refuses_wholesale_zap(tiny_cfg):
     cfg = tiny_cfg
     events = []
