@@ -464,8 +464,9 @@ def test_fused_quant8_pipeline_byte_equal(tiny_cfg, tmp_path, monkeypatch):
         # sets the auto-cal scales, making this comparison vacuous).
         engaged = []
         orig_step = bf._step
-        bf._step = lambda w, q8=None: (engaged.append(q8 is not None),
-                                       orig_step(w, q8))[1]
+        bf._step = lambda w, q8=None, sk_stats=None: (
+            engaged.append(q8 is not None),
+            orig_step(w, q8, sk_stats=sk_stats))[1]
         if fused:
             assert bf._fused_quant8() is not None  # hook engaged
         bf.run()
