@@ -44,11 +44,19 @@ def make_noise_block(cfg: ObsConfig, rms: float = 2.0, seed: int = 0) -> np.ndar
     """Gaussian noise on active antennas, zeros on padding."""
     rng = np.random.default_rng(seed)
     shape = (cfg.n_chan, cfg.t_block, cfg.n_pol, cfg.n_ant)
-    re = np.zeros(shape, np.float64)
-    im = np.zeros(shape, np.float64)
+    # float32 normals: the wire is 4-bit after rounding, so f32 draws
+    # are statistically identical and ~3x faster at full-band scale
+    # (f64 measured ~5.3 min per 2 GiB dsa10 block — too slow to feed
+    # the streamed hardware run's producer).
+    re = np.zeros(shape, np.float32)
+    im = np.zeros(shape, np.float32)
     a = cfg.n_ant_active
-    re[..., :a] = rng.normal(0.0, rms, shape[:-1] + (a,))
-    im[..., :a] = rng.normal(0.0, rms, shape[:-1] + (a,))
+    sub = shape[:-1] + (a,)
+    re[..., :a] = rng.standard_normal(sub, dtype=np.float32)
+    im[..., :a] = rng.standard_normal(sub, dtype=np.float32)
+    if rms != 1.0:
+        re *= np.float32(rms)
+        im *= np.float32(rms)
     return _emit(cfg, re, im)
 
 

@@ -70,11 +70,35 @@ __all__ = [
 #: of two up to 32, the usual single-pulse-search ladder.
 DEFAULT_WIDTHS = (1, 2, 4, 8, 16, 32)
 
-#: Channel groups for the conv-bank method ("conv").  Wider groups
-#: than the gather subband path's 64: stage 1's cost there is gather
-#: rows, here it is MXU MACs (nearly free), and fewer groups cut
-#: stage 2's per-trial slice count proportionally.
-_CONV_N_SUB = 16
+def _conv_auto_n_sub(delays: np.ndarray, span_target: int = 64,
+                     choices: Tuple[int, ...] = (16, 32, 64, 128)) -> int:
+    """Channel-group count for the conv-bank method ("conv"): the
+    fewest groups whose worst within-group delay span stays under
+    ``span_target`` samples (evaluated on the steepest trial — spans
+    of every other trial are smaller).
+
+    The trade: stage 2's per-trial slice count scales with groups,
+    but stage 1's one-hot kernel is ``[G*J, C, S1]`` where BOTH the
+    coarse-trial count J and the kernel width S1 grow with the
+    within-group span — at DSA-10 scale, dm_max=1000 with 16 groups
+    is a 3.9 GB kernel and 21 T-MAC per 16k chunk (a worker-killing
+    multi-minute dispatch), while 128 groups is 136 MB / 0.75 T-MAC.
+    The floor of 16 is the measured sweet spot at monitor scale
+    (dm_max=100, span 47: 66 ms/window device program)."""
+    f = delays.shape[1]
+    worst = np.asarray(delays[int(np.argmax(delays.max(axis=1)))],
+                       np.int64)
+    for n in choices:
+        if n >= f:
+            break
+        c = -(-f // n)
+        pad = n * c - f
+        w = np.concatenate([worst, np.zeros(pad, np.int64)]) if pad \
+            else worst
+        g = w.reshape(n, c)
+        if int((g.max(axis=1) - g.min(axis=1)).max()) <= span_target:
+            return n
+    return min(choices[-1], f)
 
 
 def dm_trial_grid(
@@ -332,9 +356,11 @@ def _conv_bank_prep(power_btf: np.ndarray, delays: np.ndarray,
     t_pad = t1 + (kern.shape[2] - 1)
     x = np.asarray(power_btf)
     # Tail fill = per-channel median of a row SUBSAMPLE (<=512 rows).
-    # The fill only shapes the data-uncovered tail beyond valid_len —
-    # where candidates are discarded anyway — so a sampled median is
-    # statistically identical and much cheaper: np.median over the
+    # The fill only shapes the data-uncovered tail — beyond valid_len
+    # (where candidates are discarded anyway) plus, because the plan's
+    # approximated delay may exceed the true max by max_err_samples,
+    # the last max_err samples inside valid_len — so a sampled median
+    # is statistically identical and much cheaper: np.median over the
     # full monitor window measured 167 ms on this host, ~2.5x the
     # whole device program (probe 2026-08-19).
     step = max(1, t // 512)
@@ -356,18 +382,23 @@ def _conv_bank_prep(power_btf: np.ndarray, delays: np.ndarray,
 def conv_dedisperse_bank(
     power_tf: np.ndarray,
     delays: np.ndarray,
-    n_sub: int = 16,
+    n_sub: Optional[int] = None,
     max_err_samples: int = 1,
 ) -> Tuple[jax.Array, np.ndarray]:
     """`subband_dedisperse_bank`'s contract (two-stage bank, at most
     ``max_err_samples`` of extra smearing) computed by the TPU-native
     MXU-conv + dynamic-slice program (`_conv_bank_jit`) — the live
-    search monitor's default method.  Fewer, larger groups than the
-    gather path's default (n_sub=16 vs 64): stage 1's cost is MXU
-    MACs, so wider groups are nearly free and cut stage 2's slice
-    count 4×.  Integer inputs (uint8 fused products) upload as-is
-    and cast on device — 4× less wire for the 8-bit product path."""
+    search monitor's default method.  ``n_sub=None`` (the default)
+    picks the fewest channel groups that bound the one-hot kernel's
+    width (`_conv_auto_n_sub`): wide groups cut stage 2's slice count,
+    but the stage-1 kernel grows ~quadratically with the within-group
+    delay span, so high-DM tables need more groups (16 at DSA-10
+    dm_max=100 → 128 at dm_max=1000).  Integer inputs (uint8 fused
+    products) upload as-is and cast on device — 4× less wire for the
+    8-bit product path."""
     t, f = power_tf.shape
+    if n_sub is None:
+        n_sub = _conv_auto_n_sub(delays)
     x, fill, kern, offsets, t_pad, g, t1, valid_len = _conv_bank_prep(
         np.asarray(power_tf)[None], delays, n_sub, max_err_samples)
     bank = _conv_bank_c(jnp.asarray(x), jnp.asarray(fill), kern,
@@ -378,13 +409,15 @@ def conv_dedisperse_bank(
 def conv_dedisperse_bank_batch(
     power_btf: np.ndarray,
     delays: np.ndarray,
-    n_sub: int = 16,
+    n_sub: Optional[int] = None,
     max_err_samples: int = 1,
 ) -> Tuple[jax.Array, np.ndarray]:
     """`conv_dedisperse_bank` over a ``[B, T, F]`` beam stack in one
     dispatch (the plan is shared; stage 1 batches in the conv's N
     dim, stage 2 vmaps)."""
     b, t, f = power_btf.shape
+    if n_sub is None:
+        n_sub = _conv_auto_n_sub(delays)
     x, fill, kern, offsets, t_pad, g, t1, valid_len = _conv_bank_prep(
         np.asarray(power_btf), delays, n_sub, max_err_samples)
     bank = _conv_bank_c(jnp.asarray(x), jnp.asarray(fill), kern,
@@ -739,7 +772,7 @@ def _search_chunk(
     max_w = max(widths)
     if method == "conv":
         bank, valid_len = conv_dedisperse_bank(
-            chunk, delays, n_sub=min(_CONV_N_SUB, chunk.shape[1]))
+            chunk, delays, n_sub=None)
     elif method == "subband":
         bank, valid_len = subband_dedisperse_bank(
             chunk, delays, n_sub=min(n_sub, chunk.shape[1]))
@@ -798,7 +831,7 @@ def _search_chunk_batch(
     max_w = max(widths)
     if method == "conv":
         bank, valid_len = conv_dedisperse_bank_batch(
-            chunk_btf, delays, n_sub=min(_CONV_N_SUB, chunk_btf.shape[2]))
+            chunk_btf, delays, n_sub=None)
     elif method == "subband":
         bank, valid_len = subband_dedisperse_bank_batch(
             chunk_btf, delays, n_sub=min(n_sub, chunk_btf.shape[2]))

@@ -54,9 +54,16 @@ def fence(a):
     return float(np.asarray(a.ravel()[0]))
 
 
+# n_sub per row = what production picks (`_conv_auto_n_sub`): wider DM
+# ranges get more subband groups, bounding the one-hot kernel and the
+# single-dispatch length (a multi-minute dispatch crashes this CI's
+# TPU worker — the round-5 first attempt).
+from dsabeamformer_tpu.ops.dedisperse import _conv_auto_n_sub
+
 for dm_max in (250.0, 500.0, 1000.0):
     dms = dm_trial_grid(f_lo, f_hi, tsamp, dm_max=dm_max, tol=1.25)
     delays = delay_table(f_mhz, dms, tsamp)
+    n_sub = _conv_auto_n_sub(delays)
     max_d = int(delays.max())
     x = rng.normal(size=(T + max_d, cfg.n_chan)).astype(np.float32)
     k = 4
@@ -66,7 +73,7 @@ for dm_max in (250.0, 500.0, 1000.0):
     # scalar fence — what one offline chunk (or monitor window at this
     # chunk_t) costs.
     t0 = time.perf_counter()
-    bank, _ = conv_dedisperse_bank(x, delays)           # warm/compile
+    bank, _ = conv_dedisperse_bank(x, delays, n_sub=n_sub)  # warm/compile
     snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, k)
     fence(snr)
     print(f"[search] dm_max={dm_max:.0f}: conv compile+warm "
@@ -74,13 +81,14 @@ for dm_max in (250.0, 500.0, 1000.0):
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        bank, _ = conv_dedisperse_bank(x, delays)
+        bank, _ = conv_dedisperse_bank(x, delays, n_sub=n_sub)
         snr, idx = _snr_topk_c(bank, DEFAULT_WIDTHS, k)
         fence(snr)
         best = min(best, time.perf_counter() - t0)
 
     rows.append({
-        "dm_max": dm_max, "n_dm": len(dms), "max_delay_samp": max_d,
+        "dm_max": dm_max, "n_dm": len(dms), "n_sub": n_sub,
+        "max_delay_samp": max_d,
         "chunk_s": round(span_s, 3),
         "conv_s": round(best, 3),
         "conv_rt": round(span_s / best, 2),

@@ -278,6 +278,47 @@ def test_conv_bank_batch_and_plan_cache():
     assert plan1 is plan2  # cached: kernel upload happens once
 
 
+def test_conv_auto_n_sub_bounds_kernel_span():
+    """The auto group count grows with the DM range so the one-hot
+    kernel's width stays bounded (dm_max=1000 with 16 groups is a
+    3.9 GB kernel at DSA-10 scale — a worker-killing dispatch), and
+    the conv bank still honors the max_err_samples contract at the
+    auto pick."""
+    from dsabeamformer_tpu.config import DSA10
+    from dsabeamformer_tpu.ops.dedisperse import (
+        _conv_auto_n_sub, conv_dedisperse_bank, subband_dedisperse_bank)
+
+    cfg = DSA10
+    ts = cfg.sample_period_s * cfg.navg_time
+    f = cfg.freqs_hz() / 1e6
+    picks = {}
+    for dm in (100.0, 1000.0):
+        dms = dm_trial_grid(float(f.min()), float(f.max()), ts, dm_max=dm)
+        delays = delay_table(f, dms, ts)
+        n = picks[dm] = _conv_auto_n_sub(delays)
+        # the worst within-group span is actually bounded at the pick
+        worst = np.asarray(
+            delays[int(np.argmax(delays.max(axis=1)))], np.int64)
+        c = -(-len(worst) // n)
+        pad = n * c - len(worst)
+        g = np.concatenate([worst, np.zeros(pad, np.int64)]).reshape(n, c)
+        assert (g.max(axis=1) - g.min(axis=1)).max() <= 64
+    assert picks[100.0] == 16       # the measured monitor geometry
+    assert picks[1000.0] > picks[100.0]
+
+    # auto default equals the gather bank on a small table (same plan)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(512, 64)).astype(np.float32)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=200.0, tol=1.25)
+    delays = delay_table(_freqs(64), dms, TSAMP)
+    b_auto, v_auto = conv_dedisperse_bank(x, delays)
+    from dsabeamformer_tpu.ops.dedisperse import _conv_auto_n_sub as auto
+    b_ref, v_ref = subband_dedisperse_bank(x, delays, n_sub=auto(delays))
+    assert np.array_equal(v_auto, v_ref)
+    assert np.allclose(np.asarray(b_auto), np.asarray(b_ref),
+                       rtol=1e-4, atol=1e-3)
+
+
 def test_conv_bank_prep_device_split_matches_wrapper():
     """`scripts/measure_search.py`'s stage decomposition drives
     `_conv_bank_prep` + device-resident `_conv_bank_c` directly (host /

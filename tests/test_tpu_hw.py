@@ -568,12 +568,17 @@ def test_conv_bank_on_tpu(tpu_backend):
     b_conv, v_conv = conv_dedisperse_bank(x, delays)
     b_sub, v_sub = subband_dedisperse_bank(x, delays, n_sub=16)
     assert np.array_equal(v_conv, v_sub)
-    # compare the data-covered region only: the conv bank estimates
-    # the tail fill from a row subsample at this window size, so the
-    # beyond-valid_len tail (where candidates are discarded) differs
+    # Compare the GUARANTEED data-covered region only: the two-stage
+    # plan's approximated delay can exceed the true per-trial max by
+    # up to max_err_samples (=1), so the last sample inside valid_len
+    # may legally read the median-fill row — which the conv bank
+    # estimates from a <=512-row subsample at this window size while
+    # the gather bank uses the full median (first caught by this gate
+    # at sha 7c0cd88: trial 17's final valid sample, 4.120 vs 4.097).
     bc, bs = np.asarray(b_conv), np.asarray(b_sub)
     for d in range(len(dms)):
-        assert np.allclose(bc[d, :v_conv[d]], bs[d, :v_conv[d]],
+        n = max(0, int(v_conv[d]) - 1)
+        assert np.allclose(bc[d, :n], bs[d, :n],
                            rtol=1e-4, atol=1e-3), d
     step = dms[1] - dms[0]
     cands = search_spectrogram(x, freqs, tsamp, dms, threshold=7.0,
