@@ -277,18 +277,31 @@ def _conv_bank_jit(power_btf, fill_bf, kernel, offsets_dg,
     """
     b, t_ext, f_pad = power_btf.shape
     gj = kernel.shape[0]
-    x = power_btf.astype(jnp.float32)
+    # uint8 fused products take the bf16 MXU path EXACTLY: integers
+    # <= 255 are exact in bf16 (8-bit mantissa), the one-hot kernel
+    # is 0/1, and the MXU accumulates in f32 (per-group sums < 2^24),
+    # so stage 1 is bit-identical to the f32 HIGHEST conv while
+    # running in ONE MXU pass instead of HIGHEST's multi-pass f32
+    # emulation.  The fill row is pre-rounded to integer on this path
+    # (`_conv_bank_prep`), so it is exact too.  Float inputs keep
+    # HIGHEST: default TPU precision would round the power samples
+    # themselves to bf16.
+    if power_btf.dtype == jnp.uint8:
+        cdt, prec = jnp.bfloat16, lax.Precision.DEFAULT
+    else:
+        cdt, prec = jnp.float32, lax.Precision.HIGHEST
+    x = power_btf.astype(cdt)
     tail = jnp.broadcast_to(
-        fill_bf.astype(jnp.float32)[:, None, :],
+        fill_bf.astype(cdt)[:, None, :],
         (b, t_pad - t_ext, f_pad))
     cols = jnp.concatenate([x, tail], axis=1)        # [B, t_pad, F']
     lhs = cols.transpose(0, 2, 1)                    # [B, G*C, t_pad]
     dn = lax.conv_dimension_numbers(
         lhs.shape, kernel.shape, ("NCW", "OIW", "NCW"))
     s = lax.conv_general_dilated(
-        lhs, kernel, (1,), "VALID", dimension_numbers=dn,
-        feature_group_count=g,
-        precision=lax.Precision.HIGHEST)          # [B, G*J, t1]
+        lhs, kernel.astype(cdt), (1,), "VALID", dimension_numbers=dn,
+        feature_group_count=g, precision=prec,
+        preferred_element_type=jnp.float32)       # [B, G*J, t1]
     s_flat = s.reshape(b, gj * t1)
 
     n_g = offsets_dg.shape[1]
@@ -366,6 +379,11 @@ def _conv_bank_prep(power_btf: np.ndarray, delays: np.ndarray,
     step = max(1, t // 512)
     fill = np.median(x[:, ::step].astype(np.float32, copy=False),
                      axis=1).astype(np.float32)     # [B, F]
+    if x.dtype == np.uint8:
+        # keep the bf16 stage-1 path exact: an x.5 median would round
+        # in bf16 (needs 9 mantissa bits); the fill only shapes the
+        # data-uncovered tail, so integer rounding is free
+        np.rint(fill, out=fill)
     if pad_f:
         x = np.concatenate(
             [x, np.zeros((b, t, pad_f), x.dtype)], axis=2)

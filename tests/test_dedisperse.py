@@ -319,6 +319,27 @@ def test_conv_auto_n_sub_bounds_kernel_span():
                        rtol=1e-4, atol=1e-3)
 
 
+def test_conv_bank_uint8_bf16_path_bit_exact():
+    """uint8 products take the single-pass bf16 MXU conv; it must be
+    BIT-identical to the f32 HIGHEST path in the guaranteed-data
+    region (integers <= 255 are exact in bf16, the kernel is one-hot,
+    accumulation is f32) — the fused-quant8 live monitor's fast path
+    is not an approximation."""
+    from dsabeamformer_tpu.ops.dedisperse import conv_dedisperse_bank
+
+    rng = np.random.default_rng(7)
+    x8 = rng.integers(0, 256, size=(1024, 64), dtype=np.uint8)
+    dms = dm_trial_grid(F_LO, F_HI, TSAMP, dm_max=250.0, tol=1.25)
+    delays = delay_table(_freqs(64), dms, TSAMP)
+    b8, v8 = conv_dedisperse_bank(x8, delays)
+    bf, vf = conv_dedisperse_bank(x8.astype(np.float32) + 0.0, delays)
+    assert np.array_equal(v8, vf)
+    a8, af = np.asarray(b8), np.asarray(bf)
+    for d in range(len(dms)):
+        n = max(0, int(v8[d]) - 1)  # plan may overshoot by max_err
+        assert np.array_equal(a8[d, :n], af[d, :n]), d
+
+
 def test_conv_bank_prep_device_split_matches_wrapper():
     """`scripts/measure_search.py`'s stage decomposition drives
     `_conv_bank_prep` + device-resident `_conv_bank_c` directly (host /

@@ -595,6 +595,35 @@ def test_conv_bank_on_tpu(tpu_backend):
     assert best < 5.0, f"conv bank {best:.1f}s — gather-class regression?"
 
 
+def test_conv_bank_uint8_bf16_on_tpu(tpu_backend):
+    """The uint8 fused-product fast path (single-pass bf16 MXU conv,
+    `_conv_bank_jit`) must be BIT-identical to the f32 HIGHEST path
+    on the real MXU in the guaranteed-data region — the claim is
+    exactness, not tolerance, so it needs the hardware's actual bf16
+    multiplier (measured 2026-08-20: 46.4 vs 74.8 ms/window device
+    program at the DM-100 monitor geometry, 0/465 trials differ)."""
+    from dsabeamformer_tpu.ops.dedisperse import (
+        conv_dedisperse_bank,
+        delay_table,
+        dm_trial_grid,
+    )
+
+    rng = np.random.default_rng(5)
+    nf, t = 256, 2048
+    freqs = np.linspace(1280.0, 1530.0, nf)
+    tsamp = 1.048576e-3
+    x8 = rng.integers(0, 256, size=(t, nf), dtype=np.uint8)
+    dms = dm_trial_grid(1280.0, 1530.0, tsamp, dm_max=300.0, tol=1.25)
+    delays = delay_table(freqs, dms, tsamp)
+    b8, v = conv_dedisperse_bank(x8, delays)
+    bf, vf = conv_dedisperse_bank(x8.astype(np.float32), delays)
+    assert np.array_equal(v, vf)
+    a8, af = np.asarray(b8), np.asarray(bf)
+    for d in range(len(dms)):
+        n = max(0, int(v[d]) - 1)
+        assert np.array_equal(a8[d, :n], af[d, :n]), d
+
+
 def test_mesh_streaming_driver_on_tpu(tpu_backend):
     """STREAMING through the mesh on real hardware (VERDICT r3 #1): the
     MeshStreamingBeamformer drives the shard_map step block after block
